@@ -1,0 +1,290 @@
+"""The four fraud-detection rules as pure DataFrame transformations.
+
+Re-implements reference py_scripts/loading_rep_fraud.py:14-135
+(SURVEY §2 J1-J6, A1, S3-S6, F1-F8). Each rule returns a DataFrame in
+the REP_FRAUD shape; sequencing/visibility semantics (the reference's
+single-transaction read-your-own-writes, EP3) live in pipeline.py.
+
+Two formulations of the self-join rules (3 and 4):
+- ``*_join``: literal translation of the reference SQL — a same-card
+  self-join with a time-band residual. Oracle-checkable, and what
+  Postgres itself executes. O(pairs-per-card) blowup on hot cards.
+- ``*_window``: the production path — one pass over transactions,
+  ``Window.partitionBy(card_num).orderBy(ts)`` with a range frame
+  holding the trailing hour / 20 minutes. O(n log n) per day, one
+  shuffle on card_num, no pair blowup; this is the formulation that
+  survives 100 TB. Both are tested equivalent on planted fixtures and
+  on the reference's own 3-day replay.
+
+Dimension sides (cards/accounts/clients/terminal history) are broadcast:
+they are key-bounded (cards per bank, terminals per bank), not
+data-volume-bounded, so they stay broadcastable even at 100 TB of facts.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.scalars import epoch_diff, fio, ts_between_dates
+
+EVENT_PASSPORT = "blocked or expired passport"
+EVENT_CONTRACT = "invalid contract"
+EVENT_CITIES = "ops in diff cities less one hour"
+EVENT_AMOUNT = "amount guessing"
+
+
+def enrich_client(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
+                  clients: DataFrame) -> DataFrame:
+    """The J1 broadcast chain: transactions -> cards -> accounts -> clients
+    (reference: loading_rep_fraud.py:25-27 and siblings)."""
+    ca = F.broadcast(cards.select("card_num", "account"))
+    ac = F.broadcast(accounts.select("account", "valid_to", "client"))
+    cl = F.broadcast(
+        clients.select(
+            "client_id", "last_name", "first_name", "patronymic",
+            "passport_num", "passport_valid_to", "phone",
+        )
+    )
+    return (
+        tx.join(ca, "card_num")
+        .join(ac, "account")
+        .join(cl, F.col("client") == F.col("client_id"))
+    )
+
+
+def _report(df: DataFrame, event_dt: Column, event_type: str,
+            date_global: datetime.date) -> DataFrame:
+    """Project to the REP_FRAUD shape (reference: loading_rep_fraud.py:17-23)."""
+    return df.select(
+        event_dt.alias("event_dt"),
+        F.col("passport_num").alias("passport"),
+        fio().alias("fio"),
+        F.col("phone").alias("phone"),
+        F.lit(event_type).alias("event_type"),
+        F.lit(date_global).alias("report_dt"),
+    )
+
+
+def _dedup_against(candidates: DataFrame, existing: DataFrame, event_type: str) -> DataFrame:
+    """NOT EXISTS idempotency guard on (passport, event_dt, event_type)
+    (reference: loading_rep_fraud.py:86-91,123-128) as a left-anti join."""
+    seen = existing.where(F.col("event_type") == event_type).select("passport", "event_dt")
+    return candidates.join(seen, ["passport", "event_dt"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Rule 1 — blocked or expired passport (loading_rep_fraud.py:15-37)
+# ---------------------------------------------------------------------------
+
+def rule1_passport(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
+                   clients: DataFrame, blacklist: DataFrame,
+                   date_global: datetime.date) -> DataFrame:
+    j = enrich_client(tx, cards, accounts, clients)
+    bl = F.broadcast(
+        blacklist.select(F.col("passport").alias("bl_passport"), F.col("date").alias("bl_date"))
+    )
+    j = j.join(bl, F.col("passport_num") == F.col("bl_passport"), "left")
+    tx_date = F.to_date("transaction_date")
+    fraud = (
+        (F.col("passport_valid_to") < tx_date)
+        | (F.col("bl_passport").isNotNull() & (tx_date > F.col("bl_date")))
+    ) & (F.col("oper_result") == "SUCCESS")
+    return _report(j.where(fraud), F.col("transaction_date"), EVENT_PASSPORT, date_global)
+
+
+# ---------------------------------------------------------------------------
+# Rule 2 — invalid contract (loading_rep_fraud.py:43-58)
+# ---------------------------------------------------------------------------
+
+def rule2_contract(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
+                   clients: DataFrame, date_global: datetime.date) -> DataFrame:
+    j = enrich_client(tx, cards, accounts, clients)
+    fraud = (F.to_date("transaction_date") > F.col("valid_to")) & (
+        F.col("oper_result") == "SUCCESS"
+    )
+    return _report(j.where(fraud), F.col("transaction_date"), EVENT_CONTRACT, date_global)
+
+
+# ---------------------------------------------------------------------------
+# Rule 3 — ops in different cities within one hour (loading_rep_fraud.py:64-92)
+# ---------------------------------------------------------------------------
+
+def _city_asof(tx: DataFrame, terminals_hist: DataFrame, alias: str) -> DataFrame:
+    """As-of join: the terminal city in effect at transaction time (J6).
+
+    Postgres coerces the date bounds to midnight timestamps in
+    ``ts BETWEEN effective_from AND effective_to``
+    (loading_rep_fraud.py:81,83) — ts_between_dates reproduces that.
+    """
+    th = F.broadcast(
+        terminals_hist.select(
+            F.col("terminal_id").alias(f"{alias}_tid"),
+            F.col("terminal_city").alias(f"{alias}_city"),
+            F.col("effective_from").alias(f"{alias}_from"),
+            F.col("effective_to").alias(f"{alias}_to"),
+        )
+    )
+    return tx.join(
+        th,
+        (F.col("terminal") == F.col(f"{alias}_tid"))
+        & ts_between_dates(F.col("transaction_date"), F.col(f"{alias}_from"), F.col(f"{alias}_to")),
+    ).drop(f"{alias}_tid", f"{alias}_from", f"{alias}_to")
+
+
+def rule3_diff_cities_join(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
+                           clients: DataFrame, terminals_hist: DataFrame,
+                           existing_mart: DataFrame,
+                           date_global: datetime.date) -> DataFrame:
+    """Literal self-join formulation (reference SQL shape)."""
+    t1 = _city_asof(
+        tx.select("card_num", "transaction_date", "terminal"), terminals_hist, "c1"
+    ).select(
+        F.col("card_num").alias("t1_card"),
+        F.col("transaction_date").alias("t1_ts"),
+        F.col("c1_city").alias("t1_city"),
+    )
+    t2 = _city_asof(tx, terminals_hist, "c2")
+    pairs = t2.join(
+        t1,
+        (F.col("card_num") == F.col("t1_card"))
+        & (F.col("t1_ts") < F.col("transaction_date"))
+        & (epoch_diff(F.col("transaction_date"), F.col("t1_ts")) < 3600)
+        & (F.col("t1_city") != F.col("c2_city"))
+        & (F.col("oper_result") == "SUCCESS"),
+        "inner",
+    )
+    hits = enrich_client(
+        pairs.select("card_num", "transaction_date").distinct(), cards, accounts, clients
+    )
+    cand = _report(hits, F.col("transaction_date"), EVENT_CITIES, date_global)
+    deduped = _dedup_against(cand, existing_mart, EVENT_CITIES)
+    # DISTINCT ON (event_dt, passport) — arbitrary pick, same semantics (A1)
+    return deduped.dropDuplicates(["event_dt", "passport"])
+
+
+def rule3_diff_cities_window(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
+                             clients: DataFrame, terminals_hist: DataFrame,
+                             existing_mart: DataFrame,
+                             date_global: datetime.date) -> DataFrame:
+    """Production formulation: trailing-hour range frame per card.
+
+    A transaction is fraudulent iff some earlier same-card transaction
+    in the previous 3599s happened in a different city (city resolved
+    per the SCD2 version in effect at each transaction's own time).
+    One shuffle on card_num; no pair materialization.
+    """
+    with_city = _city_asof(tx, terminals_hist, "c").withColumn(
+        "_ts_sec", F.col("transaction_date").cast("long")
+    )
+    w = Window.partitionBy("card_num").orderBy("_ts_sec").rangeBetween(-3599, -1)
+    flagged = (
+        with_city.withColumn("_prior_cities", F.collect_set("c_city").over(w))
+        .where(
+            (F.col("oper_result") == "SUCCESS")
+            & (F.size(F.array_remove(F.col("_prior_cities"), F.col("c_city"))) > 0)
+        )
+    )
+    hits = enrich_client(
+        flagged.select("card_num", "transaction_date").distinct(), cards, accounts, clients
+    )
+    cand = _report(hits, F.col("transaction_date"), EVENT_CITIES, date_global)
+    deduped = _dedup_against(cand, existing_mart, EVENT_CITIES)
+    return deduped.dropDuplicates(["event_dt", "passport"])
+
+
+# ---------------------------------------------------------------------------
+# Rule 4 — amount guessing (loading_rep_fraud.py:98-129)
+# ---------------------------------------------------------------------------
+
+def rule4_amount_guessing_join(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
+                               clients: DataFrame, existing_mart: DataFrame,
+                               date_global: datetime.date) -> DataFrame:
+    """Literal triple self-join: any t1<t2<t3 on one card, gaps < 1200s,
+    total span < 1200s, strictly decreasing amounts, REJECT,REJECT,SUCCESS."""
+    base = tx.select("card_num", "transaction_date", "amount", "oper_result")
+    t1 = base.select(
+        F.col("card_num").alias("k1"), F.col("transaction_date").alias("ts1"),
+        F.col("amount").alias("am1"), F.col("oper_result").alias("r1"),
+    )
+    t2 = base.select(
+        F.col("card_num").alias("k2"), F.col("transaction_date").alias("ts2"),
+        F.col("amount").alias("am2"), F.col("oper_result").alias("r2"),
+    )
+    t3 = base
+    triples = (
+        t3.join(
+            t2,
+            (F.col("k2") == F.col("card_num"))
+            & (F.col("ts2") < F.col("transaction_date"))
+            & (epoch_diff(F.col("transaction_date"), F.col("ts2")) < 1200),
+        )
+        .join(
+            t1,
+            (F.col("k1") == F.col("card_num"))
+            & (F.col("ts1") < F.col("ts2"))
+            & (epoch_diff(F.col("ts2"), F.col("ts1")) < 1200)
+            & (epoch_diff(F.col("transaction_date"), F.col("ts1")) < 1200),
+        )
+        .where(
+            (F.col("r1") == "REJECT")
+            & (F.col("r2") == "REJECT")
+            & (F.col("oper_result") == "SUCCESS")
+            & (F.col("am1") > F.col("am2"))
+            & (F.col("am2") > F.col("amount"))
+        )
+    )
+    hits = enrich_client(
+        triples.select("card_num", "transaction_date").distinct(), cards, accounts, clients
+    )
+    cand = _report(hits, F.col("transaction_date"), EVENT_AMOUNT, date_global)
+    deduped = _dedup_against(cand, existing_mart, EVENT_AMOUNT)
+    return deduped.dropDuplicates(["event_dt", "passport"])
+
+
+def rule4_amount_guessing_window(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
+                                 clients: DataFrame, existing_mart: DataFrame,
+                                 date_global: datetime.date) -> DataFrame:
+    """Production formulation: trailing-20-minute frame + array EXISTS.
+
+    collect the trailing (ts, amount, result) tuples in a [-1199, -1]
+    range frame (whole-second timestamps make the frame bound exactly
+    equivalent to the reference's strict `< 1200` span conditions), then
+    test the decreasing REJECT,REJECT,SUCCESS triple with higher-order
+    array functions — all JVM-side, no pair/triple join blowup.
+    """
+    base = tx.withColumn("_ts_sec", F.col("transaction_date").cast("long"))
+    w = Window.partitionBy("card_num").orderBy("_ts_sec").rangeBetween(-1199, -1)
+    trail = F.collect_list(
+        F.struct(
+            F.col("_ts_sec").alias("ts"),
+            F.col("amount").alias("am"),
+            F.col("oper_result").alias("res"),
+        )
+    ).over(w)
+    flagged = (
+        base.withColumn("_trail", trail)
+        .where(F.col("oper_result") == "SUCCESS")
+        .where(
+            F.exists(
+                F.col("_trail"),
+                lambda t2: (t2["res"] == F.lit("REJECT"))
+                & (t2["am"] > F.col("amount"))
+                & F.exists(
+                    F.col("_trail"),
+                    lambda t1: (t1["ts"] < t2["ts"])
+                    & (t1["res"] == F.lit("REJECT"))
+                    & (t1["am"] > t2["am"]),
+                ),
+            )
+        )
+    )
+    hits = enrich_client(
+        flagged.select("card_num", "transaction_date").distinct(), cards, accounts, clients
+    )
+    cand = _report(hits, F.col("transaction_date"), EVENT_AMOUNT, date_global)
+    deduped = _dedup_against(cand, existing_mart, EVENT_AMOUNT)
+    return deduped.dropDuplicates(["event_dt", "passport"])

@@ -1,0 +1,144 @@
+"""Daily batch driver: one day's files -> warehouse -> fraud mart.
+
+Re-implements the reference's linear main.py flow (EP1-EP3, SURVEY §3):
+
+1. ingest the three feeds (typed staging DataFrames; the file *is* the
+   staging table — no TRUNCATE needed, lineage replaces table lifecycle)
+2. promote facts: transactions append; blacklist dedup-append
+   (comm_funcs.py:47-78)
+3. SCD2 increment + apply on the terminals dimension
+   (incr_loading.py:13-129)
+4. the four fraud rules into REP_FRAUD (loading_rep_fraud.py:14-135).
+   The reference runs all four inserts in ONE Postgres transaction, so
+   rule n's NOT-EXISTS dedup sees rules 1..n-1's same-run writes. We
+   reproduce that visibility by accumulating this run's hits in a
+   DataFrame union and anti-joining against (stored mart ∪ accumulator),
+   then appending once at the end.
+5. audit rows into META_LOADING throughout; processed files archived.
+
+Faithful-by-default: rules 1-2 have no idempotency guard in the
+reference and double-insert on re-runs; `strict=False` adds the guard.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+from .audit import log_meta
+from .operators import fraud_rules, scd2
+from .sources.csv_source import extract_date_global, read_transactions
+from .sources.warehouse import Warehouse
+from .sources.xlsx import read_passport_blacklist, read_terminals
+
+FACT_TX = "dwh_fact_transactions"
+FACT_BL = "dwh_fact_passport_blacklist"
+DIM_TERM = "dwh_dim_terminals_hist"
+MART = "rep_fraud"
+
+
+class DailyBatch:
+    def __init__(self, spark: SparkSession, warehouse_root: str,
+                 seed_dims: dict[str, DataFrame], archive_dir: str | None = None,
+                 use_window_rules: bool = True, strict: bool = True):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.dims = seed_dims  # cards / accounts / clients
+        self.archive_dir = archive_dir
+        self.use_window_rules = use_window_rules
+        self.strict = strict
+
+    # -- EP1: ingest ---------------------------------------------------------
+
+    def _archive(self, path: str) -> None:
+        """Processed-file archival (reference: main.py:66,74,82 SNK4)."""
+        if self.archive_dir:
+            os.makedirs(self.archive_dir, exist_ok=True)
+            shutil.move(path, os.path.join(self.archive_dir, os.path.basename(path) + ".backup"))
+
+    def run_day(self, transactions_path: str, blacklist_path: str,
+                terminals_path: str) -> dict[str, int]:
+        counts: dict[str, int] = {}
+
+        tx = read_transactions(self.spark, transactions_path)
+        date_global = extract_date_global(tx)
+        counts["stg_transactions"] = tx.count()
+        log_meta(self.wh, "stg_transactions", date_global, counts["stg_transactions"])
+
+        bl = read_passport_blacklist(self.spark, blacklist_path)
+        counts["stg_passport_blacklist"] = bl.count()
+        log_meta(self.wh, "stg_passport_blacklist", date_global, counts["stg_passport_blacklist"])
+
+        term = read_terminals(self.spark, terminals_path)
+        counts["stg_terminals"] = term.count()
+        log_meta(self.wh, "stg_terminals", date_global, counts["stg_terminals"])
+
+        # -- EP1b: promote facts (comm_funcs.py:47-78) ------------------------
+        existing_bl = self.wh.read(FACT_BL, schemas.PASSPORT_BLACKLIST)
+        bl_new = bl.join(existing_bl.select("passport"), "passport", "left_anti").select(
+            "date", "passport"
+        )
+        self.wh.append(bl_new, FACT_BL)
+        self.wh.append_transactions(tx, FACT_TX)
+
+        # -- EP2: SCD2 dimension (incr_loading.py) ----------------------------
+        hist = self.wh.read(DIM_TERM, schemas.TERMINALS_HIST)
+        next_hist = scd2.apply_increment(hist, term, date_global)
+        self.wh.rewrite(next_hist, DIM_TERM)
+
+        # -- EP3: fraud rules (loading_rep_fraud.py) --------------------------
+        counts.update(self.run_fraud_rules(date_global))
+
+        for p in (transactions_path, blacklist_path, terminals_path):
+            self._archive(p)
+        counts["date_global"] = date_global
+        return counts
+
+    def run_fraud_rules(self, date_global: datetime.date) -> dict[str, int]:
+        tx = self.wh.read_transactions(FACT_TX)
+        bl = self.wh.read(FACT_BL, schemas.PASSPORT_BLACKLIST)
+        hist = self.wh.read(DIM_TERM, schemas.TERMINALS_HIST)
+        cards, accounts, clients = (
+            self.dims["cards"], self.dims["accounts"], self.dims["clients"],
+        )
+        stored = self.wh.read(MART, schemas.REP_FRAUD)
+
+        counts: dict[str, int] = {}
+        acc = self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
+
+        r1 = fraud_rules.rule1_passport(tx, cards, accounts, clients, bl, date_global)
+        if not self.strict:
+            r1 = fraud_rules._dedup_against(r1, stored, fraud_rules.EVENT_PASSPORT)
+        counts["rep_fraud_passport"] = r1.count()
+        log_meta(self.wh, "REP_FRAUD_passport", date_global, counts["rep_fraud_passport"])
+        acc = acc.unionByName(r1)
+
+        r2 = fraud_rules.rule2_contract(tx, cards, accounts, clients, date_global)
+        if not self.strict:
+            r2 = fraud_rules._dedup_against(r2, stored, fraud_rules.EVENT_CONTRACT)
+        counts["rep_fraud_contract"] = r2.count()
+        log_meta(self.wh, "REP_FRAUD_contract", date_global, counts["rep_fraud_contract"])
+        acc = acc.unionByName(r2)
+
+        visible = stored.unionByName(acc)
+        rule3 = (fraud_rules.rule3_diff_cities_window if self.use_window_rules
+                 else fraud_rules.rule3_diff_cities_join)
+        r3 = rule3(tx, cards, accounts, clients, hist, visible, date_global)
+        counts["rep_fraud_diff_cities"] = r3.count()
+        log_meta(self.wh, "REP_FRAUD_diff_cities", date_global, counts["rep_fraud_diff_cities"])
+        acc = acc.unionByName(r3)
+
+        visible = stored.unionByName(acc)
+        rule4 = (fraud_rules.rule4_amount_guessing_window if self.use_window_rules
+                 else fraud_rules.rule4_amount_guessing_join)
+        r4 = rule4(tx, cards, accounts, clients, visible, date_global)
+        counts["rep_fraud_attempt_amount"] = r4.count()
+        log_meta(self.wh, "REP_FRAUD_attempt_amount", date_global, counts["rep_fraud_attempt_amount"])
+        acc = acc.unionByName(r4)
+
+        self.wh.append(acc, MART)
+        return counts

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test runs use local[N]; the same configs are the ones that matter
+on a 1000-executor cluster: AQE on (runtime re-plan, skew-join handling,
+partition coalescing), UTC session timezone (oracle comparability),
+Arrow enabled for the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Open-row sentinel for SCD2 validity intervals. The reference uses
+# Postgres 'infinity'::date (create_tables.sql:50); Spark has no date
+# infinity, so 9999-12-31 is the engine-wide convention (SURVEY §1 S8).
+SCD2_OPEN_END = "9999-12-31"
+
+
+def get_spark(
+    app_name: str = "fraud_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster, leave it unset and let spark-submit supply it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~cores. On a cluster this should be sized to the
+        # data (targeting 128-256MB per shuffle partition); AQE coalesces
+        # down from this value, so err high there.
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

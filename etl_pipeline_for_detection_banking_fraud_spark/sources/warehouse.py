@@ -1,0 +1,97 @@
+"""Parquet medallion warehouse (SURVEY §1 layer mapping).
+
+The reference's warehouse is a Postgres schema; this engine's is a
+directory of parquet tables:
+
+- append tables (facts, report mart, audit): flat directory,
+  ``mode=append`` writes. DWH_FACT_TRANSACTIONS is hive-partitioned by
+  transaction day so per-day predicates prune partitions at 100 TB.
+- rewrite tables (the SCD2 dimension): versioned subdirectories
+  ``v=N/`` — Spark cannot overwrite a path it is currently reading, and
+  version-swap gives atomic replace + history. On a production object
+  store you would use Delta/Iceberg for this (same code shape, MERGE
+  instead of union-rewrite); the jars are not in this image, so the
+  versioned-dir backend keeps the engine dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table.lower())
+
+    def exists(self, table: str) -> bool:
+        p = self._path(table)
+        return os.path.isdir(p) and any(True for _ in os.scandir(p))
+
+    # -- append tables ------------------------------------------------------
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(table))
+
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        """Read a table; an absent table reads as an empty typed DataFrame."""
+        if not self.exists(table):
+            if schema is None:
+                raise FileNotFoundError(f"table {table} absent and no schema given")
+            return self.spark.createDataFrame([], schema=schema)
+        p = self._path(table)
+        versions = _versions(p)
+        if versions:
+            return self.spark.read.parquet(os.path.join(p, f"v={versions[-1]}"))
+        return self.spark.read.parquet(p)
+
+    # -- versioned rewrite tables -------------------------------------------
+
+    def rewrite(self, df: DataFrame, table: str, keep_versions: int = 3) -> None:
+        """Atomically replace a table's contents (for union-rewritten dims)."""
+        p = self._path(table)
+        os.makedirs(p, exist_ok=True)
+        versions = _versions(p)
+        nxt = (versions[-1] + 1) if versions else 1
+        df.write.mode("overwrite").parquet(os.path.join(p, f"v={nxt}"))
+        for old in versions[:-keep_versions + 1] if keep_versions > 1 else versions:
+            shutil.rmtree(os.path.join(p, f"v={old}"), ignore_errors=True)
+
+    # -- transactions fact convenience ---------------------------------------
+
+    def append_transactions(self, df: DataFrame, table: str = "dwh_fact_transactions") -> None:
+        """Fact append, hive-partitioned by transaction day (partition pruning)."""
+        self.append(
+            df.withColumn("dt", F.to_date("transaction_date")),
+            table,
+            partition_by=["dt"],
+        )
+
+    def read_transactions(self, table: str = "dwh_fact_transactions") -> DataFrame:
+        from .. import schemas
+
+        if not self.exists(table):
+            return self.spark.createDataFrame([], schema=schemas.TRANSACTIONS)
+        return self.read(table).drop("dt")
+
+
+def _versions(path: str) -> list[int]:
+    out = []
+    for entry in os.listdir(path):
+        m = re.fullmatch(r"v=(\d+)", entry)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)

@@ -1,0 +1,33 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_pipeline_for_detection_banking_fraud_spark.session import get_spark  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data/data"
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("TZ", "UTC")
+    s = get_spark(app_name="fraud_etl_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ref_data():
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def sf001():
+    return os.path.join(TESTDATA, "sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf01():
+    return os.path.join(TESTDATA, "sf0.01")
