@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with
+a noop sink (count() alone can let Catalyst prune column work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_for_detection_banking_fraud_spark.plans import queries_map  # noqa: E402
+from etl_pipeline_for_detection_banking_fraud_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "scan_filter_project",
+    "join_chain",
+    "groupby_agg",
+    "topk_per_group",
+    "timeband_window",
+    "decreasing_triple",
+    "asof_join",
+    "scd2_apply",
+    "sessionize",
+    "first_per_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="fraud_etl_bench")
+    qmap = queries_map()
+
+    names = [n for n in HEADLINE if n in qmap]
+    # warm the JVM + parquet footers once so timings measure the plans
+    qmap[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

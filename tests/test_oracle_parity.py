@@ -1,0 +1,77 @@
+"""Differential parity: every CATALOG query vs its DuckDB oracle.
+
+Mirrors the driver's correctness gate (row count + column names +
+order-insensitive values) so mismatches surface locally before the
+driver's CORRECTNESS_r{N}.json does.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+from etl_pipeline_for_detection_banking_fraud_spark.plans import CATALOG
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf01):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf01}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return ("f", round(v, 9)) if not math.isnan(v) else ("f", "nan")
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    try:  # Decimal and int compare cross-type fine via str of normalized value
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return ("dec", str(v.normalize()))
+    except Exception:
+        pass
+    if isinstance(v, list):
+        return ("l", tuple(_norm(x) for x in v))
+    return (type(v).__name__[:1], v)
+
+
+def _rows(seq):
+    return sorted(tuple(_norm(v) for v in row) for row in seq)
+
+
+@pytest.mark.parametrize("qdef", [q for q in CATALOG if q.sql], ids=lambda q: q.name)
+def test_query_matches_oracle(qdef, spark, duck, sf01):
+    sdf = qdef.spark(spark, sf01)
+    spark_cols = [c.lower() for c in sdf.columns]
+    duck_rel = duck.sql(qdef.sql)
+    duck_cols = [c.lower() for c in duck_rel.columns]
+    assert spark_cols == duck_cols, f"{qdef.name}: column mismatch"
+
+    spark_rows = _rows(tuple(r) for r in sdf.collect())
+    duck_rows = _rows(duck_rel.fetchall())
+    assert len(spark_rows) == len(duck_rows), (
+        f"{qdef.name}: rowcount {len(spark_rows)} != {len(duck_rows)}"
+    )
+    if spark_rows != duck_rows:
+        diff_a = [r for r in spark_rows[:2000] if r not in duck_rows[:2000]][:3]
+        diff_b = [r for r in duck_rows[:2000] if r not in spark_rows[:2000]][:3]
+        raise AssertionError(f"{qdef.name}: value mismatch\nspark-only={diff_a}\nduck-only={diff_b}")
+
+
+@pytest.mark.parametrize("qdef", [q for q in CATALOG if q.sql is None], ids=lambda q: q.name)
+def test_rows_only_queries_run(qdef, spark, sf01):
+    df = qdef.spark(spark, sf01)
+    assert df.count() >= 0
