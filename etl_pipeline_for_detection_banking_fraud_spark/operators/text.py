@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID
+heuristic, quality scoring, token statistics, document fingerprinting.
+Everything is built-in-function Column algebra (whole-stage codegen,
+no Python in the hot path) so a 100 TB documents table runs scan-local
+with zero shuffles for the per-document features.
+
+Determinism contract: token order, regex classes, and tie-breaks are
+pinned so the DuckDB oracle can mirror every expression exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny pinned stopword lists (public, common function words). Enough for
+# a coarse n-gram/stopword-hit heuristic; NOT a real langid model.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "a"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "nicht", "von", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "dans", "pour", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # fixed tie-break order
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, lowercased, empty tokens dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts + mean token length (BPE-ish proxy)."""
+    tok = tokens(text_col)
+    n = F.size(tok)
+    total_len = F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique"),
+        (total_len.cast("double") / n).alias("avg_token_len"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, punctuation/digit ratios,
+    stopword ratio, type-token ratio."""
+    txt = F.col(text_col)
+    low = F.lower(txt)
+    tok = tokens(text_col)
+    n_chars = F.length(txt)
+    n_alnum_ws = F.length(F.regexp_replace(low, "[^a-z0-9 \t\n]", ""))
+    n_digits = n_chars - F.length(F.regexp_replace(low, "[0-9]", ""))
+    n_stop = F.size(F.array_intersect(F.array_distinct(tok), F.lit(STOPWORDS["en"])))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        F.size(tok).alias("n_tokens"),
+        ((n_chars - n_alnum_ws).cast("double") / n_chars).alias("punct_ratio"),
+        (n_digits.cast("double") / n_chars).alias("digit_ratio"),
+        (n_stop.cast("double") / F.greatest(F.size(F.array_distinct(tok)), F.lit(1))).alias(
+            "stopword_ratio"
+        ),
+        (F.size(F.array_distinct(tok)).cast("double") / F.greatest(F.size(tok), F.lit(1))).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Stopword-hit score per language over distinct tokens."""
+    distinct_toks = F.array_distinct(tokens(text_col))
+    return {
+        lang: F.size(F.array_intersect(distinct_toks, F.lit(words)))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pick the max-scoring language; ties resolve by LANG_ORDER.
+
+    A real deployment would swap in fastText/CLD3 behind this same
+    signature; the heuristic keeps the operator dependency-free and
+    oracle-checkable.
+    """
+    scores = lang_scores(text_col)
+    pick = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+        pick.otherwise(LANG_ORDER[0]).alias("detected_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical content fingerprint: md5 over whitespace-normalized
+    lowercase text (exact-dedup key that survives formatting noise)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

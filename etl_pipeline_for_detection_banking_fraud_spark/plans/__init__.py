@@ -1,1 +1,3 @@
 from .testdata_queries import CATALOG, oracle_sql_map, queries_map  # noqa: F401
+
+from . import data_pipeline_queries  # noqa: E402,F401  (registers into CATALOG)

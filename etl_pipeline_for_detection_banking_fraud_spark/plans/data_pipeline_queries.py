@@ -1,0 +1,314 @@
+"""Catalog entries for the training-data-pipeline operators.
+
+Registers the text / dedup / similarity / multimodal operator families
+(SURVEY stretch surface; BASELINE.json north star) over the testdata
+``documents`` and ``embeddings`` tables, each with an exactly-mirrored
+DuckDB oracle. The repetitive SQL (minhash components, LSH planes,
+per-bit simhash votes) is generated programmatically so both sides stay
+pinned to the same md5-based constructions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from .testdata_queries import _q, _t
+
+# Shared tokenization fragment (must mirror operators.text.tokens)
+_TOK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+_DTOK = f"list_distinct({_TOK})"
+
+
+def _sql_stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@_q(
+    "text_token_stats",
+    "text: token counting (whitespace tokenizer)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents)
+    SELECT doc_id, len(tok) AS n_tokens, len(list_distinct(tok)) AS n_unique,
+           CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / len(tok)
+               AS avg_token_len
+    FROM toks
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality",
+    "text: quality scoring (length/punct/stopword ratios)",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, {_TOK} AS tok, length(text) AS n_chars FROM documents
+    )
+    SELECT doc_id, n_chars, len(tok) AS n_tokens,
+           CAST(n_chars - length(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'))
+                AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_chars - length(regexp_replace(lower(text), '[0-9]', '', 'g'))
+                AS DOUBLE) / n_chars AS digit_ratio,
+           CAST(len(list_intersect(list_distinct(tok), {_sql_stop_list('en')}))
+                AS DOUBLE) / greatest(len(list_distinct(tok)), 1) AS stopword_ratio,
+           CAST(len(list_distinct(tok)) AS DOUBLE) / greatest(len(tok), 1)
+               AS type_token_ratio
+    FROM base
+    """,
+)
+def text_quality(spark, sf_dir):
+    return text.quality_features(_t(spark, sf_dir, "documents"))
+
+
+_LANG_SCORE_SQL = ",\n           ".join(
+    f"len(list_intersect(dtok, {_sql_stop_list(lang)})) AS score_{lang}"
+    for lang in text.LANG_ORDER
+)
+_LANG_PICK_SQL = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"score_{lang} >= score_{other}" for other in text.LANG_ORDER if other != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in text.LANG_ORDER
+) + " ELSE 'en' END"
+
+
+@_q(
+    "text_lang_id",
+    "text: stopword-hit language-ID heuristic",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DTOK} AS dtok FROM documents),
+    scored AS (
+        SELECT doc_id,
+           {_LANG_SCORE_SQL}
+        FROM toks
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+           {_LANG_PICK_SQL} AS detected_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_fingerprint",
+    "text: whitespace-normalized content fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    "dedup: exact content-hash groupBy",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_MH_COMPONENTS_SQL = ",\n           ".join(
+    f"list_min(list_transform(tok, t -> md5('{i}|' || t))) AS mh_{i}" for i in range(8)
+)
+_MH_BANDS_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh_{2 * b} || mh_{2 * b + 1}) AS key FROM sig"
+    for b in range(4)
+)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    "dedup: MinHash signatures + banded LSH candidate pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DTOK} AS tok FROM documents),
+    sig AS (
+        SELECT doc_id,
+           {_MH_COMPONENTS_SQL}
+        FROM toks
+    ),
+    bands AS (
+        {_MH_BANDS_SQL}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    "dedup: word-trigram Jaccard pairs via inverted-index join",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tok) >= 3 THEN list_distinct(list_transform(
+                        generate_series(0, len(tok) - 3),
+                        i -> concat_ws(' ', tok[i+1], tok[i+2], tok[i+3])))
+                    ELSE [] END AS s
+        FROM toks
+    ),
+    sized AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    JOIN sized sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+_SIMHASH_SQL_FP = (
+    "list_sum(list_transform(generate_series(0, 15), b -> CASE WHEN "
+    "2 * len(list_filter(tok, t -> "
+    "(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) >> b) & 1 = 1)) > len(tok) "
+    "THEN (1::BIGINT << b) ELSE 0 END))"
+)
+
+
+@_q(
+    "dedup_simhash",
+    "dedup: 16-bit SimHash fingerprint (per-bit majority vote)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DTOK} AS tok FROM documents)
+    SELECT doc_id, CAST({_SIMHASH_SQL_FP} AS BIGINT) AS simhash FROM toks
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+# In-order left folds (list_reduce) mirror Spark's F.aggregate exactly,
+# so double accumulation is bit-identical on both engines.
+_COS_SQL = (
+    "list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), "
+    "(a, b) -> a + b) / (norm_e * norm_q)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform({v}, x -> "
+    "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+)
+
+
+@_q(
+    "sim_cosine_topk",
+    "similarity: exact brute-force cosine top-k per query vector",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec,
+               {_NORM_SQL.format(v='embedding')} AS norm_q
+        FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_COS_SQL.replace('norm_e', _NORM_SQL.format(v='e.embedding'))} AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@_q(
+    "sim_cosine_pairs",
+    "dedup/similarity: all-pairs cosine over threshold (near-dup baseline)",
+    f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def sim_cosine_pairs(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@_q(
+    "sim_ann_lsh",
+    "similarity: LSH-bucketed approximate top-k (the scale path)",
+    None,  # bucket construction is mirrored in tests, not worth 64-term SQL
+)
+def sim_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ann_lsh_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@_q(
+    "multimodal_features",
+    "multimodal: binary payload column -> Arrow-batched feature extraction",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                     ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
+           'text/plain' AS media_type
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    media = multimodal.to_binary_table(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)

@@ -1,0 +1,131 @@
+"""Planted-fixture tests for dedup / text / similarity / multimodal ops
+(the catalog parity tests check engine-vs-oracle; these check the
+operators actually detect what they claim to detect)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_detection_banking_fraud_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+    (2, "the quick brown fox jumps over the sleepy dog"),      # near dup of 0
+    (3, "completely different content about spark engines and shuffles"),
+    (4, "der hund und die katze sind nicht mit der maus"),     # German-ish
+    (5, "  The   QUICK brown fox jumps over the lazy dog  "),  # 0 modulo ws/case
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.canonical_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 byte-identical
+    assert sum(out.values()) == len(DOCS)
+
+
+def test_fingerprint_normalizes_ws_and_case(docs):
+    fp = {r.doc_id: r.fp for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[5]
+    assert fp[0] != fp[2]
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.n_shared_bands
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert pairs.get((0, 1)) == 4          # identical: all bands agree
+    assert (0, 2) in pairs                  # near dup shares >= 1 band
+    assert (0, 3) not in pairs              # unrelated docs don't collide
+
+
+def test_ngram_jaccard_scores(docs):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.3 <= out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_simhash_near_for_near_dups(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sh[0] == sh[1]
+    assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
+
+
+def test_lang_id_heuristic(docs):
+    out = {r.doc_id: r.detected_lang for r in text.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+
+
+def test_token_and_quality_stats(docs):
+    stats = {r.doc_id: r for r in text.token_stats(docs).collect()}
+    assert stats[0].n_tokens == 9
+    assert stats[0].n_unique == 8  # 'the' twice
+    q = {r.doc_id: r for r in text.quality_features(docs).collect()}
+    assert q[0].stopword_ratio > 0
+    assert q[3].punct_ratio == 0.0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [1.0, 0.0, 0.0, 0.0]),     # identical to 0
+    (2, [0.9, 0.1, 0.0, 0.0]),     # close to 0
+    (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+    (4, [0.0, 0.0, 1.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    return df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_cosine_topk_exact(vecs):
+    queries = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.cosine_topk(vecs, queries, k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].cosine == pytest.approx(1.0)
+
+
+def test_ann_lsh_identical_vector_cobuckets(vecs):
+    queries = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ann_lsh_topk(vecs, queries, k=3).collect()
+    assert 1 in [r.neighbor_id for r in out]  # identical vec always co-buckets
+
+
+def test_embedding_cosine_pairs_threshold(vecs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_cosine_pairs(vecs, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_multimodal_stub_features(docs):
+    media = multimodal.to_binary_table(docs)
+    out = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    assert out[0].n_bytes == len(DOCS[0][1].encode())
+    assert out[0].first_byte == ord("t")
+    assert out[0].media_type == "text/plain"
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "image/png")
