@@ -109,36 +109,40 @@ class DailyBatch:
 
         counts: dict[str, int] = {}
         acc = self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
+        persisted = []
+
+        def settle(df, audit_name, short):
+            """Materialize one rule's hits once (each result feeds the
+            count, later rules' dedup visibility, and the final write —
+            without persist the whole rule subtree would re-execute for
+            each of those)."""
+            df = df.persist()
+            persisted.append(df)
+            counts[short] = df.count()
+            log_meta(self.wh, audit_name, date_global, counts[short])
+            return df
 
         r1 = fraud_rules.rule1_passport(tx, cards, accounts, clients, bl, date_global)
         if not self.strict:
             r1 = fraud_rules._dedup_against(r1, stored, fraud_rules.EVENT_PASSPORT)
-        counts["rep_fraud_passport"] = r1.count()
-        log_meta(self.wh, "REP_FRAUD_passport", date_global, counts["rep_fraud_passport"])
-        acc = acc.unionByName(r1)
+        acc = acc.unionByName(settle(r1, "REP_FRAUD_passport", "rep_fraud_passport"))
 
         r2 = fraud_rules.rule2_contract(tx, cards, accounts, clients, date_global)
         if not self.strict:
             r2 = fraud_rules._dedup_against(r2, stored, fraud_rules.EVENT_CONTRACT)
-        counts["rep_fraud_contract"] = r2.count()
-        log_meta(self.wh, "REP_FRAUD_contract", date_global, counts["rep_fraud_contract"])
-        acc = acc.unionByName(r2)
+        acc = acc.unionByName(settle(r2, "REP_FRAUD_contract", "rep_fraud_contract"))
 
-        visible = stored.unionByName(acc)
         rule3 = (fraud_rules.rule3_diff_cities_window if self.use_window_rules
                  else fraud_rules.rule3_diff_cities_join)
-        r3 = rule3(tx, cards, accounts, clients, hist, visible, date_global)
-        counts["rep_fraud_diff_cities"] = r3.count()
-        log_meta(self.wh, "REP_FRAUD_diff_cities", date_global, counts["rep_fraud_diff_cities"])
-        acc = acc.unionByName(r3)
+        r3 = rule3(tx, cards, accounts, clients, hist, stored.unionByName(acc), date_global)
+        acc = acc.unionByName(settle(r3, "REP_FRAUD_diff_cities", "rep_fraud_diff_cities"))
 
-        visible = stored.unionByName(acc)
         rule4 = (fraud_rules.rule4_amount_guessing_window if self.use_window_rules
                  else fraud_rules.rule4_amount_guessing_join)
-        r4 = rule4(tx, cards, accounts, clients, visible, date_global)
-        counts["rep_fraud_attempt_amount"] = r4.count()
-        log_meta(self.wh, "REP_FRAUD_attempt_amount", date_global, counts["rep_fraud_attempt_amount"])
-        acc = acc.unionByName(r4)
+        r4 = rule4(tx, cards, accounts, clients, stored.unionByName(acc), date_global)
+        acc = acc.unionByName(settle(r4, "REP_FRAUD_attempt_amount", "rep_fraud_attempt_amount"))
 
         self.wh.append(acc, MART)
+        for df in persisted:
+            df.unpersist()
         return counts

@@ -1,0 +1,114 @@
+"""Structured Streaming variant of the daily ingest (SURVEY §2 streaming
+surface, §7 step 8).
+
+The reference's batch loop — pick up a file, load, archive it
+(main.py:43-66) — is literally Spark's file streaming source with
+``cleanSource='archive'``. This module makes the reference's implicit
+streaming semantics explicit:
+
+- event-time = transaction_date (the reference's ``date_global`` is an
+  event-time watermark it re-derives per file)
+- late data: ``withWatermark`` bounds state instead of the reference's
+  assume-complete-files posture
+- the fraud-rule time-band logic becomes a watermarked stream-stream
+  self-join (Spark supports symmetric time-range join conditions) or a
+  windowed aggregation.
+
+At 100 TB/day the same topology runs against Kafka instead of files;
+only the ``readStream`` format changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions.scalars import decimal_comma_amount
+
+
+def read_transactions_stream(spark: SparkSession, path: str,
+                             archive_dir: str | None = None,
+                             max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of daily transaction CSVs.
+
+    cleanSource/sourceArchiveDir reproduce the reference's post-ingest
+    shutil.move (main.py:66) inside the engine.
+    """
+    reader = (
+        spark.readStream.format("csv")
+        .schema(schemas.TRANSACTIONS_RAW)
+        .option("sep", ";")
+        .option("header", True)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    raw = reader.load(path)
+    return raw.select(
+        "transaction_id",
+        F.to_timestamp("transaction_date", "yyyy-MM-dd HH:mm:ss").alias("transaction_date"),
+        decimal_comma_amount("amount").alias("amount"),
+        "card_num",
+        "oper_type",
+        "oper_result",
+        "terminal",
+    )
+
+
+def daily_counts(tx_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day event-time aggregation — the streaming equivalent
+    of the reference's per-day audit counts (META_LOADING rows)."""
+    return (
+        tx_stream.withWatermark("transaction_date", watermark)
+        .groupBy(F.window("transaction_date", "1 day").alias("day"), F.col("oper_result"))
+        .agg(
+            F.count("*").alias("n_tx"),
+            F.sum(F.col("amount").cast("decimal(18,2)")).alias("total_amount"),
+        )
+        .select(
+            F.col("day.start").cast("date").alias("tx_date"),
+            "oper_result",
+            "n_tx",
+            "total_amount",
+        )
+    )
+
+
+def card_pairs_diff_city_stream(tx_stream: DataFrame, terminals: DataFrame,
+                                watermark: str = "2 hours") -> DataFrame:
+    """Streaming shape of fraud rule 3: same-card pairs < 1 hour apart in
+    different cities, as a watermarked stream-stream self-join.
+
+    ``terminals`` is the current static dimension snapshot (a streaming
+    SCD2 lookup would be a foreachBatch join against the latest
+    dimension version). State is bounded by the watermark: Spark keeps
+    at most ~watermark+band of per-card history.
+    """
+    enriched = tx_stream.join(
+        F.broadcast(terminals.select("terminal_id", "terminal_city")),
+        tx_stream.terminal == F.col("terminal_id"),
+    ).drop("terminal_id")
+    t1 = enriched.select(
+        F.col("card_num").alias("card1"),
+        F.col("transaction_date").alias("ts1"),
+        F.col("terminal_city").alias("city1"),
+    ).withWatermark("ts1", watermark)
+    t2 = enriched.select(
+        F.col("card_num").alias("card2"),
+        F.col("transaction_date").alias("ts2"),
+        F.col("terminal_city").alias("city2"),
+        "oper_result",
+    ).withWatermark("ts2", watermark)
+    return t1.join(
+        t2,
+        (F.col("card1") == F.col("card2"))
+        & (F.col("ts1") < F.col("ts2"))
+        & (F.col("ts2") < F.col("ts1") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("city1") != F.col("city2"))
+        & (F.col("oper_result") == "SUCCESS"),
+    ).select(
+        F.col("card2").alias("card_num"), F.col("ts2").alias("event_dt"), "city1", "city2"
+    )

@@ -1,0 +1,68 @@
+"""Streaming ingest smoke tests: file source -> memory sink, driven
+synchronously with processAllAvailable."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+from etl_pipeline_for_detection_banking_fraud_spark import schemas
+from etl_pipeline_for_detection_banking_fraud_spark.streaming import ingest
+
+
+def _start(df, name):
+    return (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+def test_stream_ingest_and_archive(spark, ref_data, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy(os.path.join(ref_data, "transactions_01032021.txt"), inbox)
+    archive = str(tmp_path / "archive")
+
+    tx = ingest.read_transactions_stream(spark, str(inbox), archive_dir=archive)
+    assert tx.isStreaming
+    q = _start(tx, "tx_stream_smoke")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT count(*) n FROM tx_stream_smoke").first()
+        assert out.n == 15650
+        types = dict(spark.sql("SELECT * FROM tx_stream_smoke").dtypes)
+        assert types["amount"] == "decimal(10,2)"
+        assert types["transaction_date"] == "timestamp"
+    finally:
+        q.stop()
+
+
+def test_stream_pair_join(spark, tmp_path):
+    inbox = tmp_path / "pairs_in"
+    inbox.mkdir()
+    rows = [
+        "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal",
+        "1;2021-03-01 10:00:00;10,00;C1;PAYMENT;SUCCESS;T_A",
+        "2;2021-03-01 10:30:00;20,00;C1;PAYMENT;SUCCESS;T_B",  # diff city < 1h -> hit
+        "3;2021-03-01 12:30:00;30,00;C1;PAYMENT;SUCCESS;T_A",  # > 1h from #2 -> no hit
+    ]
+    (inbox / "day1.csv").write_text("\n".join(rows))
+
+    terminals = spark.createDataFrame(
+        [("T_A", "POS", "CityA", "a"), ("T_B", "POS", "CityB", "b")],
+        schema=schemas.TERMINALS,
+    )
+    tx = ingest.read_transactions_stream(spark, str(inbox))
+    hits = ingest.card_pairs_diff_city_stream(tx, terminals)
+    q = _start(hits, "pair_hits")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT card_num, event_dt FROM pair_hits").collect()
+        assert [(r.card_num, r.event_dt) for r in got] == [
+            ("C1", datetime.datetime(2021, 3, 1, 10, 30))
+        ]
+    finally:
+        q.stop()
