@@ -28,6 +28,11 @@ HEADLINE = [
     "scd2_apply",
     "sessionize",
     "first_per_group",
+    "tpch_q3_shape",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "sim_cosine_topk",
 ]
 
 

@@ -33,23 +33,69 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _minhash_component(tok: Column, seed: int) -> Column:
-    """One signature component: min over tokens of md5(seed|token).
+# MinHash family: one strong md5-derived 32-bit hash per token, then
+# k affine transforms (a_i*h + b_i) mod p — the textbook k-universal
+# construction. One md5 per token instead of k; the affine params are
+# pinned constants so any engine with md5 reproduces the signatures.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+MINHASH_PARAMS = [
+    (1299721, 15485863), (2750161, 32452843), (4256249, 49979687),
+    (5800079, 67867967), (7368787, 86028121), (8960453, 104395301),
+    (10570841, 122949823), (12195257, 141650939),
+]
 
-    String-min over hex digests == min over the underlying 128-bit
-    values (hex is order-preserving), so this is a valid MinHash family
-    and is reproducible in any engine with md5.
+
+def _token_hash32(t: Column) -> Column:
+    """First 15 hex chars of md5 -> 60-bit int -> low 32 bits."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint").bitwiseAND(
+        F.lit(0xFFFFFFFF)
+    )
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a token array (empty when < n tokens).
+
+    Guarded because Spark's sequence(0, stop) runs DESCENDING for
+    stop < 0.
     """
-    return F.array_min(F.transform(tok, lambda t: F.md5(F.concat(F.lit(f"{seed}|"), t))))
+    return F.when(
+        F.size(tok) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      num_hashes: int = 8) -> DataFrame:
-    tok = F.array_distinct(tokens(text_col))
-    return df.select(
+                      num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """MinHash over word-shingle sets (shingles, not unigrams: a small
+    shared vocabulary makes unigram minhash collapse into a handful of
+    buckets — shingle cardinality keeps LSH buckets discriminative).
+
+    Each shingle hashes ONCE; inlining the tokenizer+md5 into every
+    component would redo both per use.
+    """
+    # persist BEFORE filtering: a filter on _th would otherwise be pushed
+    # below the scan's exchange with the whole hash+shingle expression
+    # inlined, serializing the heavy compute onto the scan task
+    base = df.select(
         F.col(id_col),
-        *[_minhash_component(tok, i).alias(f"mh_{i}") for i in range(num_hashes)],
-    )
+        F.transform(word_shingles(tokens(text_col), shingle_n), _token_hash32).alias("_th"),
+    ).persist()
+    base = base.where(F.size("_th") > 0)
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    comps = []
+    for i in range(num_hashes):
+        a, b = MINHASH_PARAMS[i % len(MINHASH_PARAMS)]
+        comps.append(
+            F.array_min(F.transform(F.col("_th"), affine(a, b))).alias(f"mh_{i}")
+        )
+    return base.select(F.col(id_col), *comps)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -60,12 +106,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     concatenated components. Returns (id_a, id_b, n_shared_bands).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes)
+    # materialize signatures once (tmp-table pattern): both sides of the
+    # band self-join read the cached 8-column table instead of re-hashing
+    sig = minhash_signature(df, text_col, id_col, num_hashes).persist()
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("key")).alias(f"b{b}")
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key")
+            ).alias(f"b{b}")
         )
     exploded = (
         sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
@@ -89,34 +139,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     the shingle (the only shuffle), count intersections, then
     |A ∪ B| = |A| + |B| - |A ∩ B|.
     """
-    tok = tokens(text_col)
-    # guard: Spark's sequence(0, stop) runs DESCENDING for stop < 0
-    shingles = F.when(
-        F.size(tok) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tok) - n),
-                lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)]),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = df.select(F.col(id_col), shingles.alias("sh")).where(F.size("sh") > 0)
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
-    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
+    shingles = word_shingles(F.col("_tok"), n)
+    # Materialize the per-doc shingle sets ONCE (the reference's tmp-table
+    # CTAS pattern, SURVEY L1). Without the persist barrier two things go
+    # wrong: (a) the self-join recomputes shingling for both sides, and
+    # (b) InferFiltersFromGenerate pushes a size(sh)>0 filter — with the
+    # whole shingle+tokenizer expression inlined — below the exchange
+    # into the scan task, serializing the heaviest compute onto one core.
+    # (no size(sh)>0 filter here: explode drops empty arrays anyway, and
+    # an explicit filter on `sh` would itself be pushed below the
+    # exchange with the full expression inlined — same serialization trap)
+    sh = base.select(F.col(id_col), shingles.alias("sh")).persist()
+    # carry each doc's shingle-set size through the inverted index so no
+    # size-lookup join is needed afterwards; both self-join sides are
+    # identical subplans, so Spark reuses one shuffle (ReusedExchange)
+    inv = sh.select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -131,18 +179,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash fingerprint over distinct tokens (md5-derived 60-bit
     token hashes; per-bit majority vote). Near-dups have small hamming
     distance; pure per-row algebra, zero shuffle."""
-    tok = F.array_distinct(tokens(text_col))
-    h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    n = F.size(tok)
+    # hash each distinct token ONCE into an int array column, then take
+    # the per-bit majority over the precomputed hashes (inlining the
+    # md5+conv into every bit's filter would hash each token `bits` times)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(tokens(text_col)),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+        ).alias("_th"),
+    )
+    th = F.col("_th")
+    n = F.size(th)
     bit_votes = [
-        F.size(F.filter(tok, lambda t: F.shiftright(h(t), b).bitwiseAND(F.lit(1)) == 1))
+        F.size(F.filter(th, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
         for b in range(bits)
     ]
     fp = None
     for b, votes in enumerate(bit_votes):
         term = F.when(votes * 2 > n, F.lit(2**b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return df.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    return hashed.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
 def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",

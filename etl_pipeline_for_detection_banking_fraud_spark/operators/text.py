@@ -34,14 +34,18 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document token counts + mean token length (BPE-ish proxy)."""
-    tok = tokens(text_col)
-    n = F.size(tok)
-    total_len = F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
-    return df.select(
+    """Per-document token counts + mean token length (BPE-ish proxy).
+
+    The token array binds to a column first: re-inlining the tokenizer
+    expression per use would re-run split+filter several times per row.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
+    n = F.size("_tok")
+    total_len = F.aggregate(F.col("_tok"), F.lit(0), lambda acc, t: acc + F.length(t))
+    return base.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_unique"),
+        F.size(F.array_distinct("_tok")).alias("n_unique"),
         (total_len.cast("double") / n).alias("avg_token_len"),
     )
 
@@ -51,21 +55,23 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     stopword ratio, type-token ratio."""
     txt = F.col(text_col)
     low = F.lower(txt)
-    tok = tokens(text_col)
-    n_chars = F.length(txt)
-    n_alnum_ws = F.length(F.regexp_replace(low, "[^a-z0-9 \t\n]", ""))
-    n_digits = n_chars - F.length(F.regexp_replace(low, "[0-9]", ""))
-    n_stop = F.size(F.array_intersect(F.array_distinct(tok), F.lit(STOPWORDS["en"])))
-    return df.select(
+    base = df.select(
+        F.col(id_col),
+        F.length(txt).alias("_n_chars"),
+        F.length(F.regexp_replace(low, "[^a-z0-9 \t\n]", "")).alias("_n_alnum_ws"),
+        (F.length(txt) - F.length(F.regexp_replace(low, "[0-9]", ""))).alias("_n_digits"),
+        tokens(text_col).alias("_tok"),
+    ).withColumn("_dtok", F.array_distinct("_tok"))
+    n_chars = F.col("_n_chars")
+    n_stop = F.size(F.array_intersect(F.col("_dtok"), F.lit(STOPWORDS["en"])))
+    return base.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
-        F.size(tok).alias("n_tokens"),
-        ((n_chars - n_alnum_ws).cast("double") / n_chars).alias("punct_ratio"),
-        (n_digits.cast("double") / n_chars).alias("digit_ratio"),
-        (n_stop.cast("double") / F.greatest(F.size(F.array_distinct(tok)), F.lit(1))).alias(
-            "stopword_ratio"
-        ),
-        (F.size(F.array_distinct(tok)).cast("double") / F.greatest(F.size(tok), F.lit(1))).alias(
+        F.size("_tok").alias("n_tokens"),
+        ((n_chars - F.col("_n_alnum_ws")).cast("double") / n_chars).alias("punct_ratio"),
+        (F.col("_n_digits").cast("double") / n_chars).alias("digit_ratio"),
+        (n_stop.cast("double") / F.greatest(F.size("_dtok"), F.lit(1))).alias("stopword_ratio"),
+        (F.size("_dtok").cast("double") / F.greatest(F.size("_tok"), F.lit(1))).alias(
             "type_token_ratio"
         ),
     )
@@ -87,7 +93,16 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     signature; the heuristic keeps the operator dependency-free and
     oracle-checkable.
     """
-    scores = lang_scores(text_col)
+    base = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("_dtok")
+    ).select(
+        F.col(id_col),
+        *[
+            F.size(F.array_intersect(F.col("_dtok"), F.lit(words))).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    scores = {lang: F.col(f"score_{lang}") for lang in LANG_ORDER}
     pick = None
     for lang in LANG_ORDER:
         cond = None
@@ -97,7 +112,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
-    return df.select(
+    return base.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
         pick.otherwise(LANG_ORDER[0]).alias("detected_lang"),

@@ -128,11 +128,14 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+from ..operators.dedup import MINHASH_PARAMS, MINHASH_PRIME  # noqa: E402
+
 _MH_COMPONENTS_SQL = ",\n           ".join(
-    f"list_min(list_transform(tok, t -> md5('{i}|' || t))) AS mh_{i}" for i in range(8)
+    f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh_{i}"
+    for i, (a, b) in enumerate(MINHASH_PARAMS)
 )
 _MH_BANDS_SQL = "\n        UNION ALL\n        ".join(
-    f"SELECT doc_id, {b} AS band, md5(mh_{2 * b} || mh_{2 * b + 1}) AS key FROM sig"
+    f"SELECT doc_id, {b} AS band, md5(concat_ws('|', mh_{2 * b}, mh_{2 * b + 1})) AS key FROM sig"
     for b in range(4)
 )
 
@@ -141,11 +144,25 @@ _MH_BANDS_SQL = "\n        UNION ALL\n        ".join(
     "dedup_minhash_lsh",
     "dedup: MinHash signatures + banded LSH candidate pairs",
     f"""
-    WITH toks AS (SELECT doc_id, {_DTOK} AS tok FROM documents),
+    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    shingled AS (
+        SELECT doc_id,
+               CASE WHEN len(tok) >= 3 THEN list_distinct(list_transform(
+                        generate_series(0, len(tok) - 3),
+                        i -> concat_ws(' ', tok[i+1], tok[i+2], tok[i+3])))
+                    ELSE [] END AS s
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(s, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                                      & 4294967295) AS th
+        FROM shingled WHERE len(s) > 0
+    ),
     sig AS (
         SELECT doc_id,
            {_MH_COMPONENTS_SQL}
-        FROM toks
+        FROM hashed
     ),
     bands AS (
         {_MH_BANDS_SQL}

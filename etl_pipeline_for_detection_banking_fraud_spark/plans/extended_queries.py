@@ -1,0 +1,256 @@
+"""Extended coverage catalog: aggregation shapes, string surface,
+windows, sorts — engine completeness beyond the reference's minimal
+operator set (the reference delegates all of this to Postgres; a
+replacement engine must own it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .testdata_queries import _q, _t
+
+
+@_q(
+    "pivot_agg",
+    "pivot: groupBy + pivot on a low-cardinality column",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS n_final,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O')
+                AS DOUBLE) AS qty_open,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F')
+                AS DOUBLE) AS qty_final
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    is_o = F.col("l_linestatus") == "O"
+    is_f = F.col("l_linestatus") == "F"
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(is_o, 1)).alias("n_open"),
+        F.count(F.when(is_f, 1)).alias("n_final"),
+        F.sum(F.when(is_o, qty)).cast("double").alias("qty_open"),
+        F.sum(F.when(is_f, qty)).cast("double").alias("qty_final"),
+    )
+
+
+@_q(
+    "rollup_agg",
+    "rollup: hierarchical subtotals (grouping sets)",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@_q(
+    "distinct_count_agg",
+    "exact distinct counts + conditional aggregation per group",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_count_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+    )
+
+
+@_q(
+    "string_funcs",
+    "string surface: substring / regexp_extract / LIKE / position / case",
+    """
+    SELECT p_partkey,
+           substr(p_name, 1, 8) AS name_prefix,
+           upper(p_brand) AS brand_uc,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS type_head,
+           (p_name LIKE '%steel%') AS has_steel,
+           length(p_name) AS name_len,
+           strpos(p_type, 'BRASS') AS brass_pos
+    FROM part
+    """,
+)
+def string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_head"),
+        F.col("p_name").like("%steel%").alias("has_steel"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_type"), "BRASS").alias("brass_pos"),
+    )
+
+
+@_q(
+    "global_topk",
+    "global ORDER BY + LIMIT over a total order",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def global_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@_q(
+    "running_window",
+    "running aggregation: cumulative sum + moving row frame per key",
+    """
+    SELECT user_id, event_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS running_n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+    FROM events
+    """,
+)
+def running_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("moving_sum3"),
+    )
+
+
+@_q(
+    "lead_lag_window",
+    "lead/lag navigation with defaults",
+    """
+    SELECT event_id, user_id,
+           lag(event_id, 1, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_id,
+           lead(event_id, 1, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_id
+    FROM events
+    """,
+)
+def lead_lag_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id", 1, -1).over(w).alias("prev_id"),
+        F.lead("event_id", 1, -1).over(w).alias("next_id"),
+    )
+
+
+@_q(
+    "case_when_bucketing",
+    "CASE WHEN bucketing + group count (histogramming)",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'huge' END AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_bucketing(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("huge")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "json_extract",
+    "semi-structured: JSON field extraction from a string column",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@_q(
+    "tpch_q3_shape",
+    "TPC-H Q3 shape: selective join + grouped revenue + deterministic top-k",
+    """
+    WITH rev AS (
+        SELECT l.l_orderkey, o.o_orderdate,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, revenue
+    FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shape(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    return (
+        rev.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .select("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "revenue")
+        .limit(10)
+    )

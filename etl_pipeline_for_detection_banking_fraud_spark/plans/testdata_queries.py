@@ -37,13 +37,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps (exact — float division would lose precision on 1.7e18
     nanosecond epochs). DuckDB truncates ns->us identically.
     """
+    # Pin session TZ: parquet timestamps are UTC instants and the DuckDB
+    # oracle is TZ-naive; a non-UTC driver session would shift to_date()
+    # and CAST(ts AS DATE) results.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # single-file testdata reads as ONE split; these tables feed
+        # compute-heavy per-row operators (hashing, shingling, dot
+        # products), so spread them across the local cores. At real
+        # scale the source has many splits and this is a no-op concern.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 @dataclass
