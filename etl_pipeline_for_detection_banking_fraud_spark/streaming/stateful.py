@@ -1,0 +1,112 @@
+"""Custom stateful streaming operator: the amount-guessing state machine.
+
+Fraud rule 4 (reference: loading_rep_fraud.py:98-129) as a true
+streaming operator: per-card state holds the trailing 20 minutes of
+REJECT (ts, amount) attempts; a SUCCESS transaction emits a hit when
+two prior REJECTs form a strictly-decreasing chain inside the span.
+State is bounded (pruned to the 1200s band + capped), so it runs
+indefinitely — this is the ``applyInPandasWithState`` shape Spark
+prescribes for operators its built-in windows can't express.
+
+Batch-mode equivalence is tested against the window formulation in
+operators/fraud_rules.py on the same planted fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+BAND_SECONDS = 1200
+MAX_STATE_ROWS = 64  # hard cap per card: bounded state no matter the input
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("card_num", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_list", T.ArrayType(T.LongType())),
+        T.StructField("am_list", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (card,) = key
+    if state.exists:
+        ts_list, am_list = state.get
+        ts_list, am_list = list(ts_list), list(am_list)
+    else:
+        ts_list, am_list = [], []
+
+    hits_ts, hits_am = [], []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts_sec")
+        for ts, am, res in zip(pdf["ts_sec"], pdf["amount"], pdf["oper_result"]):
+            # prune state outside the band relative to the newest event
+            while ts_list and ts - ts_list[0] >= BAND_SECONDS:
+                ts_list.pop(0)
+                am_list.pop(0)
+            if res == "REJECT":
+                ts_list.append(int(ts))
+                am_list.append(float(am))
+                if len(ts_list) > MAX_STATE_ROWS:
+                    ts_list.pop(0)
+                    am_list.pop(0)
+            elif res == "SUCCESS":
+                found = False
+                n = len(ts_list)
+                for j in range(n):  # t2 candidate
+                    if found:
+                        break
+                    if not (am_list[j] > am and ts_list[j] < ts):
+                        continue
+                    for i in range(j):  # t1 candidate, earlier than t2
+                        if am_list[i] > am_list[j] and ts_list[i] < ts_list[j]:
+                            found = True
+                            break
+                if found:
+                    hits_ts.append(ts)
+                    hits_am.append(float(am))
+
+    state.update((ts_list, am_list))
+    if hits_ts:
+        yield pd.DataFrame(
+            {
+                "card_num": [card] * len(hits_ts),
+                "event_ts": pd.to_datetime(hits_ts, unit="s"),
+                "amount": hits_am,
+            }
+        )
+
+
+def amount_guessing_stream(tx_stream: DataFrame) -> DataFrame:
+    """Apply the per-card state machine to a (streaming) transactions DF.
+
+    Input needs columns card_num, transaction_date, amount, oper_result.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = tx_stream.select(
+        "card_num",
+        F.col("transaction_date").cast("long").alias("ts_sec"),
+        F.col("amount").cast("double").alias("amount"),
+        "oper_result",
+    )
+    return prepared.groupBy("card_num").applyInPandasWithState(
+        _detect,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
