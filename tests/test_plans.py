@@ -1,0 +1,83 @@
+"""Physical-plan regression guards: the optimizations the engine's
+scale posture depends on must be visible in the executed plan
+(SURVEY §4) — pushdown reaching the parquet scan, dimension joins
+going broadcast, window rules shuffling exactly once.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_for_detection_banking_fraud_spark.plans import CATALOG
+
+QD = {q.name: q for q in CATALOG}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf01):
+    plan = _plan(QD["scan_filter_project"].spark(spark, sf01))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # projection pruning: the scan must not read all 11 lineitem columns
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_join_chain_broadcasts_dimensions(spark, sf01):
+    plan = _plan(QD["join_chain"].spark(spark, sf01))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_rules_shuffle_once(spark, sf01):
+    plan = _plan(QD["timeband_window"].spark(spark, sf01))
+    # one exchange: hash partition by user_id for the window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_groupby_agg_partial_aggregation(spark, sf01):
+    plan = _plan(QD["groupby_agg"].spark(spark, sf01))
+    # map-side partial + final aggregate around a single shuffle
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fraud_rule_enrichment_broadcasts(spark):
+    import datetime
+    from decimal import Decimal
+
+    from etl_pipeline_for_detection_banking_fraud_spark import schemas
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import fraud_rules as fr
+
+    D = datetime.date
+    tx = spark.createDataFrame(
+        [("t1", datetime.datetime(2021, 3, 1, 10, 0), Decimal("1.00"), "C1",
+          "PAYMENT", "SUCCESS", "T")],
+        schema=schemas.TRANSACTIONS,
+    )
+    cards = spark.createDataFrame([("C1", "A1", D(2001, 1, 1), None)], schema=schemas.CARDS)
+    accounts = spark.createDataFrame(
+        [("A1", D(2030, 1, 1), "CL1", D(1900, 1, 1), None)], schema=schemas.ACCOUNTS
+    )
+    clients = spark.createDataFrame(
+        [("CL1", "L", "F", None, D(1980, 1, 1), "P1", None, "ph", D(1900, 1, 1), None)],
+        schema=schemas.CLIENTS,
+    )
+    bl = spark.createDataFrame([], schema=schemas.PASSPORT_BLACKLIST)
+    plan = _plan(fr.rule1_passport(tx, cards, accounts, clients, bl, D(2021, 3, 1)))
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 dims + blacklist
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("qname", ["dedup_ngram_jaccard", "text_quality", "dedup_minhash_lsh"])
+def test_no_pushdown_serialization_trap(spark, sf01, qname):
+    """The tokenizer/shingle expressions must NOT appear in the parquet
+    scan's data filters (the InferFiltersFromGenerate trap — see
+    operators/dedup.py)."""
+    plan = _plan(QD[qname].spark(spark, sf01))
+    scan_part = plan[plan.find("FileScan"):]
+    first_scan_line = scan_part.splitlines()[0] if scan_part else ""
+    assert "split(" not in first_scan_line
