@@ -1,0 +1,50 @@
+"""Scale-path utilities: bucketed co-located joins and skew salting.
+
+These are the knobs the 100 TB deployment turns that small-scale tests
+never force (SURVEY §4 'shuffle / distribution'):
+
+- bucketing: persist both sides of a recurring join pre-hashed on the
+  key so the join runs with NO exchange at read time (Spark's bucketed
+  scan satisfies the join's distribution requirement);
+- salting: a hot key (one card with millions of transactions, one
+  document shingle shared by everything) overloads a single reducer —
+  explode the small side over salt replicas and scatter the big side's
+  hot keys across them. AQE's skew-join handles sort-merge skew
+  automatically; salting is for the cases AQE can't re-split (e.g.
+  aggregations keyed on the hot key, broadcast-ineligible sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
+                   sort_by: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, salt_buckets: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Equi-join robust to heavy skew in ``big``'s key distribution.
+
+    big gets a random-but-deterministic salt (hash of a secondary
+    surrogate — here monotonically_increasing_id is fine because the
+    salt only has to scatter, not be stable across runs); small is
+    replicated once per salt value. Join key becomes (key, salt).
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
+    )
+    replicas = small.crossJoin(
+        F.broadcast(
+            small.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = salted_big.join(replicas, [key, "_salt"], how)
+    return out.drop("_salt")

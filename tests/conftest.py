@@ -12,9 +12,15 @@ TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     os.environ.setdefault("TZ", "UTC")
-    s = get_spark(app_name="fraud_etl_tests", shuffle_partitions=8)
+    s = get_spark(
+        app_name="fraud_etl_tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("spark_warehouse"))
+        },
+    )
     yield s
 
 

@@ -1,0 +1,41 @@
+"""Re-run semantics: faithful mode double-inserts rules 1-2 (the
+reference's behavior); fixed mode (strict=False) is fully idempotent."""
+
+from __future__ import annotations
+
+import os
+
+from etl_pipeline_for_detection_banking_fraud_spark.pipeline import DailyBatch
+from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims
+
+
+def _day1(batch, ref_data):
+    return batch.run_day(
+        os.path.join(ref_data, "transactions_01032021.txt"),
+        os.path.join(ref_data, "passport_blacklist_01032021.xlsx"),
+        os.path.join(ref_data, "terminals_01032021.xlsx"),
+    )
+
+
+def test_fixed_mode_rerun_is_idempotent(spark, ref_data, tmp_path):
+    import shutil
+
+    workdir = tmp_path / "inbox"
+    workdir.mkdir()
+    for stem in ("transactions_01032021.txt", "passport_blacklist_01032021.xlsx",
+                 "terminals_01032021.xlsx"):
+        shutil.copy(os.path.join(ref_data, stem), workdir)
+
+    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    batch = DailyBatch(spark, str(tmp_path / "wh"), dims, strict=False)
+    counts = batch.run_day(
+        str(workdir / "transactions_01032021.txt"),
+        str(workdir / "passport_blacklist_01032021.xlsx"),
+        str(workdir / "terminals_01032021.xlsx"),
+    )
+    date_global = counts["date_global"]
+    n1 = batch.wh.read("rep_fraud").count()
+
+    rerun = batch.run_fraud_rules(date_global)
+    assert all(v == 0 for k, v in rerun.items() if k.startswith("rep_fraud"))
+    assert batch.wh.read("rep_fraud").count() == n1
