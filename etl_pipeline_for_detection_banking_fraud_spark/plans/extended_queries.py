@@ -211,6 +211,21 @@ def json_extract(spark, sf_dir):
 
 
 @_q(
+    "approx_stats",
+    "approximate aggregation: HLL distinct + quantile sketches (engine "
+    "completeness; sketches are implementation-defined, so rows-only check)",
+    None,
+)
+def approx_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
     "tpch_q3_shape",
     "TPC-H Q3 shape: selective join + grouped revenue + deterministic top-k",
     """

@@ -40,6 +40,28 @@ def test_stream_ingest_and_archive(spark, ref_data, tmp_path):
         q.stop()
 
 
+def test_stream_daily_counts(spark, ref_data, tmp_path):
+    inbox = tmp_path / "agg_in"
+    inbox.mkdir()
+    shutil.copy(os.path.join(ref_data, "transactions_01032021.txt"), inbox)
+    tx = ingest.read_transactions_stream(spark, str(inbox))
+    agg = ingest.daily_counts(tx)
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("daily_counts_smoke").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT tx_date, oper_result, n_tx FROM daily_counts_smoke ORDER BY oper_result"
+        ).collect()
+        assert sum(r.n_tx for r in rows) == 15650
+        assert {r.oper_result for r in rows} == {"SUCCESS", "REJECT"}
+        assert all(r.tx_date == datetime.date(2021, 3, 1) for r in rows)
+    finally:
+        q.stop()
+
+
 def test_stream_pair_join(spark, tmp_path):
     inbox = tmp_path / "pairs_in"
     inbox.mkdir()
