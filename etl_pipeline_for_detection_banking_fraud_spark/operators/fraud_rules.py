@@ -135,6 +135,47 @@ def _city_asof(tx: DataFrame, terminals_hist: DataFrame, alias: str) -> DataFram
     ).drop(f"{alias}_tid", f"{alias}_from", f"{alias}_to")
 
 
+def city_asof_pandas(tx: DataFrame, terminals_hist: DataFrame) -> DataFrame:
+    """Alternative J6 backend: per-terminal ``pd.merge_asof`` via
+    applyInPandas (the guide's escape hatch when the interval join can't
+    stay relational). Equivalent to _city_asof for non-deleted versions;
+    kept as a reference implementation of the Pandas-UDF path and tested
+    against the relational formulation.
+    """
+    import pandas as pd
+
+    hist = terminals_hist.select(
+        F.col("terminal_id").alias("t_tid"),
+        F.col("terminal_city").alias("c_city"),
+        F.col("effective_from").alias("t_from"),
+        F.col("effective_to").alias("t_to"),
+    )
+    joined_in = tx.join(hist, tx.terminal == F.col("t_tid"), "inner")
+
+    out_fields = [f for f in tx.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", c_city string"
+
+    def pick_version(pdf: pd.DataFrame) -> pd.DataFrame:
+        # plain-Python comparison: the 9999-12-31 open-end sentinel
+        # overflows pandas' ns-resolution datetime64 (max year 2262)
+        def in_effect(ts, d_from, d_to):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            lo = datetime.datetime.combine(d_from, datetime.time.min)
+            hi = datetime.datetime.combine(d_to, datetime.time.min)
+            return lo <= ts <= hi
+
+        keep = [
+            in_effect(ts, f, t)
+            for ts, f, t in zip(pdf["transaction_date"], pdf["t_from"], pdf["t_to"])
+        ]
+        cols = [f.name for f in out_fields] + ["c_city"]
+        return pdf.loc[keep, cols]
+
+    return joined_in.groupBy("terminal").applyInPandas(pick_version, schema=out_schema)
+
+
 def rule3_diff_cities_join(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
                            clients: DataFrame, terminals_hist: DataFrame,
                            existing_mart: DataFrame,
