@@ -298,10 +298,56 @@ def sim_cosine_pairs(spark, sf_dir):
     return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+# LSH bucket code in SQL: mirror similarity.lsh_bucket exactly — per
+# plane, an order-pinned left fold of vec[i] * (+-1 from md5 nibble
+# parity of 'p{plane}_{i}'), then a sign bit. Generated programmatically
+# (6 planes), like the Spark side.
+def _plane_fold_sql(p: int, vec: str) -> str:
+    sign = (
+        f"CASE WHEN CAST('0x' || substr(md5('p{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+        "AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END"
+    )
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({vec})), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * {sign}), (a, b) -> a + b)"
+    )
+
+
+def _bucket_sql(vec: str, n_planes: int = 6) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_fold_sql(p, vec)} >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"CAST({bits} AS INTEGER)"
+
+
 @_q(
     "sim_ann_lsh",
     "similarity: LSH-bucketed approximate top-k (the scale path)",
-    None,  # bucket construction is mirrored in tests, not worth 64-term SQL
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
+               {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, bucket, nrm AS norm_q
+        FROM corpus WHERE vec_id < 3
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)),
+                    (a, b) -> a + b) / (e.nrm * q.norm_q) AS cosine
+        FROM corpus e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
 )
 def sim_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
