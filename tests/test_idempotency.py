@@ -17,6 +17,34 @@ def _day1(batch, ref_data):
     )
 
 
+def test_faithful_mode_rerun_double_inserts_rules_1_2(spark, ref_data, tmp_path):
+    """SURVEY §5: re-running the fraud stage re-inserts rule-1/2 hits
+    (the reference has no guard there) while rules 3/4 stay deduped."""
+    import shutil
+
+    workdir = tmp_path / "inbox_strict"
+    workdir.mkdir()
+    for stem in ("transactions_01032021.txt", "passport_blacklist_01032021.xlsx",
+                 "terminals_01032021.xlsx"):
+        shutil.copy(os.path.join(ref_data, stem), workdir)
+
+    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    batch = DailyBatch(spark, str(tmp_path / "wh_strict"), dims, strict=True)
+    counts = batch.run_day(
+        str(workdir / "transactions_01032021.txt"),
+        str(workdir / "passport_blacklist_01032021.xlsx"),
+        str(workdir / "terminals_01032021.xlsx"),
+    )
+    n1 = batch.wh.read("rep_fraud").count()
+    rerun = batch.run_fraud_rules(counts["date_global"])
+    assert rerun["rep_fraud_passport"] == counts["rep_fraud_passport"]
+    assert rerun["rep_fraud_contract"] == counts["rep_fraud_contract"]
+    assert rerun["rep_fraud_diff_cities"] == 0
+    assert rerun["rep_fraud_attempt_amount"] == 0
+    expected = n1 + counts["rep_fraud_passport"] + counts["rep_fraud_contract"]
+    assert batch.wh.read("rep_fraud").count() == expected
+
+
 def test_fixed_mode_rerun_is_idempotent(spark, ref_data, tmp_path):
     import shutil
 
