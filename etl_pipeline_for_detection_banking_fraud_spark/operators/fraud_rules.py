@@ -113,12 +113,15 @@ def rule2_contract(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
 # Rule 3 — ops in different cities within one hour (loading_rep_fraud.py:64-92)
 # ---------------------------------------------------------------------------
 
-def _city_asof(tx: DataFrame, terminals_hist: DataFrame, alias: str) -> DataFrame:
+def _city_asof(tx: DataFrame, terminals_hist: DataFrame, alias: str,
+               how: str = "inner") -> DataFrame:
     """As-of join: the terminal city in effect at transaction time (J6).
 
     Postgres coerces the date bounds to midnight timestamps in
     ``ts BETWEEN effective_from AND effective_to``
     (loading_rep_fraud.py:81,83) — ts_between_dates reproduces that.
+    ``how='inner'`` matches the reference rules (transactions without an
+    in-effect version vanish); feature pipelines use ``'left'``.
     """
     th = F.broadcast(
         terminals_hist.select(
@@ -132,6 +135,7 @@ def _city_asof(tx: DataFrame, terminals_hist: DataFrame, alias: str) -> DataFram
         th,
         (F.col("terminal") == F.col(f"{alias}_tid"))
         & ts_between_dates(F.col("transaction_date"), F.col(f"{alias}_from"), F.col(f"{alias}_to")),
+        how,
     ).drop(f"{alias}_tid", f"{alias}_from", f"{alias}_to")
 
 
