@@ -75,27 +75,26 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     shared vocabulary makes unigram minhash collapse into a handful of
     buckets — shingle cardinality keeps LSH buckets discriminative).
 
-    Each shingle hashes ONCE; inlining the tokenizer+md5 into every
-    component would redo both per use.
+    Shape: persist the shingle arrays (cache barrier against the
+    InferFiltersFromGenerate pushdown trap), then explode -> md5 ->
+    k affine mins as a groupBy. The explode moves the md5 into a
+    whole-stage-codegen projection (~6x faster than higher-order-
+    function evaluation per row); map-side partial aggregation means
+    the shuffle carries only k mins per doc.
     """
-    # persist BEFORE filtering: a filter on _th would otherwise be pushed
-    # below the scan's exchange with the whole hash+shingle expression
-    # inlined, serializing the heavy compute onto the scan task
-    base = df.select(
-        F.col(id_col),
-        F.transform(word_shingles(tokens(text_col), shingle_n), _token_hash32).alias("_th"),
+    sh = df.select(
+        F.col(id_col), word_shingles(tokens(text_col), shingle_n).alias("_sh")
     ).persist()
-    base = base.where(F.size("_th") > 0)
-    def affine(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-    comps = []
+    hashed = sh.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
+        F.col(id_col), _token_hash32(F.col("_s")).alias("_h")
+    )
+    aggs = []
     for i in range(num_hashes):
         a, b = MINHASH_PARAMS[i % len(MINHASH_PARAMS)]
-        comps.append(
-            F.array_min(F.transform(F.col("_th"), affine(a, b))).alias(f"mh_{i}")
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
         )
-    return base.select(F.col(id_col), *comps)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
