@@ -218,3 +218,43 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     cos = dot_decimal(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(F.col("cosine") >= threshold)
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 16, max_hamming: int = 4,
+                       n_blocks: int = 4) -> DataFrame:
+    """Near-dup candidate pairs by SimHash hamming distance.
+
+    Block-LSH: split the fingerprint into n_blocks bit-blocks; by
+    pigeonhole, any pair within hamming <= n_blocks - 1 shares at least
+    one exact block, so the join key is (block_idx, block_value) and the
+    exact hamming test runs only on co-bucketed pairs. One shuffle on
+    the block key; no all-pairs comparison.
+    """
+    fp = simhash(df, text_col, id_col, bits).persist()
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright(F.col("simhash"), b * block_bits).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for b in range(n_blocks)
+            ])
+        ).alias("bk"),
+    ).select(F.col(id_col), "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val")
+    b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val")
+    pairs = (
+        a.join(b, ["blk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")

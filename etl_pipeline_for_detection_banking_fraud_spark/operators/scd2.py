@@ -84,6 +84,13 @@ def apply_increment(hist: DataFrame, snapshot: DataFrame, date_global: datetime.
     closed at date_global - 1 day; new keys, new versions, and
     tombstones (deleted_flg=True) are appended open-ended.
     """
+    # materialize both inputs once: the three increments each probe
+    # snapshot and history (3x/4x reuse — the reference materializes the
+    # same intermediates as tmp tables, incr_loading.py:14-58). Without
+    # this, a derived snapshot (e.g. an aggregation) re-executes its
+    # whole subtree per increment.
+    snapshot = snapshot.persist()
+    hist = hist.persist()
     new = new_keys(snapshot, hist)
     upd = updated_rows(snapshot, hist)
     dele = deleted_rows(snapshot, hist)

@@ -229,6 +229,38 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+_SIMHASH_BLOCKS_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, simhash, {b} AS blk, (simhash >> {b * 4}) & 15 AS val FROM fp"
+    for b in range(4)
+)
+
+
+@_q(
+    "dedup_simhash_pairs",
+    "dedup: SimHash near-dup pairs via block-LSH + hamming filter",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DTOK} AS tok FROM documents),
+    fp AS (SELECT doc_id, CAST({_SIMHASH_SQL_FP} AS BIGINT) AS simhash FROM toks),
+    blocks AS (
+        {_SIMHASH_BLOCKS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.val = b.val
+             AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 4
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    out = dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F2
+
+    return out.withColumn("hamming", F2.col("hamming").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -65,6 +65,14 @@ def test_simhash_near_for_near_dups(docs):
     assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
 
 
+def test_simhash_near_pairs_block_lsh(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_near_pairs(docs, max_hamming=4).collect()}
+    assert pairs.get((0, 1)) == 0          # identical docs: distance 0
+    assert (0, 2) in pairs                  # near dup within hamming budget
+    assert (0, 3) not in pairs              # unrelated doc too far
+
+
 def test_lang_id_heuristic(docs):
     out = {r.doc_id: r.detected_lang for r in text.lang_id(docs).collect()}
     assert out[0] == "en"
