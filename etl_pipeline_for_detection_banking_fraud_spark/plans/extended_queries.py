@@ -217,10 +217,14 @@ def json_extract(spark, sf_dir):
     None,
 )
 def approx_stats(spark, sf_dir):
+    # Scalar quantile columns (not an array) so the driver's pandas-based
+    # canonicalizer can sort/hash the frame (r1: array column -> unhashable).
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99"),
         F.count("*").alias("n"),
     )
 

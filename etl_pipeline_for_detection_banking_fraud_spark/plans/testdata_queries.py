@@ -105,17 +105,26 @@ def scan_filter_project(spark, sf_dir):
     "S2/S3: string/timestamp/date casts",
     """
     SELECT event_id, CAST(ts AS DATE) AS event_date,
-           CAST(value AS DECIMAL(10,2)) AS value_dec,
+           CAST(CAST(floor(value * 100 + 0.5) / 100.0 AS DECIMAL(10,2)) AS DOUBLE) AS value_dec,
            upper(event_type) AS type_uc
     FROM events
     """,
 )
 def cast_project(spark, sf_dir):
+    # double->decimal rounding is engine-defined at .005 ties (Spark HALF_UP,
+    # DuckDB half-even), so the rounding is pinned explicitly: scale in IEEE
+    # double space (floor(x*100+0.5)), divide back, then cast.  Same primitive
+    # ops on both engines -> bit-identical decimals.  Final cast back to DOUBLE
+    # because DuckDB DECIMAL lands as float64 in pandas while Spark decimals
+    # arrive as Decimal objects -> driver hash mismatch on type alone.
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.to_date("ts").alias("event_date"),
-        F.col("value").cast("decimal(10,2)").alias("value_dec"),
+        (F.floor(F.col("value") * 100 + 0.5) / 100.0)
+        .cast("decimal(10,2)")
+        .cast("double")
+        .alias("value_dec"),
         F.upper("event_type").alias("type_uc"),
     )
 
@@ -693,8 +702,8 @@ def union_except(spark, sf_dir):
         FROM events
     ), sess AS (
         SELECT user_id, event_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_no
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM gaps
     )
     SELECT user_id, session_no, count(*) AS n_events
@@ -702,13 +711,27 @@ def union_except(spark, sf_dir):
     """,
 )
 def sessionize(spark, sf_dir):
+    # Two sequential projections mirroring the oracle's CTEs: materialize the
+    # lag-derived new_session flag first, THEN the cumulative sum.  Nesting the
+    # lag window inside sum(...).over(...) made Catalyst evaluate both windows
+    # in one WindowExec pass with diverging frame semantics (r1 hash mismatch).
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_no",
-        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = gaps.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
     )
     return sess.groupBy("user_id", "session_no").agg(F.count("*").alias("n_events"))
 
