@@ -16,6 +16,7 @@ directory of parquet tables:
 
 from __future__ import annotations
 
+import datetime
 import os
 import re
 import shutil
@@ -105,12 +106,23 @@ class Warehouse:
             partition_by=["dt"],
         )
 
-    def read_transactions(self, table: str = "dwh_fact_transactions") -> DataFrame:
+    def read_transactions(self, table: str = "dwh_fact_transactions",
+                          since: "datetime.date | None" = None,
+                          until: "datetime.date | None" = None) -> DataFrame:
+        """Fact read; `since`/`until` filter on the `dt` partition column
+        BEFORE it is dropped, so Catalyst turns them into PartitionFilters
+        and the scan only lists the matching day directories — the read
+        stays O(days requested), not O(history), at 100 TB."""
         from .. import schemas
 
         if not self.exists(table):
             return self.spark.createDataFrame([], schema=schemas.TRANSACTIONS)
-        return self.read(table).drop("dt")
+        df = self.read(table)
+        if since is not None:
+            df = df.where(F.col("dt") >= F.lit(since))
+        if until is not None:
+            df = df.where(F.col("dt") <= F.lit(until))
+        return df.drop("dt")
 
 
 def _versions(path: str) -> list[int]:
