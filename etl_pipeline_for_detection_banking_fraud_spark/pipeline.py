@@ -22,6 +22,7 @@ reference and double-insert on re-runs; `strict=False` adds the guard.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import os
 import shutil
@@ -67,6 +68,35 @@ class DailyBatch:
 
     # -- EP1: ingest ---------------------------------------------------------
 
+    @contextlib.contextmanager
+    def _audited_stage(self, name: str, date_global: datetime.date | None):
+        """Failure-path audit (reference comm_funcs.py:42-44 pattern): a
+        stage that raises leaves a ``status='ERROR: …'`` META_LOADING row
+        before the exception propagates, so the audit trail records *which*
+        stage of *which* day failed."""
+        try:
+            yield
+        except Exception as e:  # noqa: BLE001 — log-and-reraise, not swallow
+            log_meta(self.wh, name, date_global, 0, f"ERROR: {e}")
+            raise
+
+    STG_TABLES = ("stg_transactions", "stg_terminals", "stg_passport_blacklist")
+
+    def clear_stg_tables(self, date_global: datetime.date) -> None:
+        """End-of-day staging clear (reference comm_funcs.py:28-44).
+
+        Lineage replaces the physical TRUNCATE (the staging "table" is the
+        day's typed DataFrame, dropped with its temp view), but the audit
+        surface is kept at parity: one ``CLEAR_<stg_table>`` SUCCESS row per
+        staging table, or a single ``CLEAR_STG_TABLES`` ``ERROR: …`` row if
+        the clear itself fails."""
+        try:
+            for t in self.STG_TABLES:
+                self.spark.catalog.dropTempView(t)
+                log_meta(self.wh, f"CLEAR_{t}", date_global, 0, "SUCCESS")
+        except Exception as e:  # noqa: BLE001 — reference logs, not raises
+            log_meta(self.wh, "CLEAR_STG_TABLES", date_global, 0, f"ERROR: {e}")
+
     def _archive(self, path: str) -> None:
         """Processed-file archival (reference: main.py:66,74,82 SNK4)."""
         if self.archive_dir:
@@ -76,38 +106,46 @@ class DailyBatch:
     def run_day(self, transactions_path: str, blacklist_path: str,
                 terminals_path: str) -> dict[str, int]:
         counts: dict[str, int] = {}
+        date_global: datetime.date | None = None
 
-        tx = read_transactions(self.spark, transactions_path)
-        date_global = extract_date_global(tx)
-        counts["stg_transactions"] = tx.count()
-        log_meta(self.wh, "stg_transactions", date_global, counts["stg_transactions"])
+        with self._audited_stage("stg_transactions", date_global):
+            tx = read_transactions(self.spark, transactions_path)
+            date_global = extract_date_global(tx)
+            counts["stg_transactions"] = tx.count()
+            log_meta(self.wh, "stg_transactions", date_global, counts["stg_transactions"])
 
-        bl = read_passport_blacklist(self.spark, blacklist_path)
-        counts["stg_passport_blacklist"] = bl.count()
-        log_meta(self.wh, "stg_passport_blacklist", date_global, counts["stg_passport_blacklist"])
+        with self._audited_stage("stg_passport_blacklist", date_global):
+            bl = read_passport_blacklist(self.spark, blacklist_path)
+            counts["stg_passport_blacklist"] = bl.count()
+            log_meta(self.wh, "stg_passport_blacklist", date_global,
+                     counts["stg_passport_blacklist"])
 
-        term = read_terminals(self.spark, terminals_path)
-        counts["stg_terminals"] = term.count()
-        log_meta(self.wh, "stg_terminals", date_global, counts["stg_terminals"])
+        with self._audited_stage("stg_terminals", date_global):
+            term = read_terminals(self.spark, terminals_path)
+            counts["stg_terminals"] = term.count()
+            log_meta(self.wh, "stg_terminals", date_global, counts["stg_terminals"])
 
         # -- EP1b: promote facts (comm_funcs.py:47-78) ------------------------
-        existing_bl = self.wh.read(FACT_BL, schemas.PASSPORT_BLACKLIST)
-        bl_new = bl.join(existing_bl.select("passport"), "passport", "left_anti").select(
-            "date", "passport"
-        )
-        if self.incremental:
-            # Incremental rule 1 needs today's blacklist delta for the
-            # retroactive term; persist the tiny delta so the anti-join
-            # doesn't re-run after the append below changes the table.
-            bl_new = bl_new.persist()
-            bl_new.count()
-        self.wh.append(bl_new, FACT_BL)
-        self.wh.append_transactions(tx, FACT_TX)
+        with self._audited_stage(FACT_BL, date_global):
+            existing_bl = self.wh.read(FACT_BL, schemas.PASSPORT_BLACKLIST)
+            bl_new = bl.join(existing_bl.select("passport"), "passport", "left_anti").select(
+                "date", "passport"
+            )
+            if self.incremental:
+                # Incremental rule 1 needs today's blacklist delta for the
+                # retroactive term; persist the tiny delta so the anti-join
+                # doesn't re-run after the append below changes the table.
+                bl_new = bl_new.persist()
+                bl_new.count()
+            self.wh.append(bl_new, FACT_BL)
+        with self._audited_stage(FACT_TX, date_global):
+            self.wh.append_transactions(tx, FACT_TX)
 
         # -- EP2: SCD2 dimension (incr_loading.py) ----------------------------
-        hist = self.wh.read(DIM_TERM, schemas.TERMINALS_HIST)
-        next_hist = scd2.apply_increment(hist, term, date_global)
-        self.wh.rewrite(next_hist, DIM_TERM)
+        with self._audited_stage(DIM_TERM, date_global):
+            hist = self.wh.read(DIM_TERM, schemas.TERMINALS_HIST)
+            next_hist = scd2.apply_increment(hist, term, date_global)
+            self.wh.rewrite(next_hist, DIM_TERM)
 
         # -- EP3: fraud rules (loading_rep_fraud.py) --------------------------
         counts.update(self.run_fraud_rules(
@@ -117,6 +155,7 @@ class DailyBatch:
 
         for p in (transactions_path, blacklist_path, terminals_path):
             self._archive(p)
+        self.clear_stg_tables(date_global)
         counts["date_global"] = date_global
         return counts
 
@@ -150,10 +189,11 @@ class DailyBatch:
             count, later rules' dedup visibility, and the final write —
             without persist the whole rule subtree would re-execute for
             each of those)."""
-            df = df.persist()
-            persisted.append(df)
-            counts[short] = df.count()
-            log_meta(self.wh, audit_name, date_global, counts[short])
+            with self._audited_stage(audit_name, date_global):
+                df = df.persist()
+                persisted.append(df)
+                counts[short] = df.count()
+                log_meta(self.wh, audit_name, date_global, counts[short])
             return df
 
         guard_12 = (not self.strict) or self.incremental

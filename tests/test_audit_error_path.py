@@ -1,0 +1,48 @@
+"""Audit parity for the failure path and staging clear
+(reference comm_funcs.py:28-44): CLEAR_<stg_table> SUCCESS rows per day,
+and a status='ERROR: …' META_LOADING row when a stage fails."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_pipeline_for_detection_banking_fraud_spark.pipeline import DailyBatch
+from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims
+
+
+def test_clear_stg_rows_logged_per_day(spark, ref_data, tmp_path):
+    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    batch = DailyBatch(spark, str(tmp_path / "wh"), dims)
+    batch.run_day(
+        os.path.join(ref_data, "transactions_01032021.txt"),
+        os.path.join(ref_data, "passport_blacklist_01032021.xlsx"),
+        os.path.join(ref_data, "terminals_01032021.xlsx"),
+    )
+    meta = batch.wh.read("meta_loading").toPandas()
+    clear = meta[meta.table_name.str.startswith("CLEAR_")]
+    assert sorted(clear.table_name) == [
+        "CLEAR_stg_passport_blacklist",
+        "CLEAR_stg_terminals",
+        "CLEAR_stg_transactions",
+    ]
+    assert set(clear.status) == {"SUCCESS"}
+    assert list(clear.rows_processed) == [0, 0, 0]
+
+
+def test_failing_stage_writes_error_audit_row(spark, ref_data, tmp_path):
+    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    batch = DailyBatch(spark, str(tmp_path / "wh"), dims)
+    with pytest.raises(FileNotFoundError):
+        batch.run_day(
+            os.path.join(ref_data, "transactions_01032021.txt"),
+            str(tmp_path / "missing_blacklist.xlsx"),
+            os.path.join(ref_data, "terminals_01032021.xlsx"),
+        )
+    meta = batch.wh.read("meta_loading").toPandas()
+    err = meta[meta.status.str.startswith("ERROR:")]
+    assert list(err.table_name) == ["stg_passport_blacklist"]
+    # the successfully ingested stage before it still has its SUCCESS row
+    ok = meta[meta.table_name == "stg_transactions"]
+    assert list(ok.status) == ["SUCCESS"]
