@@ -79,13 +79,34 @@ def engineer_features(tx: DataFrame, terminals_hist: DataFrame | None = None) ->
     )
 
 
-def label_from_rules(features: DataFrame, rule_hits: DataFrame) -> DataFrame:
+def label_from_rules(features: DataFrame, rule_hits: DataFrame,
+                     cards: DataFrame, accounts: DataFrame,
+                     clients: DataFrame) -> DataFrame:
     """Weak supervision: label = 1 where the rule engine flagged the
-    transaction's (card's client passport, event time)."""
+    transaction's (card's client passport, event time).
+
+    The feature rows are resolved to their client passport through the
+    broadcast card->account->client chain (left joins: a card missing
+    from the dims keeps its feature row, unlabeled) and matched to hits
+    on BOTH passport and event time — a transaction on a different card
+    that merely shares a timestamp with a hit stays label 0."""
+    ca = F.broadcast(cards.select("card_num", "account"))
+    ac = F.broadcast(accounts.select("account", "client"))
+    cl = F.broadcast(clients.select("client_id", "passport_num"))
+    enriched = (
+        features.join(ca, "card_num", "left")
+        .join(ac, "account", "left")
+        .join(cl, F.col("client") == F.col("client_id"), "left")
+    )
     hits = rule_hits.select(
-        F.col("event_dt").alias("transaction_date")
+        F.col("passport").alias("passport_num"),
+        F.col("event_dt").alias("transaction_date"),
     ).distinct().withColumn("label", F.lit(1.0))
-    return features.join(hits, "transaction_date", "left").fillna({"label": 0.0})
+    return (
+        enriched.join(hits, ["passport_num", "transaction_date"], "left")
+        .fillna({"label": 0.0})
+        .drop("account", "client", "client_id", "passport_num")
+    )
 
 
 def build_pipeline() -> Pipeline:

@@ -56,7 +56,7 @@ def test_scorer_ranks_rule_hits_higher(spark, replay_day3):
     assert hits.count() > 0
 
     feats = ml_scoring.engineer_features(tx, hist)
-    labeled = ml_scoring.label_from_rules(feats, hits).persist()
+    labeled = ml_scoring.label_from_rules(feats, hits, cards, accounts, clients).persist()
     assert labeled.where("label = 1.0").count() > 0
 
     model = ml_scoring.train_scorer(labeled)
@@ -70,6 +70,35 @@ def test_scorer_ranks_rule_hits_higher(spark, replay_day3):
     }
     # the learned scorer must separate rule-flagged txs from the rest
     assert avg[1.0] > avg[0.0]
+
+
+def test_label_join_is_passport_scoped_not_timestamp_scoped(spark):
+    """A transaction co-timestamped with a rule hit but on an UNFLAGGED
+    card must stay label 0 (r1 advice: cross-card label leakage)."""
+    import datetime
+
+    ts = datetime.datetime(2021, 3, 1, 12, 0, 0)
+    feats = spark.createDataFrame(
+        [("t1", "CARD_A", ts, 1.0), ("t2", "CARD_B", ts, 1.0)],
+        "transaction_id string, card_num string, transaction_date timestamp, amount_d double",
+    )
+    cards = spark.createDataFrame(
+        [("CARD_A", "ACC_A"), ("CARD_B", "ACC_B")], "card_num string, account string"
+    )
+    accounts = spark.createDataFrame(
+        [("ACC_A", 1), ("ACC_B", 2)], "account string, client int"
+    )
+    clients = spark.createDataFrame(
+        [(1, "PASS_A"), (2, "PASS_B")], "client_id int, passport_num string"
+    )
+    hits = spark.createDataFrame(
+        [(ts, "PASS_A")], "event_dt timestamp, passport string"
+    )
+    labeled = {
+        r.transaction_id: r.label
+        for r in ml_scoring.label_from_rules(feats, hits, cards, accounts, clients).collect()
+    }
+    assert labeled == {"t1": 1.0, "t2": 0.0}
 
 
 def test_extract_date_global_still_works(spark, ref_data):
