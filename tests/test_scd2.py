@@ -89,3 +89,25 @@ def test_faithful_quirk_rechange_duplicates_version(spark, empty_hist):
     rows = _hist_rows(d3)
     assert rows.count(("T1", "A", "a3", D(2021, 3, 3), SCD2_OPEN_END_DATE, False)) == 2
     assert ("T1", "A", "a2", D(2021, 3, 2), D(2021, 3, 2), False) in rows
+
+
+def test_onepass_matches_multipass_differential(spark, empty_hist):
+    """The single-pass full-outer apply must be row-multiset-identical to
+    the increment-per-increment formulation over randomized multi-day
+    churn (adds, attribute flips, deletes, returns)."""
+    import random
+
+    rng = random.Random(42)
+    keys = [f"T{i}" for i in range(12)]
+    hist_one = hist_multi = empty_hist
+    for day in range(1, 6):
+        present = rng.sample(keys, rng.randint(5, 11))
+        snap = _snap(
+            spark,
+            [(k, rng.choice(["A", "B", None]), f"a{rng.randint(1, 3)}") for k in present],
+        )
+        dg = D(2021, 3, day)
+        hist_one = scd2.apply_increment(hist_one, snap, dg).persist()
+        hist_multi = scd2.apply_increment_multipass(hist_multi, snap, dg).persist()
+        one, multi = _hist_rows(hist_one), _hist_rows(hist_multi)
+        assert one == multi, f"day {day}: {len(one)} vs {len(multi)} rows"
