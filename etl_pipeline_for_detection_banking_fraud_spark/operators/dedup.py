@@ -4,9 +4,11 @@ The beyond-reference dedup family for training-data pipelines. Scale
 posture for 100 TB of documents:
 
 - exact: one hash-groupBy shuffle on the content hash.
-- MinHash signatures: per-row higher-order-function algebra (no
-  explode, no shuffle); LSH banding then shuffles once on (band,
-  band_key) — candidate pairs only ever materialize within a bucket.
+- MinHash signatures: explode to (doc, shingle), one codegen md5 per
+  shingle, k affine transforms, partial-agg groupBy back to one
+  signature row per doc (map-side combine keeps the shuffle small);
+  LSH banding then shuffles once on (band, band_key) — candidate pairs
+  only ever materialize within a bucket.
 - n-gram Jaccard: inverted-index join on shingles — one shuffle on the
   shingle; pair aggregation only over co-bucketed docs.
 - SimHash: per-row bit algebra, zero shuffle; near-dup = hamming probe.
@@ -204,12 +206,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.9) -> DataFrame:
-    """Near-dup pairs by embedding cosine >= threshold (brute-force
-    baseline; the LSH-bucketed scale path lives in similarity.py).
+    """Near-dup pairs by embedding cosine >= threshold — the EXACT
+    all-pairs baseline, O(n^2) by definition.  The scale path is
+    `similarity.cosine_pairs_lsh` (bucket join, only co-bucketed pairs
+    scored); this one exists to measure the LSH variants' recall.
 
-    Dot products accumulate in DECIMAL(38,18) after exact float->double
-    widening, so results are bit-stable across engines and partition
-    orders.
+    Dot products widen float->double exactly and accumulate as an
+    order-pinned IEEE-double left fold (F.aggregate with 0.0 init ==
+    DuckDB list_reduce), so results are bit-stable across engines and
+    partition orders.
     """
     from .similarity import dot_decimal, l2_norm
 
@@ -221,7 +226,7 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       bits: int = 16, max_hamming: int = 4,
+                       bits: int = 16, max_hamming: int = 3,
                        n_blocks: int = 4) -> DataFrame:
     """Near-dup candidate pairs by SimHash hamming distance.
 
@@ -230,6 +235,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     one exact block, so the join key is (block_idx, block_value) and the
     exact hamming test runs only on co-bucketed pairs. One shuffle on
     the block key; no all-pairs comparison.
+
+    Recall is COMPLETE only for max_hamming <= n_blocks - 1 (the default
+    pins max_hamming = 3 = n_blocks - 1 accordingly); raising max_hamming
+    beyond that returns extra co-bucketed pairs but silently misses pairs
+    whose differing bits fall in max_hamming distinct blocks — raise
+    n_blocks (to max_hamming + 1, keeping bits divisible) instead.
     """
     fp = simhash(df, text_col, id_col, bits).persist()
     block_bits = bits // n_blocks

@@ -18,11 +18,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_DEC = "decimal(38,18)"
-
-
 def dot_decimal(a: Column, b: Column) -> Column:
-    """Order-pinned dot product of two float arrays -> double."""
+    """Order-pinned dot product of two float arrays -> double.
+
+    Contract: exact float->double widening, IEEE-double multiply, and a
+    LEFT FOLD with 0.0 init — element order pinned, so the result is
+    bit-identical to DuckDB's list_reduce on the same array.  (Despite
+    the historical name there is no decimal accumulation: Spark widens
+    decimal(38,18)+decimal(38,18) to decimal(38,17), which breaks
+    F.aggregate's accumulator typing — the double fold is the portable
+    exact contract instead.)
+    """
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
@@ -88,6 +94,39 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
         bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
         code = bit if code is None else code + bit
     return code.cast("int")
+
+
+def cosine_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", threshold: float = 0.9,
+                     n_planes: int = 6) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold, LSH-bucketed — the scale
+    path beside `dedup.embedding_cosine_pairs`'s all-pairs baseline.
+
+    Only pairs sharing their hyperplane-LSH bucket code are scored: the
+    shuffle key is the bucket, so the cost is sum(bucket^2), not n^2.
+    Approximate by construction — a qualifying pair split across buckets
+    is missed (recall rises with fewer planes / multiple plane sets).
+    Bucket codes and norms are computed once per row behind a persist
+    barrier (the self-join would otherwise re-run the md5 plane folds on
+    both sides), and the dot product is the same order-pinned left fold
+    as the exact baseline, so shared pairs score bit-identically.
+    """
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                        "bucket", F.col("nrm").alias("nrm_a"))
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                        "bucket", F.col("nrm").alias("nrm_b"))
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = dot_decimal(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 6,

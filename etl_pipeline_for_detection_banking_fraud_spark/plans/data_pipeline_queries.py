@@ -251,7 +251,7 @@ _SIMHASH_BLOCKS_SQL = "\n        UNION ALL\n        ".join(
              AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 4
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
@@ -310,7 +310,9 @@ def sim_cosine_topk(spark, sf_dir):
 
 @_q(
     "sim_cosine_pairs",
-    "dedup/similarity: all-pairs cosine over threshold (near-dup baseline)",
+    "dedup/similarity: all-pairs cosine over threshold (EXACT baseline; "
+    "O(n^2) by definition — the catalogued scale path is "
+    "sim_cosine_pairs_lsh / sim_ann_lsh)",
     f"""
     WITH n AS (
         SELECT vec_id, embedding, {_NORM_SQL.format(v='embedding')} AS nrm
@@ -328,6 +330,8 @@ def sim_cosine_topk(spark, sf_dir):
 )
 def sim_cosine_pairs(spark, sf_dir):
     return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 
 
 # LSH bucket code in SQL: mirror similarity.lsh_bucket exactly — per
@@ -351,6 +355,32 @@ def _bucket_sql(vec: str, n_planes: int = 6) -> str:
         for p in range(n_planes)
     )
     return f"CAST({bits} AS INTEGER)"
+
+
+@_q(
+    "sim_cosine_pairs_lsh",
+    "dedup/similarity: LSH-bucketed cosine pairs (the crossJoin-free "
+    "scale path; only co-bucketed pairs scored)",
+    f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
+               {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def sim_cosine_pairs_lsh(spark, sf_dir):
+    return similarity.cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=6
+    )
 
 
 @_q(
@@ -398,8 +428,12 @@ def sim_ann_lsh(spark, sf_dir):
     "multimodal: binary payload column -> Arrow-batched feature extraction",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           -- first UTF-8 BYTE of the encoded blob (not ascii() on the
+           -- decoded string, which returns the code point and diverges
+           -- from the Spark stub's b[0] for non-ASCII first chars)
            CAST(CASE WHEN length(text) = 0 THEN -1
-                     ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
+                     ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS INTEGER)
+                END AS INTEGER) AS first_byte,
            'text/plain' AS media_type
     FROM documents
     """,

@@ -77,9 +77,20 @@ class Warehouse:
         Daily appends accumulate one file-set per batch; at 100 TB the
         resulting small-files problem degrades scan parallelism and
         NameNode/listing pressure. Periodic compaction rewrites each
-        hive partition into `target_files_per_partition` files. Runs
-        through the versioned-rewrite path for atomic replace.
+        hive partition into `target_files_per_partition` files.
+
+        Append tables only: a versioned-rewrite table (v=N subdirs) is
+        refused — read.parquet(root) would merge every version into one
+        duplicated table. The two-rename swap below is atomic enough for
+        a local/HDFS filesystem but NOT for object stores (no atomic
+        rename); on S3-class storage route compaction through
+        Delta/Iceberg OPTIMIZE instead.
         """
+        if _versions(self._path(table)):
+            raise ValueError(
+                f"compact() is for append tables; {table} is a versioned "
+                "rewrite table — its rewrite already replaces whole files"
+            )
         df = self.spark.read.parquet(self._path(table))
         part_cols = [c for c in df.columns if c == "dt"]
         if part_cols:
