@@ -43,8 +43,21 @@ def main() -> None:
     qmap = queries_map()
 
     names = [n for n in HEADLINE if n in qmap]
-    # warm the JVM + parquet footers once so timings measure the plans
-    qmap[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM so timings measure the PLANS, not one-time codegen/JIT
+    # compilation: run every headline query shape once at the smallest SF
+    # (the md5/higher-order-function/window codegen paths each cost ~1-2s
+    # of first-touch compilation that is irrelevant at production scale).
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir) or warm_dir == sf_dir.rstrip("/"):
+        warm_dir = None
+    for name in names:
+        try:
+            qmap[name](spark, warm_dir or sf_dir).write.format("noop").mode(
+                "overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
+        if warm_dir is None:
+            break  # no small SF available: single-query JVM warmup only
 
     timings: dict[str, float] = {}
     for name in names:

@@ -77,16 +77,23 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     shared vocabulary makes unigram minhash collapse into a handful of
     buckets — shingle cardinality keeps LSH buckets discriminative).
 
-    Shape: persist the shingle arrays (cache barrier against the
-    InferFiltersFromGenerate pushdown trap), then explode -> md5 ->
-    k affine mins as a groupBy. The explode moves the md5 into a
+    Shape: one codegen pipeline — tokenize -> shingle -> explode -> md5
+    -> k affine mins as a groupBy. The explode keeps the md5 in a
     whole-stage-codegen projection (~6x faster than higher-order-
     function evaluation per row); map-side partial aggregation means
-    the shuffle carries only k mins per doc.
+    the shuffle carries only k mins per doc. No persist barrier needed:
+    the session excludes InferFiltersFromGenerate (session.py), the
+    rule that used to push the shingle compute below the repartition.
     """
-    sh = df.select(
-        F.col(id_col), word_shingles(tokens(text_col), shingle_n).alias("_sh")
-    ).persist()
+    # bind the tokenizer to a column BEFORE the shingle lambda: the
+    # lambda's element_at(tok, ...) references its argument 3x per
+    # shingle, and an inlined expression re-runs the split each time
+    # (CSE does not reach inside lambdas) — a bound column is computed
+    # once per row
+    sh = (
+        df.select(F.col(id_col), tokens(text_col).alias("_tok"))
+        .select(F.col(id_col), word_shingles(F.col("_tok"), shingle_n).alias("_sh"))
+    )
     hashed = sh.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
         F.col(id_col), _token_hash32(F.col("_s")).alias("_h")
     )
@@ -105,11 +112,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
     bands of r = num_hashes/bands rows each; band key = md5 of the
     concatenated components. Returns (id_a, id_b, n_shared_bands).
+
+    Join-free formulation: one shuffle of (band, key, id) into
+    groupBy-collect buckets, then intra-bucket pair expansion by array
+    algebra (sorted ids -> ordered combinations) and a pair-count
+    groupBy. vs the band self-join: no second scan of the signatures,
+    no persist barrier, one fewer shuffle — measured 1.45x faster at
+    sf0.1 with identical output. Bucket sizes are LSH-bounded, so the
+    per-bucket quadratic expansion is the same work the self-join's
+    bucket-local match would do; a pathological hot bucket hurts either
+    formulation equally (salting does not apply — the bucket IS the
+    candidate set).
     """
     rows_per_band = num_hashes // bands
-    # materialize signatures once (tmp-table pattern): both sides of the
-    # band self-join read the cached 8-column table instead of re-hashing
-    sig = minhash_signature(df, text_col, id_col, num_hashes).persist()
+    sig = minhash_signature(df, text_col, id_col, num_hashes)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -122,14 +138,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
         .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    left = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
-    return (
-        left.join(right, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared_bands"))
+    buckets = (
+        exploded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("ids", 1, F.size("ids") - 1),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -47,6 +47,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate synthesizes size(arr)>0 filters from
+        # explode(); predicate pushdown then substitutes the FULL array
+        # expression into the filter and pushes it below repartition
+        # exchanges onto the (often single-task) scan — serializing the
+        # heaviest per-row compute (tokenize/shingle/md5). Pure perf
+        # heuristic, safe to exclude; explode drops empties anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
