@@ -296,3 +296,55 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Cluster near-dup pairs into components: (node_id, cluster_id) with
+    cluster_id = the minimum id reachable through the pair graph — the
+    canonicalization step every dedup family feeds (pairs alone don't
+    say which copy to keep; transitive closure does).
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label in its closed neighborhood; one shuffle join + one
+    groupBy per round, converging in O(component diameter) rounds. The
+    Python loop is driver-side CONTROL FLOW only (per-round work is
+    fully distributed; convergence is a changed-label count) — the
+    standard Spark connected-components shape. Near-dup graphs are
+    dense little cliques, so 2-3 rounds suffice; for adversarial
+    long-chain graphs at 100 TB swap in alternating large-star/
+    small-star rounds (same building blocks, O(log n) rounds).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neigh = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))

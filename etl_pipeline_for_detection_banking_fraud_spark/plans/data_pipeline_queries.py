@@ -140,11 +140,9 @@ _MH_BANDS_SQL = "\n        UNION ALL\n        ".join(
 )
 
 
-@_q(
-    "dedup_minhash_lsh",
-    "dedup: MinHash signatures + banded LSH candidate pairs",
-    f"""
-    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+# the full minhash-LSH candidate-pair pipeline in DuckDB SQL, shared by
+# the pairs oracle and the connected-components oracle below
+_MH_PAIRS_CTES = f"""toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
     shingled AS (
         SELECT doc_id,
                CASE WHEN len(tok) >= 3 THEN list_distinct(list_transform(
@@ -166,15 +164,51 @@ _MH_BANDS_SQL = "\n        UNION ALL\n        ".join(
     ),
     bands AS (
         {_MH_BANDS_SQL}
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    ),
+    mh_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )"""
+
+
+@_q(
+    "dedup_minhash_lsh",
+    "dedup: MinHash signatures + banded LSH candidate pairs",
+    f"""
+    WITH {_MH_PAIRS_CTES}
+    SELECT id_a, id_b, n_shared_bands FROM mh_pairs
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_clusters",
+    "dedup: connected components over near-dup pairs (iterative min-label "
+    "propagation; cluster_id = min reachable doc_id)",
+    f"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("node_id").alias("doc_id"), "cluster_id")
 
 
 @_q(

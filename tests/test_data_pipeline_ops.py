@@ -137,3 +137,19 @@ def test_multimodal_stub_features(docs):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"xx", "image/png")
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (transitive closure across pairs that never co-
+    occur), a 2-node island, and a singleton-free output (nodes only
+    come from pairs)."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.node_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
