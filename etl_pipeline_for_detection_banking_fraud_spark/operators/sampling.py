@@ -1,0 +1,64 @@
+"""Deterministic sampling for training-data curation.
+
+`df.sample()` draws from a partition-seeded RNG: results change with
+partitioning, executor count, and re-runs — useless for reproducible
+dataset curation or cross-engine verification. These operators sample
+by CONTENT HASH (md5, the engine's portability pin): the same row is
+in or out everywhere, forever, on any engine, regardless of layout.
+
+- hash_sample: Bernoulli keep-if-hash-below-threshold. Scan-local,
+  zero shuffle, partition-independent; the filter pushes to the scan.
+- stratified_sample_n: exactly-n rows per stratum, chosen by hash rank
+  (a deterministic reservoir). One window shuffle on the stratum key.
+
+Both are exactly expressible in DuckDB SQL, so they are oracle-checked
+like every other operator (no rows-only carve-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_BITS = 60  # 15 hex chars of md5 -> uniform 60-bit integer
+
+
+def hash60(key: Column, seed: str = "s0") -> Column:
+    """Uniform 60-bit hash of (seed | key), bit-identical in Spark and
+    DuckDB (`CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)`)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), key.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def sample_bound(fraction: float) -> int:
+    """The integer threshold for a keep-fraction (computed driver-side so
+    both engines compare against the same literal, no float in the plan)."""
+    return int(fraction * (1 << HASH_BITS))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                seed: str = "s0") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes below
+    fraction * 2^60. Changing `seed` draws an independent sample;
+    fractions are NESTED for a fixed seed (a 5% sample is a subset of
+    the 10% sample — handy for scaling-law curves)."""
+    return df.where(hash60(F.col(key_col), seed) < F.lit(sample_bound(fraction)))
+
+
+def stratified_sample_n(df: DataFrame, n: int, strata_col: str,
+                        key_col: str, seed: str = "s0") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum — a deterministic
+    reservoir: rank by (hash, key) inside each stratum and keep the
+    first n. Total order (hash then key) makes ties impossible, so the
+    selection is unique and engine-independent."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash60(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

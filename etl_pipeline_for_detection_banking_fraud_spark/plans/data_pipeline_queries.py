@@ -475,3 +475,51 @@ def sim_ann_lsh(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     media = multimodal.to_binary_table(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data curation)
+# ---------------------------------------------------------------------------
+
+from ..operators import sampling  # noqa: E402
+
+_H60 = ("CAST('0x' || substr(md5('{seed}|' || CAST({key} AS VARCHAR)), 1, 15) "
+        "AS BIGINT)")
+
+
+@_q(
+    "sample_hash",
+    "sampling: deterministic 10% Bernoulli by content hash (partition-"
+    "independent, reproducible, nested across fractions)",
+    f"""
+    SELECT doc_id, lang, text
+    FROM documents
+    WHERE {_H60.format(seed='s0', key='doc_id')} < {sampling.sample_bound(0.1)}
+    """,
+)
+def sample_hash(spark, sf_dir):
+    doc = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(doc.select("doc_id", "lang", "text"), 0.1)
+
+
+@_q(
+    "sample_stratified_n",
+    "sampling: exactly-n-per-stratum deterministic reservoir (hash-rank "
+    "inside each stratum)",
+    f"""
+    WITH ranked AS (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {_H60.format(seed='s0', key='event_id')}, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_id, event_type FROM ranked WHERE rn <= 50
+    """,
+)
+def sample_stratified_n(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sampling.stratified_sample_n(
+        ev.select("event_id", "event_type"), 50, "event_type", "event_id"
+    )

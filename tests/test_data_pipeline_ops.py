@@ -153,3 +153,19 @@ def test_connected_components_chain_and_islands(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_hash_sample_is_partition_independent_and_nested(spark, sf001):
+    """The same rows are selected regardless of physical layout, and a
+    smaller fraction's sample nests inside a larger one (fixed seed)."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import sampling
+
+    doc = spark.read.parquet(f"{sf001}/documents.parquet").select("doc_id")
+    ids_1part = {r.doc_id for r in sampling.hash_sample(doc.coalesce(1), 0.2).collect()}
+    ids_16part = {r.doc_id for r in sampling.hash_sample(doc.repartition(16), 0.2).collect()}
+    assert ids_1part == ids_16part and len(ids_1part) > 0
+    ids_small = {r.doc_id for r in sampling.hash_sample(doc, 0.05).collect()}
+    assert ids_small <= ids_1part
+    # independent seed draws a different sample
+    ids_seed2 = {r.doc_id for r in sampling.hash_sample(doc, 0.2, seed="s1").collect()}
+    assert ids_seed2 != ids_1part
