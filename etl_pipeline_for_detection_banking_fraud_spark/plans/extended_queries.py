@@ -273,3 +273,27 @@ def tpch_q3_shape(spark, sf_dir):
         .select("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "revenue")
         .limit(10)
     )
+
+
+@_q(
+    "quantiles_exact",
+    "exact interpolated quantiles (Spark percentile == DuckDB "
+    "quantile_cont, bit-identical on doubles) — the oracle-checked "
+    "sibling of approx_stats' sketches",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) AS p50,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)").alias("p25"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.50)").alias("p50"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)").alias("p95"),
+        F.count("*").alias("n"),
+    )
