@@ -124,3 +124,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     lowercase text (exact-dedup key that survives formatting noise)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction / relevance
+    weighting for corpus curation).
+
+    score = tf * ln(N / df): term frequency from an explode+groupBy
+    (map-side combined), document frequency from a second groupBy over
+    the distinct (doc, term) pairs, the corpus size N broadcast as a
+    1-row aggregate. The per-term join shuffles on the term — the only
+    data-sized shuffle; ln/div are IEEE-identical across engines so the
+    DuckDB oracle matches bitwise. Ties (equal score) break on term
+    order, making the top-k unique.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
+    terms = base.select(F.col(id_col), F.explode("_tok").alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = base.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(F.col(id_col), "term", "tf", "df", "tfidf", "rn")
+    )

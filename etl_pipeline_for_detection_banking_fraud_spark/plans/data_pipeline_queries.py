@@ -523,3 +523,30 @@ def sample_stratified_n(spark, sf_dir):
     return sampling.stratified_sample_n(
         ev.select("event_id", "event_type"), 50, "event_type", "event_id"
     )
+
+
+@_q(
+    "text_tfidf_topk",
+    "text: top-k TF-IDF terms per document (tf * ln(N/df), tie-broken "
+    "on term for a unique top-k)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    terms AS (SELECT doc_id, unnest(tok) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / docfreq.df) AS tfidf
+        FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
