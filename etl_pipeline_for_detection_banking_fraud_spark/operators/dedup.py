@@ -160,35 +160,62 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Doc pairs whose distinct word-n-gram Jaccard >= threshold.
 
-    Inverted-index formulation: explode distinct shingles, self-join on
-    the shingle (the only shuffle), count intersections, then
+    Inverted-index formulation: explode distinct shingles, bucket by
+    shingle (the only data-sized shuffle), count intersections, then
     |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    `max_df` (None = exact) drops shingles appearing in more than
+    max_df docs — the standard stop-shingle guard for Zipf corpora: a
+    ubiquitous shingle contributes one quadratic bucket expansion and
+    almost no Jaccard signal. With it set, bucket arrays and pair
+    counts are bounded; intersections that exist only through dropped
+    shingles undercount (pairs may fall below threshold — document the
+    cutoff when curating).
     """
     base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
     shingles = word_shingles(F.col("_tok"), n)
-    # Materialize the per-doc shingle sets ONCE (the reference's tmp-table
-    # CTAS pattern, SURVEY L1). Without the persist barrier two things go
-    # wrong: (a) the self-join recomputes shingling for both sides, and
-    # (b) InferFiltersFromGenerate pushes a size(sh)>0 filter — with the
-    # whole shingle+tokenizer expression inlined — below the exchange
-    # into the scan task, serializing the heaviest compute onto one core.
-    # (no size(sh)>0 filter here: explode drops empty arrays anyway, and
-    # an explicit filter on `sh` would itself be pushed below the
-    # exchange with the full expression inlined — same serialization trap)
-    sh = base.select(F.col(id_col), shingles.alias("sh")).persist()
-    # carry each doc's shingle-set size through the inverted index so no
-    # size-lookup join is needed afterwards; both self-join sides are
-    # identical subplans, so Spark reuses one shuffle (ReusedExchange)
+    # Join-free inverted index (same shape as minhash_lsh_pairs): one
+    # shuffle of (shingle, id, set-size) into per-shingle buckets, then
+    # intra-bucket ordered-pair expansion and a pair-count groupBy.
+    # Each doc's set size rides along in the bucket struct, so no
+    # size-lookup join afterwards. A hot shingle (stopword trigram)
+    # expands quadratically — exactly the pairs the self-join would
+    # emit for it; cap/salt hot shingles upstream if a corpus needs it.
+    # No persist barrier: nothing is scanned twice, and the session
+    # excludes InferFiltersFromGenerate (session.py).
+    sh = base.select(F.col(id_col), shingles.alias("sh"))
     inv = sh.select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
-    a = inv.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
-    b = inv.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    buckets = (
+        inv.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("n_sh")))).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    if max_df is not None:
+        buckets = buckets.where(F.size("members") <= max_df)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("members", 1, F.size("members") - 1),
+                    lambda m, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda m2: F.struct(
+                            m[id_col].alias("id_a"),
+                            m["n_sh"].alias("n_a"),
+                            m2[id_col].alias("id_b"),
+                            m2["n_sh"].alias("n_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.n_a", "p.id_b", "p.n_b")
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        pairs.groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (

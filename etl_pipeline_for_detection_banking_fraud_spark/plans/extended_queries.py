@@ -297,3 +297,24 @@ def quantiles_exact(spark, sf_dir):
         F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)").alias("p95"),
         F.count("*").alias("n"),
     )
+
+
+@_q(
+    "cube_agg",
+    "cube: all grouping-set combinations with grouping() markers",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
