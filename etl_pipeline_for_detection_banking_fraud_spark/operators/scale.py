@@ -48,3 +48,39 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, salt_buckets: int = 
     )
     out = salted_big.join(replicas, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_agg(df: DataFrame, key: str, agg_exprs: "dict[str, str]",
+               salt_buckets: int = 8) -> DataFrame:
+    """Two-stage aggregation robust to a hot grouping key.
+
+    Stage 1 pre-aggregates by (key, salt) — the hot key's rows scatter
+    over salt_buckets reducers instead of one; stage 2 merges the
+    per-salt partials by key. Only ALGEBRAIC aggregates decompose this
+    way (sum/count/min/max: merge(partial) == agg(all)); the result is
+    bit-identical to the direct groupBy for integer/decimal sums and
+    set-independent aggs. (Spark's own partial aggregation does the
+    same map-side, but cannot help when one REDUCER key dominates —
+    salting re-partitions the reduce itself.)
+
+    agg_exprs: {output_col: "sum(col)" | "count(*)" | "min(col)" | "max(col)"}.
+    """
+    import re
+
+    salted = df.withColumn(
+        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
+    )
+    partials, finals = [], []
+    for out, expr in agg_exprs.items():
+        m = re.fullmatch(r"(sum|count|min|max)\((.+)\)", expr.strip())
+        if not m:
+            raise ValueError(f"unsupported aggregate for salting: {expr}")
+        fn, col = m.group(1), m.group(2)
+        part = f"_p_{out}"
+        partials.append(F.expr(f"{fn}({col})").alias(part))
+        merge_fn = "sum" if fn in ("sum", "count") else fn
+        finals.append(F.expr(f"{merge_fn}({part})").alias(out))
+    return (
+        salted.groupBy(key, "_salt").agg(*partials)
+        .groupBy(key).agg(*finals)
+    )

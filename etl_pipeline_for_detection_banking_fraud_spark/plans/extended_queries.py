@@ -318,3 +318,41 @@ def cube_agg(spark, sf_dir):
         F.grouping("l_returnflag").cast("long").alias("g_flag"),
         F.grouping("l_linestatus").cast("long").alias("g_status"),
     )
+
+
+@_q(
+    "skew_salted_agg",
+    "scale: two-stage salted aggregation (hot grouping key scattered "
+    "over salt reducers; bit-identical to the direct groupBy)",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    # l_returnflag has 3 values over 600k rows at sf0.1 — a genuinely
+    # skewed reduce key; the salted plan must still match the plain
+    # groupBy oracle exactly (decimal-exact sums, order-free min/max)
+    from ..operators import scale
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_qty_dec", F.col("l_quantity").cast("decimal(18,4)")
+    )
+    out = scale.salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": "count(*)",
+            "qty_dec": "sum(_qty_dec)",
+            "first_ship": "min(l_shipdate)",
+            "last_ship": "max(l_shipdate)",
+        },
+    )
+    return out.select(
+        "l_returnflag", "n", F.col("qty_dec").cast("double").alias("qty"),
+        "first_ship", "last_ship",
+    )
