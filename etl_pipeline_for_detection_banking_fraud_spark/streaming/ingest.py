@@ -112,3 +112,42 @@ def card_pairs_diff_city_stream(tx_stream: DataFrame, terminals: DataFrame,
     ).select(
         F.col("card2").alias("card_num"), F.col("ts2").alias("event_dt"), "city1", "city2"
     )
+
+
+def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
+                        table: str = "dwh_fact_transactions"):
+    """EP1 as a streaming sink: each microbatch appends to the
+    hive-partitioned fact (same layout the batch path writes, so the
+    incremental partition-pruned rules read it unchanged) and leaves one
+    META_LOADING audit row per (microbatch, transaction day).
+
+    foreachBatch is the prescribed shape for sinks Spark doesn't ship:
+    inside the hook the microbatch is a plain DataFrame, so the batch
+    writer (and its partitioning) is reused verbatim — streaming and
+    batch ingest cannot drift. The checkpoint gives at-least-once per
+    microbatch; the append is idempotent per rerun only at the file
+    level (exactly-once needs a transactional table format underneath —
+    Delta/Iceberg slot in here unchanged).
+    """
+    from ..audit import log_meta
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            wh.append_transactions(batch_df, table)
+            days = (
+                batch_df.groupBy(F.to_date("transaction_date").alias("dt"))
+                .count()
+                .collect()
+            )
+            for r in days:
+                log_meta(wh, f"stream_{table}", r["dt"], r["count"])
+        finally:
+            batch_df.unpersist()
+
+    return (
+        tx_stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

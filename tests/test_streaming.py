@@ -88,3 +88,39 @@ def test_stream_pair_join(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_stream_to_warehouse_fact_and_audit(spark, ref_data, tmp_path):
+    """Streamed ingest lands in the same hive-partitioned fact layout as
+    the batch path (partition-pruned reads work unchanged) and leaves
+    one audit row per (microbatch, day)."""
+    import datetime
+
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
+
+    inbox = tmp_path / "wh_sink_in"
+    inbox.mkdir()
+    for d in ("01032021", "02032021", "03032021"):
+        shutil.copy(os.path.join(ref_data, f"transactions_{d}.txt"), inbox)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    tx = ingest.read_transactions_stream(spark, str(inbox))
+    q = ingest.stream_to_warehouse(tx, wh, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    fact = wh.read_transactions()
+    assert fact.count() == 15650 + 15686 + 15780
+    day2 = wh.read_transactions(
+        since=datetime.date(2021, 3, 2), until=datetime.date(2021, 3, 2)
+    )
+    plan = day2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert day2.count() == 15686
+
+    meta = wh.read("meta_loading").toPandas()
+    stream_rows = meta[meta.table_name == "stream_dwh_fact_transactions"]
+    assert sorted(stream_rows.rows_processed) == [15650, 15686, 15780]
+    assert set(stream_rows.status) == {"SUCCESS"}
