@@ -149,3 +149,56 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int =
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+def ann_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                 center_fraction: float = 0.02, n_probe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus against a
+    deterministic center set, probe only the query's nearest cells.
+
+    Centers are a hash-sampled subset of the corpus itself
+    (`sampling.hash_sample`, seed-pinned) — unlike k-means centroids
+    they are reproducible on any engine, so the WHOLE index build is
+    oracle-checkable. Shapes: the center set stays broadcast-sized
+    (~sqrt(n) rows), assignment is corpus x broadcast-centers scored
+    JVM-side with one window for the argmin, and the probe join
+    shuffles on the cell id — at 100 TB only the probed cells' vectors
+    are ever scored against a query. Recall rises with n_probe /
+    center_fraction; ties break on ids so results are unique.
+    """
+    from .sampling import hash_sample
+
+    centers = hash_sample(emb, center_fraction, key_col=id_col, seed="ivf").select(
+        F.col(id_col).alias("center_id"), F.col(vec_col).alias("cvec")
+    )
+    centers = centers.withColumn("c_nrm", l2_norm(F.col("cvec")))
+
+    def _nearest_cells(side: DataFrame, key: str, vec: str, nrm: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centers)).withColumn(
+            "c_cos",
+            dot_decimal(F.col(vec), F.col("cvec")) / (F.col(nrm) * F.col("c_nrm")),
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("c_cos"), F.asc("center_id"))
+        return (
+            scored.withColumn("_crn", F.row_number().over(w))
+            .where(F.col("_crn") <= n)
+            .drop("cvec", "c_nrm", "c_cos", "_crn")
+        )
+
+    corpus = emb.withColumn("nrm", l2_norm(F.col(vec_col)))
+    assigned = _nearest_cells(corpus, id_col, vec_col, "nrm", 1)
+    q = queries.withColumn("qnrm", l2_norm(F.col("qvec")))
+    probes = _nearest_cells(q, "query_id", "qvec", "qnrm", n_probe)
+
+    cand = assigned.join(probes, "center_id").where(F.col(id_col) != F.col("query_id"))
+    cos = dot_decimal(F.col(vec_col), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
+    scored = cand.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine"))
+    # a vector in several probed cells appears once per cell: dedup before ranking
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

@@ -550,3 +550,76 @@ def sample_stratified_n(spark, sf_dir):
 )
 def text_tfidf_topk(spark, sf_dir):
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)")
+
+
+@_q(
+    "sim_ann_ivf",
+    "similarity: IVF-flat approximate top-k (deterministic hash-sampled "
+    "centers, argmin cell assignment, n_probe=2 probe join)",
+    f"""
+    WITH centers AS (
+        SELECT vec_id AS center_id, embedding AS cvec,
+               {_NORM_SQL.format(v='embedding')} AS c_nrm
+        FROM embeddings
+        WHERE {_H60.format(seed='ivf', key='vec_id')} < {{bound}}
+    ),
+    corpus AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+    ),
+    ca AS (
+        SELECT c.vec_id, c.embedding, c.nrm, ct.center_id,
+               {_dot_sql('c.embedding', 'ct.cvec')} / (c.nrm * ct.c_nrm) AS c_cos
+        FROM corpus c CROSS JOIN centers ct
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, center_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY c_cos DESC, center_id) AS crn
+            FROM ca) WHERE crn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+        FROM corpus WHERE vec_id < 3
+    ),
+    qa AS (
+        SELECT q.query_id, q.qvec, q.qnrm, ct.center_id,
+               {_dot_sql('q.qvec', 'ct.cvec')} / (q.qnrm * ct.c_nrm) AS c_cos
+        FROM q CROSS JOIN centers ct
+    ),
+    probes AS (
+        SELECT query_id, qvec, qnrm, center_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY c_cos DESC, center_id) AS crn
+            FROM qa) WHERE crn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+               a.embedding, a.nrm, p.qvec, p.qnrm
+        FROM assigned a JOIN probes p
+             ON a.center_id = p.center_id AND a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_dot_sql('embedding', 'qvec')} / (nrm * qnrm) AS cosine
+        FROM cand
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= 5
+    """.replace("{bound}", str(sampling.sample_bound(0.02))),
+)
+def sim_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ann_ivf_topk(emb, queries, k=5, center_fraction=0.02, n_probe=2)
