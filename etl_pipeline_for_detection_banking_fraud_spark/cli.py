@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="use the literal self-join rule formulations instead of windows")
     rp.add_argument("--fixed-idempotency", action="store_true",
                     help="dedup rules 1-2 against the mart too (fixes the reference's re-run double-insert)")
+    rp.add_argument("--incremental", action="store_true",
+                    help="partition-pruned scale mode: rules read only the current day "
+                         "(+1-day lookback for time bands; delta-decomposed rule 1 for "
+                         "backdated blacklist entries) instead of the full fact history")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="fraud_etl_cli")
@@ -57,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
         archive_dir=args.archive,
         use_window_rules=not args.join_rules,
         strict=not args.fixed_idempotency,
+        incremental=args.incremental,
     )
     days = discover_days(args.data)
     if not days:
