@@ -351,17 +351,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neigh = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "label")
+        # localCheckpoint (eager) truncates LINEAGE, not just execution:
+        # with persist alone the logical plan doubles per round and the
+        # final plan drags every iteration behind it (thousands of
+        # phantom exchanges; planning time grows with rounds). Not
+        # replayable on executor loss — an iterative production job on a
+        # cluster would use reliable checkpoint(dir) here, same shape.
         new_labels = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -369,7 +375,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
