@@ -161,11 +161,13 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     (`sampling.hash_sample`, seed-pinned) — unlike k-means centroids
     they are reproducible on any engine, so the WHOLE index build is
     oracle-checkable. Shapes: the center set stays broadcast-sized
-    (~sqrt(n) rows), assignment is corpus x broadcast-centers scored
-    JVM-side with one window for the argmin, and the probe join
-    shuffles on the cell id — at 100 TB only the probed cells' vectors
-    are ever scored against a query. Recall rises with n_probe /
-    center_fraction; ties break on ids so results are unique.
+    (~sqrt(n) rows) and rides as ONE broadcast array row, so cell
+    assignment is zero-shuffle per-row array algebra (score, sort,
+    slice inside the row); the probe side is broadcast into the cell
+    join — at 100 TB only the probed cells' vectors are ever scored
+    against a query and the corpus is never shuffled at all before the
+    final per-query top-k. Recall rises with n_probe / center_fraction;
+    ties break on ids so results are unique.
     """
     from .sampling import hash_sample
 
@@ -173,25 +175,44 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("center_id"), F.col(vec_col).alias("cvec")
     )
     centers = centers.withColumn("c_nrm", l2_norm(F.col("cvec")))
-
-    def _nearest_cells(side: DataFrame, key: str, vec: str, nrm: str, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(centers)).withColumn(
-            "c_cos",
-            dot_decimal(F.col(vec), F.col("cvec")) / (F.col(nrm) * F.col("c_nrm")),
+    # the whole center set as ONE broadcast row: cell assignment becomes
+    # per-row array algebra (score every center inside the row, sort,
+    # slice) — ZERO shuffle, vs a window argmin that would shuffle the
+    # full corpus by its unique id just to rank 3 scores per row
+    centers_arr = F.broadcast(
+        centers.agg(
+            F.collect_list(
+                F.struct(F.col("center_id"), F.col("cvec"), F.col("c_nrm"))
+            ).alias("cts")
         )
-        w = Window.partitionBy(key).orderBy(F.desc("c_cos"), F.asc("center_id"))
+    )
+
+    def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:
+        # sort key (-cos, center_id): ascending struct sort == cosine
+        # DESC with center_id tie-break, exactly the oracle's ORDER BY
+        scored_arr = F.transform(
+            F.col("cts"),
+            lambda c: F.struct(
+                (-(dot_decimal(F.col(vec), c["cvec"]) / (F.col(nrm) * c["c_nrm"])))
+                .alias("neg_cos"),
+                c["center_id"].alias("center_id"),
+            ),
+        )
+        top = F.slice(F.sort_array(scored_arr), 1, n)
         return (
-            scored.withColumn("_crn", F.row_number().over(w))
-            .where(F.col("_crn") <= n)
-            .drop("cvec", "c_nrm", "c_cos", "_crn")
+            side.crossJoin(centers_arr)
+            .withColumn("center_id", F.explode(F.transform(top, lambda s: s["center_id"])))
+            .drop("cts")
         )
 
     corpus = emb.withColumn("nrm", l2_norm(F.col(vec_col)))
-    assigned = _nearest_cells(corpus, id_col, vec_col, "nrm", 1)
+    assigned = _nearest_cells(corpus, vec_col, "nrm", 1)
     q = queries.withColumn("qnrm", l2_norm(F.col("qvec")))
-    probes = _nearest_cells(q, "query_id", "qvec", "qnrm", n_probe)
+    probes = _nearest_cells(q, "qvec", "qnrm", n_probe)
 
-    cand = assigned.join(probes, "center_id").where(F.col(id_col) != F.col("query_id"))
+    cand = assigned.join(F.broadcast(probes), "center_id").where(
+        F.col(id_col) != F.col("query_id")
+    )
     cos = dot_decimal(F.col(vec_col), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
     scored = cand.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine"))
     # a vector in several probed cells appears once per cell: dedup before ranking
