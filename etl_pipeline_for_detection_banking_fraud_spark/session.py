@@ -59,6 +59,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # zstd over default snappy: ~30% smaller parquet at comparable
+        # scan speed — at 100 TB that is tens of TB less I/O per full
+        # scan and proportionally fewer input partitions. (Runtime bloom
+        # -filter join pruning and parquet filter pushdown are already on
+        # by default in Spark 4 — asserted in tests/test_session_scale.py.)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
