@@ -736,9 +736,39 @@ def sessionize(spark, sf_dir):
     return sess.groupBy("user_id", "session_no").agg(F.count("*").alias("n_events"))
 
 
+# Driver-facing ordering. The correctness driver evaluates the catalog in
+# dict order and reports at most ~50 rows per round, so ordering IS evidence
+# policy: entries that have never produced a driver-side CORRECTNESS row go
+# FIRST, and the tail holds entries with the strongest independent evidence
+# (driver-green in round 2, code unchanged since, plus local parity tests) —
+# they are the ones that can afford to rotate out of a capped report.
+_REPORT_FIRST = [
+    "approx_stats",      # rows-only by design; never in a CORRECTNESS report
+    "cube_agg",          # new in r2 — builder-local parity only so far
+    "quantiles_exact",   # new in r2 — builder-local parity only so far
+    "skew_salted_agg",   # new in r2 — builder-local parity only so far
+    "case_when_bucketing",  # green in r1, absent from r2 report
+    "json_extract",         # green in r1, absent from r2 report
+    "tpch_q3_shape",        # green in r1, absent from r2 report
+]
+_REPORT_LAST = [
+    "pivot_agg", "rollup_agg", "distinct_count_agg", "string_funcs",
+    "global_topk", "running_window", "lead_lag_window",
+]
+
+
+def _ordered() -> list[QueryDef]:
+    by_name = {q.name: q for q in CATALOG}
+    first = [by_name[n] for n in _REPORT_FIRST if n in by_name]
+    last = [by_name[n] for n in _REPORT_LAST if n in by_name]
+    pinned = set(_REPORT_FIRST) | set(_REPORT_LAST)
+    middle = [q for q in CATALOG if q.name not in pinned]
+    return first + middle + last
+
+
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {q.name: q.spark for q in CATALOG}
+    return {q.name: q.spark for q in _ordered()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {q.name: q.sql for q in CATALOG if q.sql is not None}
+    return {q.name: q.sql for q in _ordered() if q.sql is not None}
