@@ -107,7 +107,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      num_hashes: int = 8, bands: int = 4) -> DataFrame:
+                      num_hashes: int = 8, bands: int = 4,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on >= 1 LSH band.
 
     bands of r = num_hashes/bands rows each; band key = md5 of the
@@ -118,14 +119,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     algebra (sorted ids -> ordered combinations) and a pair-count
     groupBy. vs the band self-join: no second scan of the signatures,
     no persist barrier, one fewer shuffle — measured 1.45x faster at
-    sf0.1 with identical output. Bucket sizes are LSH-bounded, so the
-    per-bucket quadratic expansion is the same work the self-join's
-    bucket-local match would do; a pathological hot bucket hurts either
-    formulation equally (salting does not apply — the bucket IS the
-    candidate set).
+    sf0.1 with identical output. Memory caveat: each bucket's id list
+    AND its O(|bucket|^2) pair array materialize in ONE reducer row
+    (the self-join streams the same expansion across tasks), so a
+    degenerate bucket — e.g. thousands of byte-identical docs sharing
+    every band — is a single-row OOM here. `max_bucket` guards that:
+    buckets larger than it are dropped BEFORE the collect via a
+    pre-count + broadcast anti-join (no extra shuffle of the exploded
+    band stream; over-threshold buckets are few by construction). Run
+    `exact_dedup` first so identical copies collapse to one member, and
+    treat a tripped guard as a signal, not noise.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes)
+    if max_bucket is not None:
+        # the guard's count pass re-reads the signatures; persist them
+        # (k longs per doc — tiny next to the corpus) instead of
+        # re-running tokenize+shingle+md5 over the whole input
+        sig = sig.persist()
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -138,6 +149,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
         .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+    if max_bucket is not None:
+        hot = (
+            exploded.groupBy("band", "key").agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "key")
+        )
+        exploded = exploded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     buckets = (
         exploded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -171,10 +189,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     `max_df` (None = exact) drops shingles appearing in more than
     max_df docs — the standard stop-shingle guard for Zipf corpora: a
     ubiquitous shingle contributes one quadratic bucket expansion and
-    almost no Jaccard signal. With it set, bucket arrays and pair
-    counts are bounded; intersections that exist only through dropped
-    shingles undercount (pairs may fall below threshold — document the
-    cutoff when curating).
+    almost no Jaccard signal. The guard is applied BEFORE the bucket
+    collect (pre-count + broadcast anti-join), bounding every collected
+    array at max_df entries — with None, a shingle shared by d docs
+    builds an O(d^2) pair array in one reducer row, so set max_df on
+    any corpus where a shingle's document frequency is unbounded.
+    Intersections that exist only through dropped shingles undercount
+    (pairs may fall below threshold — document the cutoff when curating).
     """
     base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
     shingles = word_shingles(F.col("_tok"), n)
@@ -182,20 +203,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # shuffle of (shingle, id, set-size) into per-shingle buckets, then
     # intra-bucket ordered-pair expansion and a pair-count groupBy.
     # Each doc's set size rides along in the bucket struct, so no
-    # size-lookup join afterwards. A hot shingle (stopword trigram)
-    # expands quadratically — exactly the pairs the self-join would
-    # emit for it; cap/salt hot shingles upstream if a corpus needs it.
-    # No persist barrier: nothing is scanned twice, and the session
-    # excludes InferFiltersFromGenerate (session.py).
+    # size-lookup join afterwards. NOTE the memory asymmetry vs a
+    # self-join: this shape materializes each bucket's posting list and
+    # pair array in ONE row, so a hot shingle is a single-reducer OOM,
+    # not just skew — which is why max_df pre-filters below, before any
+    # array is collected. No persist barrier: nothing is scanned twice,
+    # and the session excludes InferFiltersFromGenerate (session.py).
     sh = base.select(F.col(id_col), shingles.alias("sh"))
     inv = sh.select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        # Stop-shingles must be dropped BEFORE collect_list: this shape
+        # concentrates each shingle's whole posting list in ONE row, so a
+        # hot shingle filtered after the groupBy still builds its O(df)
+        # array (and O(df^2) pair array) in a single reducer's memory —
+        # unlike the self-join, which streams its quadratic expansion
+        # across tasks. Hot shingles are the Zipf head (few distinct
+        # values), so the pre-count fits a broadcast and the anti-join
+        # adds no shuffle of the data-sized inverted index; the count
+        # pass itself ships only map-side partials. The shingle explode
+        # is recomputed for the second pass — cheap codegen, preferred
+        # over persisting a corpus-sized intermediate at scale.
+        hot = (
+            inv.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     buckets = (
         inv.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("n_sh")))).alias("members"))
         .where(F.size("members") >= 2)
     )
-    if max_df is not None:
-        buckets = buckets.where(F.size("members") <= max_df)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -378,5 +416,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Falling through with changed > 0 means some component's diameter
+        # exceeds max_iterations and the labels are SPLIT clusters — wrong
+        # answers, not slow ones. Refuse to return them silently.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing): a component's diameter exceeds "
+            "the iteration budget. Raise max_iterations or use "
+            "connected_components_star (O(log n) rounds) for chain-like graphs."
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))

@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_salt(df: DataFrame, salt_buckets: int):
+    """Deterministic per-row salt derived from row CONTENT.
+
+    Never salt from monotonically_increasing_id / rand: both are
+    recomputed nondeterministically on task retry, so after a shuffle
+    fetch failure the re-run map task can route the same row to a
+    DIFFERENT reducer than the partials already fetched — rows double-
+    count or vanish (the SPARK-23207 class of bug). A content hash is
+    stable across retries; pmod (not abs(..)%n) because
+    abs(Int.MinValue) is negative.  Duplicate rows share a salt, which
+    only matters if the hot key's rows are near-identical — acceptable,
+    since the alternative is incorrect under retry.
+    """
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
                    sort_by: str | None = None) -> None:
     """Persist a table bucketed (and optionally sorted) by the join key."""
@@ -33,14 +49,10 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, salt_buckets: int = 
                 how: str = "inner") -> DataFrame:
     """Equi-join robust to heavy skew in ``big``'s key distribution.
 
-    big gets a random-but-deterministic salt (hash of a secondary
-    surrogate — here monotonically_increasing_id is fine because the
-    salt only has to scatter, not be stable across runs); small is
-    replicated once per salt value. Join key becomes (key, salt).
+    big gets a retry-stable content-derived salt (see ``_content_salt``);
+    small is replicated once per salt value. Join key becomes (key, salt).
     """
-    salted_big = big.withColumn(
-        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
-    )
+    salted_big = big.withColumn("_salt", _content_salt(big, salt_buckets))
     replicas = small.crossJoin(
         F.broadcast(
             small.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
@@ -67,9 +79,7 @@ def salted_agg(df: DataFrame, key: str, agg_exprs: "dict[str, str]",
     """
     import re
 
-    salted = df.withColumn(
-        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
-    )
+    salted = df.withColumn("_salt", _content_salt(df, salt_buckets))
     partials, finals = [], []
     for out, expr in agg_exprs.items():
         m = re.fullmatch(r"(sum|count|min|max)\((.+)\)", expr.strip())

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import schemas
-from .audit import log_meta
+from .audit import flush_meta, log_meta
 from .operators import fraud_rules, scd2
 from .sources.csv_source import extract_date_global, read_transactions
 from .sources.warehouse import Warehouse
@@ -96,6 +96,7 @@ class DailyBatch:
                 log_meta(self.wh, f"CLEAR_{t}", date_global, 0, "SUCCESS")
         except Exception as e:  # noqa: BLE001 — reference logs, not raises
             log_meta(self.wh, "CLEAR_STG_TABLES", date_global, 0, f"ERROR: {e}")
+        flush_meta(self.wh)
 
     def _archive(self, path: str) -> None:
         """Processed-file archival (reference: main.py:66,74,82 SNK4)."""
@@ -240,6 +241,7 @@ class DailyBatch:
         acc = acc.unionByName(settle(r4, "REP_FRAUD_attempt_amount", "rep_fraud_attempt_amount"))
 
         self.wh.append(acc, MART)
+        flush_meta(self.wh)
         for df in persisted:
             df.unpersist()
         return counts

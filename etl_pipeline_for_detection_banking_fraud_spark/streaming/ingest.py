@@ -124,14 +124,28 @@ def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
     foreachBatch is the prescribed shape for sinks Spark doesn't ship:
     inside the hook the microbatch is a plain DataFrame, so the batch
     writer (and its partitioning) is reused verbatim — streaming and
-    batch ingest cannot drift. The checkpoint gives at-least-once per
-    microbatch; the append is idempotent per rerun only at the file
-    level (exactly-once needs a transactional table format underneath —
-    Delta/Iceberg slot in here unchanged).
+    batch ingest cannot drift.
+
+    Idempotency: Spark's checkpoint replays a microbatch after a
+    failure with the SAME batch_id, so the sink logs a
+    ``COMMIT_BATCH_<id>`` marker row (flushed last) and skips any
+    batch_id already marked — a replay of a fully-committed batch
+    appends nothing. The marker set is read once at stream start and
+    maintained driver-side (foreachBatch runs on the driver), so the
+    steady-state check is O(1), not a table read per batch. The
+    remaining window is a crash BETWEEN the fact append and the marker
+    flush: that replay still double-appends (at-least-once); closing it
+    needs an atomic multi-file commit, i.e. a transactional table
+    format — Delta/Iceberg slot in here unchanged.
     """
-    from ..audit import log_meta
+    from ..audit import flush_meta, log_meta, logged_stream_batches
+
+    marker = f"stream_{table}"
+    committed = logged_stream_batches(wh, marker)
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed:
+            return
         batch_df = batch_df.persist()
         try:
             wh.append_transactions(batch_df, table)
@@ -140,8 +154,13 @@ def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
                 .count()
                 .collect()
             )
+            total = 0
             for r in days:
-                log_meta(wh, f"stream_{table}", r["dt"], r["count"])
+                log_meta(wh, marker, r["dt"], r["count"])
+                total += r["count"]
+            log_meta(wh, marker, None, total, f"COMMIT_BATCH_{batch_id}")
+            flush_meta(wh)
+            committed.add(batch_id)
         finally:
             batch_df.unpersist()
 

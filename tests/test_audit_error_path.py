@@ -31,6 +31,24 @@ def test_clear_stg_rows_logged_per_day(spark, ref_data, tmp_path):
     assert list(clear.rows_processed) == [0, 0, 0]
 
 
+def test_audit_writes_are_buffered_not_per_stage(spark, ref_data, tmp_path):
+    """meta_loading must accumulate O(flushes-per-day) parquet files, not
+    one per stage — the per-stage 1-row append is the classic small-files
+    generator at scale (verdict r2 hygiene item)."""
+    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    batch = DailyBatch(spark, str(tmp_path / "wh"), dims)
+    batch.run_day(
+        os.path.join(ref_data, "transactions_01032021.txt"),
+        os.path.join(ref_data, "passport_blacklist_01032021.xlsx"),
+        os.path.join(ref_data, "terminals_01032021.xlsx"),
+    )
+    meta_dir = os.path.join(str(tmp_path / "wh"), "meta_loading")
+    parts = [f for f in os.listdir(meta_dir) if f.endswith(".parquet")]
+    n_rows = batch.wh.read("meta_loading").count()
+    assert n_rows >= 10  # the full per-stage audit surface is still there
+    assert len(parts) <= 3  # but the day landed in O(1) flushes, not O(stages)
+
+
 def test_failing_stage_writes_error_audit_row(spark, ref_data, tmp_path):
     dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
     batch = DailyBatch(spark, str(tmp_path / "wh"), dims)

@@ -122,5 +122,43 @@ def test_stream_to_warehouse_fact_and_audit(spark, ref_data, tmp_path):
 
     meta = wh.read("meta_loading").toPandas()
     stream_rows = meta[meta.table_name == "stream_dwh_fact_transactions"]
-    assert sorted(stream_rows.rows_processed) == [15650, 15686, 15780]
-    assert set(stream_rows.status) == {"SUCCESS"}
+    day_rows = stream_rows[stream_rows.status == "SUCCESS"]
+    assert sorted(day_rows.rows_processed) == [15650, 15686, 15780]
+    commits = stream_rows[stream_rows.status.str.startswith("COMMIT_BATCH_")]
+    assert len(commits) == 3  # one marker per microbatch
+
+
+def test_stream_to_warehouse_replay_is_idempotent(spark, ref_data, tmp_path):
+    """A replayed microbatch (same batch_id, e.g. recovery re-delivery)
+    must not double-append fact rows: the sink skips batch_ids that
+    already carry a COMMIT_BATCH marker in the audit table."""
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
+
+    inbox = tmp_path / "wh_replay_in"
+    inbox.mkdir()
+    for d in ("01032021", "02032021"):
+        shutil.copy(os.path.join(ref_data, f"transactions_{d}.txt"), inbox)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    tx = ingest.read_transactions_stream(spark, str(inbox))
+    q = ingest.stream_to_warehouse(tx, wh, str(tmp_path / "ckpt1"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = wh.read_transactions().count()
+    assert n_first == 15650 + 15686
+
+    # Fresh checkpoint over the same files re-delivers batch_ids 0..1 —
+    # the worst-case replay. The committed-marker set must skip both.
+    tx2 = ingest.read_transactions_stream(spark, str(inbox))
+    q2 = ingest.stream_to_warehouse(tx2, wh, str(tmp_path / "ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    assert wh.read_transactions().count() == n_first
+    meta = wh.read("meta_loading").toPandas()
+    commits = meta[meta.status.str.startswith("COMMIT_BATCH_")]
+    assert len(commits) == 2  # markers not duplicated either
