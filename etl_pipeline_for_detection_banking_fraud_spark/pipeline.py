@@ -135,9 +135,10 @@ class DailyBatch:
             if self.incremental:
                 # Incremental rule 1 needs today's blacklist delta for the
                 # retroactive term; persist the tiny delta so the anti-join
-                # doesn't re-run after the append below changes the table.
+                # doesn't re-run after the append below changes the table
+                # (the append itself materializes the cache — no eager
+                # count needed).
                 bl_new = bl_new.persist()
-                bl_new.count()
             self.wh.append(bl_new, FACT_BL)
         with self._audited_stage(FACT_TX, date_global):
             self.wh.append_transactions(tx, FACT_TX)
@@ -205,8 +206,12 @@ class DailyBatch:
             # Re-scan only the partition-pruned band (min delta date, today)
             # against ONLY the delta entries — O(delta window), not
             # O(history); skipped entirely on days with no new entries.
+            # min_bl >= date_global means no entry is BACKDATED (the common
+            # case: feeds date new entries the day they arrive) — the retro
+            # range would be empty, so don't even build its subplan; the
+            # current-day term already covers same-day entries.
             min_bl = bl_delta.agg(F.min("date")).first()[0]
-            if min_bl is not None:
+            if min_bl is not None and min_bl < date_global:
                 retro_tx = self.wh.read_transactions(
                     FACT_TX,
                     since=min_bl + datetime.timedelta(days=1),
