@@ -450,7 +450,10 @@ def sim_ann_lsh(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return similarity.ann_lsh_topk(emb, queries, k=5)
+    # n_tables=1: the single-table configuration the SQL oracle
+    # transcribes exactly; the multi-table recall knob is covered by
+    # tests/test_ann_recall.py against the exact baseline
+    return similarity.ann_lsh_topk(emb, queries, k=5, n_tables=1)
 
 
 # ---------------------------------------------------------------------------
