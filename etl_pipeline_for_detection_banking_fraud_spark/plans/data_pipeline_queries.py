@@ -212,6 +212,33 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_clusters_star",
+    "dedup: connected components via alternating large-star/small-star "
+    "rounds (O(log n) rounds vs propagation's O(diameter)) — same "
+    "clusters, same recursive-CTE oracle",
+    f"""
+    WITH RECURSIVE {_MH_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_star(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    cc = dedup.connected_components_star(pairs)
+    return cc.select(F.col("node_id").alias("doc_id"), "cluster_id")
+
+
+@_q(
     "dedup_ngram_jaccard",
     "dedup: word-trigram Jaccard pairs via inverted-index join",
     f"""

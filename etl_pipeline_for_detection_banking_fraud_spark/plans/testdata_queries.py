@@ -750,6 +750,7 @@ _REPORT_FIRST = [
     "case_when_bucketing",  # green in r1, absent from r2 report
     "json_extract",         # green in r1, absent from r2 report
     "tpch_q3_shape",        # green in r1, absent from r2 report
+    "dedup_clusters_star",  # new in r3
 ]
 _REPORT_LAST = [
     "pivot_agg", "rollup_agg", "distinct_count_agg", "string_funcs",

@@ -155,6 +155,49 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Differential: the large-star/small-star variant must produce the
+    identical labeling on a seeded random graph (cliques + chains +
+    islands mixed)."""
+    import random
+
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup
+
+    rnd = random.Random(11)
+    edges = {(rnd.randrange(150), rnd.randrange(150)) for _ in range(180)}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a bigint, id_b bigint"
+    )
+    prop = {
+        r.node_id: r.cluster_id
+        for r in dedup.connected_components(pairs, max_iterations=60).collect()
+    }
+    star = {
+        r.node_id: r.cluster_id
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert star == prop
+
+
+def test_connected_components_star_handles_long_chains(spark):
+    """A planted 61-node chain (diameter 60): min-label propagation's
+    default budget refuses with a convergence error (it would need ~60
+    rounds), while the star variant finishes in its default O(log n)
+    budget with the correct single cluster."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs).collect()
+    got = {
+        r.node_id: r.cluster_id
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
 def test_hash_sample_is_partition_independent_and_nested(spark, sf001):
     """The same rows are selected regardless of physical layout, and a
     smaller fraction's sample nests inside a larger one (fixed seed)."""
