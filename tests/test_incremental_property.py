@@ -1,0 +1,168 @@
+"""Property test: incremental (partition-pruned) fraud rules ≡ faithful.
+
+The retroactive-blacklist term (pipeline.py run_fraud_rules) is the
+subtlest piece of the incremental mode: a blacklist entry arriving N
+days LATE must flag transactions that already sit in past partitions —
+faithful mode sees them because it re-scans everything daily;
+incremental mode must reconstruct exactly that set from (delta entries
+x pruned retro band) alone. Hypothesis plants the adversarial shapes:
+
+- entries arriving 0..2 days late (backdated), several per day
+- transactions scattered across days/cards, before/on/after entry dates
+- a passport that EXPIRES mid-window (rule 1's other predicate arm:
+  the retro re-scan re-detects old expiry hits, which the stored-mart
+  guard must drop, not re-insert)
+
+Invariant: the DISTINCT hit set (ignoring report_dt — faithful
+re-inserts historical hits daily by design) is identical, and the
+incremental mart never re-inserts a hit under a second report_dt.
+
+Each example replays day-by-day in BOTH modes at the run_fraud_rules
+level (fact appends + rules; file ingest is exercised elsewhere).
+"""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_detection_banking_fraud_spark import schemas
+from etl_pipeline_for_detection_banking_fraud_spark.pipeline import FACT_BL, DailyBatch
+
+D0 = datetime.date(2021, 3, 1)
+N_DAYS = 3
+CARDS = ["C1", "C2"]
+PASSPORTS = ["1111 111111", "2222 222222"]
+
+# transaction: (day 0..2, hour, card idx) — always SUCCESS (the result
+# filter has its own planted tests)
+_tx_st = st.tuples(
+    st.integers(0, N_DAYS - 1), st.integers(0, 23), st.integers(0, 1)
+)
+# blacklist entry: (arrival day, days backdated 0..2, passport idx);
+# entry date = arrival - backdate (clamped at day 0)
+_bl_st = st.tuples(
+    st.integers(0, N_DAYS - 1), st.integers(0, 2), st.integers(0, 1)
+)
+
+
+def _dims(spark):
+    cards = spark.createDataFrame(
+        [("C1", "A1", D0, None), ("C2", "A2", D0, None)], schema=schemas.CARDS
+    )
+    accounts = spark.createDataFrame(
+        [("A1", datetime.date(2030, 1, 1), "CL1", D0, None),
+         ("A2", datetime.date(2030, 1, 1), "CL2", D0, None)],
+        schema=schemas.ACCOUNTS,
+    )
+    clients = spark.createDataFrame(
+        [
+            # CL1's passport expires on day 2 -> expiry hits mix with
+            # blacklist hits inside the retro window
+            ("CL1", "Ivanov", "Ivan", None, datetime.date(1980, 1, 1),
+             PASSPORTS[0], D0 + datetime.timedelta(days=1), "+7 900 000-00-01",
+             D0, None),
+            ("CL2", "Petrov", "Petr", None, datetime.date(1985, 1, 1),
+             PASSPORTS[1], None, "+7 900 000-00-02", D0, None),
+        ],
+        schema=schemas.CLIENTS,
+    )
+    return {"cards": cards, "accounts": accounts, "clients": clients}
+
+
+def _hit_set(mart):
+    cols = [c for c in mart.columns if c != "report_dt"]
+    return set(map(tuple, mart.select(*cols).distinct().collect()))
+
+
+def _replay(spark, dims, txs, entries, incremental: bool):
+    """Day-by-day replay; returns (mart_hit_set, max_report_dts_per_hit)
+    and removes its warehouse tmpdir before returning."""
+    root = tempfile.mkdtemp(prefix="prop_wh_")
+    try:
+        batch = DailyBatch(spark, root, dims, incremental=incremental)
+        seen_passports: set[str] = set()
+        for day_off in range(N_DAYS):
+            day = D0 + datetime.timedelta(days=day_off)
+            day_tx = [
+                (f"t{day_off}_{i}", datetime.datetime(day.year, day.month, day.day, h),
+                 Decimal("10.00"), CARDS[c], "PAYMENT", "SUCCESS", "T1")
+                for i, (d, h, c) in enumerate(txs) if d == day_off
+            ]
+            if day_tx:
+                batch.wh.append_transactions(
+                    spark.createDataFrame(day_tx, schema=schemas.TRANSACTIONS)
+                )
+            # feed-level dedup: first arrival of a passport wins (mirrors
+            # the fact_bl anti-join ingest)
+            day_bl = []
+            for d, back, p in entries:
+                if d == day_off and PASSPORTS[p] not in seen_passports:
+                    seen_passports.add(PASSPORTS[p])
+                    entry_date = D0 + datetime.timedelta(days=max(0, day_off - back))
+                    day_bl.append((entry_date, PASSPORTS[p]))
+            delta = spark.createDataFrame(day_bl, schema=schemas.PASSPORT_BLACKLIST)
+            if day_bl:
+                batch.wh.append(delta, FACT_BL)
+            batch.run_fraud_rules(day, bl_delta=delta if incremental else None)
+        mart = batch.wh.read("rep_fraud", schemas.REP_FRAUD)
+        cols = [c for c in mart.columns if c != "report_dt"]
+        max_dts = (
+            mart.groupBy(*cols).agg(F.countDistinct("report_dt").alias("n"))
+            .agg(F.max("n")).first()[0]
+        )
+        return _hit_set(mart), max_dts
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(
+    # each example is a full 2-mode, 3-day Spark replay (~70s); three
+    # derandomized examples keep the suite's budget while still mixing
+    # late-arrival, same-day-multiple-delta, and expiry-overlap shapes
+    max_examples=3, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    txs=st.lists(_tx_st, min_size=1, max_size=6, unique=True),
+    entries=st.lists(_bl_st, min_size=1, max_size=4),
+)
+def test_incremental_hit_set_matches_faithful(spark, txs, entries):
+    dims = _dims(spark)
+    f_hits, _ = _replay(spark, dims, txs, entries, incremental=False)
+    i_hits, i_max_dts = _replay(spark, dims, txs, entries, incremental=True)
+    assert i_hits == f_hits, (
+        f"faithful-only={sorted(f_hits - i_hits)[:3]} "
+        f"incremental-only={sorted(i_hits - f_hits)[:3]}"
+    )
+    # no hit re-inserted under a second report_dt in incremental mode
+    assert i_max_dts in (None, 1)
+
+
+def test_backdated_entry_planted_worst_case(spark):
+    """Deterministic pin of the hardest shape (independent of what
+    hypothesis draws): both passports transact on every day; CL2's
+    entry arrives on day 2 backdated to day 0, so its day-1 AND day-2
+    transactions become hits only via the retro term; CL1's expiry
+    hits overlap the same retro window and must not duplicate."""
+    txs = [(d, 10 + c, c) for d in range(N_DAYS) for c in range(2)]
+    entries = [(2, 2, 1)]  # arrives day 2, dated day 0, passport CL2
+    dims = _dims(spark)
+    f_hits, _ = _replay(spark, dims, txs, entries, incremental=False)
+    i_hits, i_max_dts = _replay(spark, dims, txs, entries, incremental=True)
+    assert i_hits == f_hits
+    assert i_max_dts == 1
+    # the retro scenario genuinely fired: CL2 has blacklist hits dated
+    # BEFORE the entry's arrival day
+    arrival = D0 + datetime.timedelta(days=2)
+    retro_hits = {
+        h for h in i_hits
+        if h[1] == PASSPORTS[1] and h[0].date() < arrival
+    }
+    assert retro_hits
