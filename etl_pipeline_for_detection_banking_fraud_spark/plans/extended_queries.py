@@ -172,6 +172,94 @@ def lead_lag_window(spark, sf_dir):
 
 
 @_q(
+    "rank_funcs",
+    "ranking window surface: dense_rank / ntile / percent_rank / cume_dist "
+    "over a deterministic total order",
+    """
+    SELECT o_orderkey,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def rank_funcs(spark, sf_dir):
+    # percent_rank/cume_dist are exact rational arithmetic on (rank, n)
+    # — both engines derive them from identical integer ranks over the
+    # same total order, so the doubles are bit-identical
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@_q(
+    "date_parts",
+    "temporal extraction surface: date_trunc + year/month/day/hour + "
+    "ISO weekday (convention-pinned across engines)",
+    """
+    SELECT event_id,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           CAST(date_trunc('quarter', ts) AS DATE) AS quarter_start,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h,
+           CAST(isodow(ts) - 1 AS BIGINT) AS wd
+    FROM events
+    """,
+)
+def date_parts(spark, sf_dir):
+    # weekday conventions differ per engine (Spark dayofweek: 1=Sunday;
+    # DuckDB dayofweek: 0=Sunday; isodow: 1=Monday) — pinned to Spark's
+    # weekday() == 0=Monday == DuckDB isodow - 1
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("month", "ts").cast("date").alias("month_start"),
+        F.date_trunc("quarter", "ts").cast("date").alias("quarter_start"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.weekday("ts").cast("long").alias("wd"),
+    )
+
+
+@_q(
+    "scalar_subquery",
+    "scalar-subquery shape: rows above the global mean, in exact "
+    "arithmetic (price * count > sum avoids double-averaging drift)",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,4)) * (SELECT count(*) FROM orders)
+          > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    # the scalar aggregate rides as a broadcast 1-row crossJoin (same
+    # zero-shuffle shape as text_tfidf_topk's corpus size N); the
+    # comparison stays in exact decimal arithmetic so the predicate is
+    # engine-independent
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    stats = o.agg(F.sum(dec).alias("_sum"), F.count("*").alias("_n"))
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .where(dec * F.col("_n") > F.col("_sum"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
     "case_when_bucketing",
     "CASE WHEN bucketing + group count (histogramming)",
     """

@@ -751,6 +751,9 @@ _REPORT_FIRST = [
     "json_extract",         # green in r1, absent from r2 report
     "tpch_q3_shape",        # green in r1, absent from r2 report
     "dedup_clusters_star",  # new in r3
+    "rank_funcs",           # new in r3
+    "date_parts",           # new in r3
+    "scalar_subquery",      # new in r3
 ]
 _REPORT_LAST = [
     "pivot_agg", "rollup_agg", "distinct_count_agg", "string_funcs",
