@@ -58,6 +58,49 @@ def test_ngram_jaccard_scores(docs):
     assert (0, 3) not in out
 
 
+def test_ngram_max_df_prefilters_hot_shingles(spark):
+    """max_df drops stop-shingles BEFORE the bucket collect: a pair
+    connected ONLY through a ubiquitous shingle disappears, while pairs
+    sharing rare shingles keep their (undercounted) intersection."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup as dd
+
+    hot = "the quick brown"  # present in every doc -> df == n_docs
+    rows = [
+        (0, f"{hot} alpha beta gamma delta"),
+        (1, f"{hot} alpha beta gamma delta"),   # true near-dup of 0
+        (2, f"{hot} epsilon zeta eta theta"),
+        (3, f"{hot} iota kappa lam mu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {(r.id_a, r.id_b) for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    capped_df = dd.ngram_jaccard_pairs(docs, threshold=0.05, max_df=3)
+    capped = {(r.id_a, r.id_b) for r in capped_df.collect()}
+    assert (0, 1) in exact and (0, 1) in capped  # rare-shingle pair survives
+    assert (2, 3) in exact       # connected only through the hot shingle...
+    assert (2, 3) not in capped  # ...which max_df prunes before collecting
+    # the guard rides as a broadcast anti-join, not a second data shuffle
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan
+
+
+def test_minhash_max_bucket_drops_degenerate_buckets(spark):
+    """A clone flood (many byte-identical docs) shares every band; with
+    max_bucket set the degenerate bucket is dropped pre-collect and the
+    clone pairs vanish, while an unrelated near-dup pair survives."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup as dd
+
+    clones = [(i, "the same exact document body repeated verbatim here")
+              for i in range(10)]
+    pair = [(100, "completely different words forming another distinct text body"),
+            (101, "completely different words forming another distinct text body")]
+    docs = spark.createDataFrame(clones + pair, "doc_id bigint, text string")
+    out = {(r.id_a, r.id_b) for r in
+           dd.minhash_lsh_pairs(docs, max_bucket=5).collect()}
+    assert (100, 101) in out
+    assert not any(a < 10 and b < 10 for a, b in out)
+
+
 def test_simhash_near_for_near_dups(docs):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
