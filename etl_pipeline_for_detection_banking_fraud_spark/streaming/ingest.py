@@ -58,6 +58,22 @@ def read_transactions_stream(spark: SparkSession, path: str,
     )
 
 
+def dedup_transactions_stream(tx_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Keyed ingest dedup for at-least-once upstreams (replayed files,
+    Kafka re-delivery): keep the first arrival per transaction_id,
+    dropping duplicates across microbatches for as long as the
+    event-time watermark holds. State is bounded by the watermark —
+    Spark evicts a key once its event time falls behind it, so at
+    100 TB/day the dedup map holds ~one watermark's worth of ids, not
+    history. Pairs with stream_to_warehouse's COMMIT_BATCH markers:
+    markers stop whole-batch replays, this stops row-level duplicates
+    the source itself re-delivers inside new batch ids.
+    """
+    return tx_stream.withWatermark(
+        "transaction_date", watermark
+    ).dropDuplicatesWithinWatermark(["transaction_id"])
+
+
 def daily_counts(tx_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Tumbling 1-day event-time aggregation — the streaming equivalent
     of the reference's per-day audit counts (META_LOADING rows)."""

@@ -128,6 +128,32 @@ def test_stream_to_warehouse_fact_and_audit(spark, ref_data, tmp_path):
     assert len(commits) == 3  # one marker per microbatch
 
 
+def test_stream_dedup_within_watermark(spark, ref_data, tmp_path):
+    """An upstream that re-delivers the same rows (two copies of the
+    day-1 feed under different file names) must land each
+    transaction_id once after dedup_transactions_stream."""
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
+
+    inbox = tmp_path / "dedup_in"
+    inbox.mkdir()
+    src = os.path.join(ref_data, "transactions_01032021.txt")
+    shutil.copy(src, inbox / "a.txt")
+    shutil.copy(src, inbox / "b.txt")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    tx = ingest.dedup_transactions_stream(
+        ingest.read_transactions_stream(spark, str(inbox))
+    )
+    q = ingest.stream_to_warehouse(tx, wh, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    fact = wh.read_transactions()
+    assert fact.count() == 15650  # not 2 x 15650
+    assert fact.select("transaction_id").distinct().count() == 15650
+
+
 def test_stream_to_warehouse_replay_is_idempotent(spark, ref_data, tmp_path):
     """A replayed microbatch (same batch_id, e.g. recovery re-delivery)
     must not double-append fact rows: the sink skips batch_ids that
