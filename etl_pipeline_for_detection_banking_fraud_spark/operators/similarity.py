@@ -126,30 +126,43 @@ def _table_bucket(vec: Column, tbl: Column, n_planes: int) -> Column:
 
 def cosine_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", threshold: float = 0.9,
-                     n_planes: int = 6) -> DataFrame:
+                     n_planes: int = 6, n_tables: int = 1) -> DataFrame:
     """Near-dup pairs by cosine >= threshold, LSH-bucketed — the scale
     path beside `dedup.embedding_cosine_pairs`'s all-pairs baseline.
 
-    Only pairs sharing their hyperplane-LSH bucket code are scored: the
-    shuffle key is the bucket, so the cost is sum(bucket^2), not n^2.
-    Approximate by construction — a qualifying pair split across buckets
-    is missed (recall rises with fewer planes / multiple plane sets).
-    Bucket codes and norms are computed once per row behind a persist
-    barrier (the self-join would otherwise re-run the md5 plane folds on
-    both sides), and the dot product is the same order-pinned left fold
-    as the exact baseline, so shared pairs score bit-identically.
+    Only pairs sharing a hyperplane-LSH bucket code are scored: the
+    shuffle key is (table, bucket), so the cost is sum(bucket^2), not
+    n^2. Approximate by construction — a qualifying pair split across
+    buckets is missed; `n_tables` is the same OR-amplification knob as
+    ``ann_lsh_topk`` (independent plane sets; a pair qualifies by
+    co-bucketing in ANY table, deduped before scoring; table 0 is the
+    oracle-checked single-table configuration). Bucket codes and norms
+    are computed once per row behind a persist barrier (the self-join
+    would otherwise re-run the md5 plane folds on both sides), and the
+    dot product is the same order-pinned left fold as the exact
+    baseline, so shared pairs score bit-identically.
     """
+    tables = F.array(*[F.lit(t) for t in range(n_tables)])
     bucketed = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        F.explode(tables).alias("tbl"),
         l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    bucketed = bucketed.withColumn(
+        "bucket", _table_bucket(F.col(vec_col), F.col("tbl"), n_planes)
     ).persist()
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                        "bucket", F.col("nrm").alias("nrm_a"))
+                        "tbl", "bucket", F.col("nrm").alias("nrm_a"))
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                        "bucket", F.col("nrm").alias("nrm_b"))
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+                        "tbl", "bucket", F.col("nrm").alias("nrm_b"))
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "nrm_a", "id_b", "vb", "nrm_b")
+    )
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     cos = dot_decimal(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))

