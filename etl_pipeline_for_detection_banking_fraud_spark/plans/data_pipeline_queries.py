@@ -212,6 +212,42 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "array_funcs",
+    "array/higher-order surface: size, element_at, slice+sort, contains, "
+    "exists, filter-count — outputs kept scalar (the driver's pandas "
+    "canonicalizer cannot hash array cells; r1: approx_stats)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents)
+    SELECT doc_id,
+           len(tok) AS n_tok,
+           tok[1] AS first_tok,
+           array_to_string(list_sort(tok[1:3]), '|') AS head3_sorted,
+           list_contains(tok, 'the') AS has_the,
+           len(list_filter(tok, t -> length(t) > 6)) AS n_long,
+           len(list_filter(tok, t -> length(t) > 6)) > 0 AS any_long
+    FROM toks
+    """,
+)
+def array_funcs(spark, sf_dir):
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.col("tok")
+    long_toks = F.filter(tok, lambda t: F.length(t) > 6)
+    return docs.select("doc_id", tokens("text").alias("tok")).select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tok"),
+        # get (0-based) over element_at: ANSI mode makes element_at THROW
+        # on out-of-bounds, DuckDB's tok[1] yields NULL — get matches
+        F.get(tok, 0).alias("first_tok"),
+        F.concat_ws("|", F.sort_array(F.slice(tok, 1, 3))).alias("head3_sorted"),
+        F.array_contains(tok, "the").alias("has_the"),
+        F.size(long_toks).cast("long").alias("n_long"),
+        F.exists(tok, lambda t: F.length(t) > 6).alias("any_long"),
+    )
+
+
+@_q(
     "dedup_clusters_star",
     "dedup: connected components via alternating large-star/small-star "
     "rounds (O(log n) rounds vs propagation's O(diameter)) — same "

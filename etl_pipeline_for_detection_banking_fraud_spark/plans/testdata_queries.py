@@ -754,6 +754,7 @@ _REPORT_FIRST = [
     "rank_funcs",           # new in r3
     "date_parts",           # new in r3
     "scalar_subquery",      # new in r3
+    "array_funcs",          # new in r3
 ]
 _REPORT_LAST = [
     "pivot_agg", "rollup_agg", "distinct_count_agg", "string_funcs",
