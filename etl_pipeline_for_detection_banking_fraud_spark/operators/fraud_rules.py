@@ -290,45 +290,117 @@ def rule4_amount_guessing_join(tx: DataFrame, cards: DataFrame, accounts: DataFr
     return deduped.dropDuplicates(["event_dt", "passport"])
 
 
+def _rule4_hot_card_hits(hot: DataFrame) -> DataFrame:
+    """Exact rule-4 detection for hot cards, O(k) memory per card.
+
+    A card with k transactions per 20-minute band makes the window
+    form's per-row trail O(k) and its total O(k^2) — a bot-attack card
+    (exactly the fraud scenario) OOMs one task. This path routes such
+    cards through applyInPandas: one Arrow batch per card (O(k) rows,
+    no per-row trail arrays), a numpy sliding-window scan per SUCCESS
+    row. Amounts arrive as exact integer cents, timestamps as whole
+    seconds, so the semantics match the relational form bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ts_sec", kind="mergesort")
+        ts = pdf["_ts_sec"].to_numpy(np.int64)
+        am = pdf["_am_cents"].to_numpy(np.int64)
+        res = pdf["oper_result"].to_numpy()
+        rej = res == "REJECT"
+        rts, ram = ts[rej], am[rej]
+        keep = []
+        for i in np.nonzero(res == "SUCCESS")[0]:
+            lo = np.searchsorted(rts, ts[i] - 1199, side="left")
+            hi = np.searchsorted(rts, ts[i], side="left")  # strict ts < ts3
+            if hi - lo < 2:
+                continue
+            wts, wam = rts[lo:hi], ram[lo:hi]
+            runmax = np.maximum.accumulate(wam)
+            # max amount among REJECTs with ts STRICTLY before each
+            # position (pos = last index with ts < wts[j]; sorted input
+            # makes runmax[pos] exactly that strict-prefix max)
+            pos = np.searchsorted(wts, wts, side="left") - 1
+            prevmax = np.where(
+                pos >= 0, runmax[np.clip(pos, 0, None)], np.iinfo(np.int64).min
+            )
+            if np.any((prevmax > wam) & (wam > am[i])):
+                keep.append(i)
+        return pdf.iloc[keep][["card_num", "transaction_date"]]
+
+    return hot.groupBy("card_num").applyInPandas(
+        detect, schema="card_num string, transaction_date timestamp"
+    )
+
+
 def rule4_amount_guessing_window(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
                                  clients: DataFrame, existing_mart: DataFrame,
-                                 date_global: datetime.date) -> DataFrame:
-    """Production formulation: trailing-20-minute frame + array EXISTS.
+                                 date_global: datetime.date,
+                                 hot_card_threshold: int = 512) -> DataFrame:
+    """Production formulation: trailing-20-minute frame + array EXISTS,
+    with a hot-card overflow path bounding per-row memory.
 
-    collect the trailing (ts, amount, result) tuples in a [-1199, -1]
+    Collect the trailing REJECT (ts, amount) tuples in a [-1199, -1]
     range frame (whole-second timestamps make the frame bound exactly
-    equivalent to the reference's strict `< 1200` span conditions), then
+    equivalent to the reference's strict `< 1200` span conditions —
+    t1 < t2 < t3 with span(t3,t1) < 1200 implies both gap bounds), then
     test the decreasing REJECT,REJECT,SUCCESS triple with higher-order
-    array functions — all JVM-side, no pair/triple join blowup.
+    array functions — all JVM-side, no pair/triple join blowup. Only
+    REJECT rows enter the trail (both witnesses must be REJECTs), so
+    trail size is bounded by REJECTs-per-band, not transactions.
+
+    Hot-card guard: a card whose peak REJECTs-per-band exceeds
+    ``hot_card_threshold`` would materialize an unbounded per-row array
+    (O(k^2) per card total — the bot-attack OOM shape). Such cards are
+    detected with a constant-memory count over the SAME window frame
+    (reusing the card_num exchange/sort, no extra shuffle) and routed
+    through an exact O(k)-memory applyInPandas scan instead; all other
+    cards stay on the codegen array path with per-row memory capped at
+    ``hot_card_threshold`` structs.
     """
     base = tx.withColumn("_ts_sec", F.col("transaction_date").cast("long"))
     w = Window.partitionBy("card_num").orderBy("_ts_sec").rangeBetween(-1199, -1)
+    is_rej = F.col("oper_result") == "REJECT"
+    marked = base.withColumn(
+        "_band_rej", F.count(F.when(is_rej, 1)).over(w)
+    ).withColumn(
+        "_card_peak", F.max("_band_rej").over(Window.partitionBy("card_num"))
+    )
     trail = F.collect_list(
-        F.struct(
-            F.col("_ts_sec").alias("ts"),
-            F.col("amount").alias("am"),
-            F.col("oper_result").alias("res"),
+        F.when(
+            is_rej,
+            F.struct(F.col("_ts_sec").alias("ts"), F.col("amount").alias("am")),
         )
     ).over(w)
-    flagged = (
-        base.withColumn("_trail", trail)
+    cold_flagged = (
+        marked.where(F.col("_card_peak") <= hot_card_threshold)
+        .withColumn("_trail", trail)
         .where(F.col("oper_result") == "SUCCESS")
         .where(
             F.exists(
                 F.col("_trail"),
-                lambda t2: (t2["res"] == F.lit("REJECT"))
-                & (t2["am"] > F.col("amount"))
+                lambda t2: (t2["am"] > F.col("amount"))
                 & F.exists(
                     F.col("_trail"),
-                    lambda t1: (t1["ts"] < t2["ts"])
-                    & (t1["res"] == F.lit("REJECT"))
-                    & (t1["am"] > t2["am"]),
+                    lambda t1: (t1["ts"] < t2["ts"]) & (t1["am"] > t2["am"]),
                 ),
             )
         )
+        .select("card_num", "transaction_date")
+    )
+    hot_flagged = _rule4_hot_card_hits(
+        marked.where(F.col("_card_peak") > hot_card_threshold).select(
+            "card_num",
+            "transaction_date",
+            "_ts_sec",
+            (F.col("amount") * 100).cast("long").alias("_am_cents"),
+            "oper_result",
+        )
     )
     hits = enrich_client(
-        flagged.select("card_num", "transaction_date").distinct(), cards, accounts, clients
+        cold_flagged.unionByName(hot_flagged).distinct(), cards, accounts, clients
     )
     cand = _report(hits, F.col("transaction_date"), EVENT_AMOUNT, date_global)
     deduped = _dedup_against(cand, existing_mart, EVENT_AMOUNT)
