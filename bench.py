@@ -71,7 +71,7 @@ def _replay_secs(spark, incremental: bool) -> float | None:
 
 
 def _rules_history_secs(spark) -> dict[str, float] | None:
-    """Fraud-rules phase against a 30-day fact history, faithful vs
+    """Fraud-rules phase against a 90-day fact history, faithful vs
     incremental: the 3-day replay can't show the scale mode's point
     (at 3 days, history ~= day), so this builds a quarter of
     hive-partitioned facts by date-shifting the day-1 feed and times
@@ -159,18 +159,21 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     # Pipeline replay pair (not folded into `value`, which stays the
     # headline-query total for round-over-round comparability).
+    # Errors are RECORDED, not swallowed: a broken replay must not
+    # masquerade as "reference data absent" in the bench JSON.
     replay = {}
     for mode, flag in (("replay_faithful", False), ("replay_incremental", True)):
         try:
             secs = _replay_secs(spark, flag)
-        except Exception:
+        except Exception as e:
+            replay[f"{mode}_error"] = str(e)[:300]
             secs = None
         if secs is not None:
             replay[mode] = secs
     try:
         replay.update(_rules_history_secs(spark) or {})
-    except Exception:
-        pass
+    except Exception as e:
+        replay["rules_history_error"] = str(e)[:300]
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,

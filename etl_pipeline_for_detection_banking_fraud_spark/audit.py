@@ -40,7 +40,14 @@ def log_meta(wh: Warehouse, table_name: str, event_dt: datetime.date | None,
 
 
 def flush_meta(wh: Warehouse) -> None:
-    """Write all buffered audit rows as ONE small-file-friendly append."""
+    """Write all buffered audit rows as ONE small-file-friendly append.
+
+    The buffer is cleared only AFTER the append succeeds: if the write
+    throws (disk full, schema drift), the rows — including any ERROR row
+    the autoflush path was making durable — stay buffered for the next
+    flush attempt. A retried flush can therefore duplicate audit rows;
+    duplicates are accepted over losing the failure trail.
+    """
     buf = getattr(wh, "_meta_buffer", None)
     if not buf:
         return
@@ -48,21 +55,34 @@ def flush_meta(wh: Warehouse) -> None:
     # coalesce(1): createDataFrame slices local rows across the default
     # parallelism, which would write one file per non-empty slice and
     # defeat the point of buffering
-    df = spark.createDataFrame(buf, schema=schemas.META_LOADING).coalesce(1)
-    buf.clear()
+    df = spark.createDataFrame(list(buf), schema=schemas.META_LOADING).coalesce(1)
     wh.append(df, TABLE)
+    buf.clear()
 
 
-def logged_stream_batches(wh: Warehouse, table_name: str) -> set[int]:
-    """Batch ids with a COMMIT_BATCH_<id> marker row — the streaming
-    sink's replay-detection set (read once at stream start)."""
+def logged_stream_batches(wh: Warehouse, table_name: str,
+                          query_id: str | None = None) -> set[int]:
+    """Batch ids with a commit-marker row — the streaming sink's
+    replay-detection set (read once, at the sink's first microbatch).
+
+    Markers are scoped to the streaming QUERY identity when available:
+    Spark restarts a query from the same checkpoint with the same
+    query id AND the same batch ids, so ``COMMIT_<query_id>_<batch_id>``
+    identifies a true replay. A fresh checkpoint (new query id) starts
+    its batch ids at 0 again — an unscoped marker set would silently
+    skip a legitimately NEW stream's first batches (data loss, worse
+    than a duplicate); scoped markers let it proceed, and row-level
+    duplicates across checkpoints are ``dedup_transactions_stream``'s
+    job.  ``query_id=None`` matches the legacy unscoped format.
+    """
     if not wh.exists(TABLE):
         return set()
+    prefix = f"COMMIT_{query_id}_" if query_id else "COMMIT_BATCH_"
     rows = (
         wh.read(TABLE)
         .where(
             (F.col("table_name") == table_name)
-            & F.col("status").startswith("COMMIT_BATCH_")
+            & F.col("status").startswith(prefix)
         )
         .select("status")
         .collect()

@@ -133,10 +133,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes)
     if max_bucket is not None:
-        # the guard's count pass re-reads the signatures; persist them
-        # (k longs per doc — tiny next to the corpus) instead of
-        # re-running tokenize+shingle+md5 over the whole input
-        sig = sig.persist()
+        # the guard's count pass re-reads the signatures; materialize
+        # them (k longs per doc — tiny next to the corpus) instead of
+        # re-running tokenize+shingle+md5 over the whole input.
+        # localCheckpoint, not persist: a persist handle inside an
+        # operator can never be unpersisted by the caller, leaking
+        # cached signatures for the session lifetime — checkpoint
+        # blocks are dropped by the ContextCleaner once the returned
+        # DataFrame is garbage-collected
+        sig = sig.localCheckpoint()
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]

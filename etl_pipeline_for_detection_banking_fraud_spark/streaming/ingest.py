@@ -143,25 +143,51 @@ def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
     batch ingest cannot drift.
 
     Idempotency: Spark's checkpoint replays a microbatch after a
-    failure with the SAME batch_id, so the sink logs a
-    ``COMMIT_BATCH_<id>`` marker row (flushed last) and skips any
-    batch_id already marked — a replay of a fully-committed batch
-    appends nothing. The marker set is read once at stream start and
-    maintained driver-side (foreachBatch runs on the driver), so the
-    steady-state check is O(1), not a table read per batch. The
-    remaining window is a crash BETWEEN the fact append and the marker
-    flush: that replay still double-appends (at-least-once); closing it
-    needs an atomic multi-file commit, i.e. a transactional table
-    format — Delta/Iceberg slot in here unchanged.
+    failure with the SAME query id and batch_id, so the sink logs a
+    ``COMMIT_<query_id>_<batch_id>`` marker row (flushed last) and
+    skips any batch_id already marked for THIS query identity — a
+    replay of a fully-committed batch appends nothing. Scoping matters:
+    batch ids restart at 0 under a fresh checkpoint, so an unscoped
+    marker would make a legitimately new stream into the same warehouse
+    silently drop its first batches (data loss); the query id — stable
+    across restarts from one checkpoint, fresh for a new one — is read
+    from the checkpoint's ``metadata`` file at the first microbatch
+    (foreachBatch runs on the driver, after Spark has written it).
+    Cross-checkpoint duplicate rows are handled at the row level by
+    ``dedup_transactions_stream``, not markers. The marker set is read
+    once and maintained driver-side, so the steady-state check is O(1),
+    not a table read per batch. The remaining window is a crash BETWEEN
+    the fact append and the marker flush: that replay still
+    double-appends (at-least-once); closing it needs an atomic
+    multi-file commit, i.e. a transactional table format —
+    Delta/Iceberg slot in here unchanged.
     """
+    import json
+    import os
+
     from ..audit import flush_meta, log_meta, logged_stream_batches
 
     marker = f"stream_{table}"
-    committed = logged_stream_batches(wh, marker)
+    state: dict = {}
+
+    def _init_markers() -> None:
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                qid = json.load(f)["id"]
+        except Exception:  # non-local checkpoint dir: legacy unscoped markers
+            qid = None
+        state["qid"] = qid
+        state["committed"] = logged_stream_batches(wh, marker, qid)
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed:
+        if "committed" not in state:
+            _init_markers()
+        if batch_id in state["committed"]:
             return
+        qid = state["qid"]
+        commit_status = (
+            f"COMMIT_{qid}_{batch_id}" if qid else f"COMMIT_BATCH_{batch_id}"
+        )
         batch_df = batch_df.persist()
         try:
             wh.append_transactions(batch_df, table)
@@ -174,9 +200,9 @@ def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
             for r in days:
                 log_meta(wh, marker, r["dt"], r["count"])
                 total += r["count"]
-            log_meta(wh, marker, None, total, f"COMMIT_BATCH_{batch_id}")
+            log_meta(wh, marker, None, total, commit_status)
             flush_meta(wh)
-            committed.add(batch_id)
+            state["committed"].add(batch_id)
         finally:
             batch_df.unpersist()
 

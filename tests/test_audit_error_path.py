@@ -49,6 +49,32 @@ def test_audit_writes_are_buffered_not_per_stage(spark, ref_data, tmp_path):
     assert len(parts) <= 3  # but the day landed in O(1) flushes, not O(stages)
 
 
+def test_flush_failure_keeps_buffer(spark, tmp_path):
+    """If the audit append itself throws, the buffered rows — including
+    the ERROR row an autoflush was making durable — must stay buffered
+    for the next attempt, not vanish (duplicates on retry are accepted
+    over losing the failure trail)."""
+    from etl_pipeline_for_detection_banking_fraud_spark import audit
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    audit.log_meta(wh, "t1", None, 5)
+    orig_append = wh.append
+
+    def failing(df, table):
+        raise IOError("disk full")
+
+    wh.append = failing
+    with pytest.raises(IOError):
+        audit.log_meta(wh, "t2", None, 1, "ERROR: boom")  # autoflush path
+    wh.append = orig_append
+    assert len(wh._meta_buffer) == 2  # nothing lost
+    audit.flush_meta(wh)
+    assert not wh._meta_buffer
+    meta = wh.read("meta_loading").toPandas()
+    assert set(meta.table_name) == {"t1", "t2"}
+
+
 def test_failing_stage_writes_error_audit_row(spark, ref_data, tmp_path):
     dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
     batch = DailyBatch(spark, str(tmp_path / "wh"), dims)

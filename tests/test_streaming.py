@@ -124,8 +124,8 @@ def test_stream_to_warehouse_fact_and_audit(spark, ref_data, tmp_path):
     stream_rows = meta[meta.table_name == "stream_dwh_fact_transactions"]
     day_rows = stream_rows[stream_rows.status == "SUCCESS"]
     assert sorted(day_rows.rows_processed) == [15650, 15686, 15780]
-    commits = stream_rows[stream_rows.status.str.startswith("COMMIT_BATCH_")]
-    assert len(commits) == 3  # one marker per microbatch
+    commits = stream_rows[stream_rows.status.str.startswith("COMMIT_")]
+    assert len(commits) == 3  # one marker per microbatch, scoped to the query id
 
 
 def test_stream_dedup_within_watermark(spark, ref_data, tmp_path):
@@ -154,10 +154,14 @@ def test_stream_dedup_within_watermark(spark, ref_data, tmp_path):
     assert fact.select("transaction_id").distinct().count() == 15650
 
 
-def test_stream_to_warehouse_replay_is_idempotent(spark, ref_data, tmp_path):
-    """A replayed microbatch (same batch_id, e.g. recovery re-delivery)
-    must not double-append fact rows: the sink skips batch_ids that
-    already carry a COMMIT_BATCH marker in the audit table."""
+def test_stream_to_warehouse_same_query_replay_is_idempotent(spark, ref_data, tmp_path):
+    """A replayed microbatch under the SAME query identity (recovery
+    after the checkpoint lost its offsets but kept its metadata — the
+    batch ids come back identical) must not double-append fact rows:
+    the sink skips batch_ids already carrying a COMMIT_<query_id>
+    marker in the audit table."""
+    import json
+
     from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
 
     inbox = tmp_path / "wh_replay_in"
@@ -175,10 +179,15 @@ def test_stream_to_warehouse_replay_is_idempotent(spark, ref_data, tmp_path):
     n_first = wh.read_transactions().count()
     assert n_first == 15650 + 15686
 
-    # Fresh checkpoint over the same files re-delivers batch_ids 0..1 —
-    # the worst-case replay. The committed-marker set must skip both.
+    # Simulate offsets-lost-metadata-kept recovery: a fresh checkpoint
+    # dir pre-seeded with the SAME query id re-delivers batch_ids 0..1
+    # under the original identity. The marker set must skip both.
+    qid = json.load(open(tmp_path / "ckpt1" / "metadata"))["id"]
+    ckpt2 = tmp_path / "ckpt2"
+    ckpt2.mkdir()
+    (ckpt2 / "metadata").write_text(json.dumps({"id": qid}))
     tx2 = ingest.read_transactions_stream(spark, str(inbox))
-    q2 = ingest.stream_to_warehouse(tx2, wh, str(tmp_path / "ckpt2"))
+    q2 = ingest.stream_to_warehouse(tx2, wh, str(ckpt2))
     try:
         q2.processAllAvailable()
     finally:
@@ -186,5 +195,42 @@ def test_stream_to_warehouse_replay_is_idempotent(spark, ref_data, tmp_path):
 
     assert wh.read_transactions().count() == n_first
     meta = wh.read("meta_loading").toPandas()
-    commits = meta[meta.status.str.startswith("COMMIT_BATCH_")]
+    commits = meta[meta.status.str.startswith(f"COMMIT_{qid}_")]
     assert len(commits) == 2  # markers not duplicated either
+
+
+def test_stream_to_warehouse_new_query_is_not_skipped(spark, ref_data, tmp_path):
+    """A genuinely NEW stream (fresh checkpoint => fresh query id) into
+    the same warehouse must NOT be skipped by the old stream's markers —
+    unscoped markers would silently drop its first batches (data loss).
+    Row-level duplicates across checkpoints are dedup_transactions_stream's
+    job, covered by test_stream_dedup_within_watermark."""
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
+
+    inbox = tmp_path / "new_query_in"
+    inbox.mkdir()
+    shutil.copy(os.path.join(ref_data, "transactions_01032021.txt"), inbox)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    q = ingest.stream_to_warehouse(
+        ingest.read_transactions_stream(spark, str(inbox)), wh, str(tmp_path / "ck1")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert wh.read_transactions().count() == 15650
+
+    # new data arrives, processed by a SECOND ingest job (own checkpoint,
+    # batch ids restart at 0) — its batches must land, not be "skipped"
+    inbox2 = tmp_path / "new_query_in2"
+    inbox2.mkdir()
+    shutil.copy(os.path.join(ref_data, "transactions_02032021.txt"), inbox2)
+    q2 = ingest.stream_to_warehouse(
+        ingest.read_transactions_stream(spark, str(inbox2)), wh, str(tmp_path / "ck2")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert wh.read_transactions().count() == 15650 + 15686
