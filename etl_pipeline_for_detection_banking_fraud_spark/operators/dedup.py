@@ -106,6 +106,30 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """The LSH band index: one (doc_id, band, key) row per document per
+    band, key = md5 of the band's signature components. This is BOTH
+    the in-flight shape of ``minhash_lsh_pairs`` and the PERSISTED
+    index a 100 TB curation pipeline keeps between daily runs so a
+    delta can be deduplicated without re-hashing the corpus
+    (``minhash_lsh_pairs_incremental``)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key")
+            ).alias(f"b{b}")
+        )
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 8, bands: int = 4,
                       max_bucket: int | None = None) -> DataFrame:
@@ -130,31 +154,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     `exact_dedup` first so identical copies collapse to one member, and
     treat a tripped guard as a signal, not noise.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes)
+    exploded = minhash_band_index(df, text_col, id_col, num_hashes, bands)
     if max_bucket is not None:
-        # the guard's count pass re-reads the signatures; materialize
-        # them (k longs per doc — tiny next to the corpus) instead of
-        # re-running tokenize+shingle+md5 over the whole input.
-        # localCheckpoint, not persist: a persist handle inside an
-        # operator can never be unpersisted by the caller, leaking
-        # cached signatures for the session lifetime — checkpoint
-        # blocks are dropped by the ContextCleaner once the returned
-        # DataFrame is garbage-collected
-        sig = sig.localCheckpoint()
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key")
-            ).alias(f"b{b}")
-        )
-    exploded = (
-        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
-        .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
-    if max_bucket is not None:
+        # the guard's count pass re-reads the band entries; materialize
+        # them (bands small rows per doc — tiny next to the corpus)
+        # instead of re-running tokenize+shingle+md5 over the whole
+        # input. localCheckpoint, not persist: a persist handle inside
+        # an operator can never be unpersisted by the caller, leaking
+        # cache for the session lifetime — checkpoint blocks are
+        # dropped by the ContextCleaner once the returned DataFrame is
+        # garbage-collected
+        exploded = exploded.localCheckpoint()
         hot = (
             exploded.groupBy("band", "key").agg(F.count("*").alias("_n"))
             .where(F.col("_n") > max_bucket)
@@ -180,6 +190,113 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
+
+
+def write_band_index(index: DataFrame, path: str, prefix_len: int = 2) -> None:
+    """Persist a band index hive-partitioned by key prefix (16^prefix_len
+    partitions): the layout that makes the incremental path's "read only
+    delta-touched buckets" literal — ``read_band_index_for`` pushes the
+    delta's prefixes as a partition filter, so a daily delta touching a
+    few prefixes scans only those directories, not the corpus index."""
+    (
+        index.withColumn("_kp", F.substring("key", 1, prefix_len))
+        .write.partitionBy("_kp")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_band_index_for(spark, path: str, delta_index: DataFrame,
+                        prefix_len: int = 2) -> DataFrame:
+    """Read only the index partitions a delta's band keys can land in.
+
+    The distinct-prefix collect is a bounded control-plane read
+    (<= 16^prefix_len values, 256 at the default), not a data read;
+    the resulting IN-filter reaches the scan as a PartitionFilter.
+    """
+    prefixes = [
+        r["_kp"]
+        for r in delta_index.select(
+            F.substring("key", 1, prefix_len).alias("_kp")
+        ).distinct().collect()
+    ]
+    idx = spark.read.parquet(path)
+    return idx.where(F.col("_kp").isin(prefixes)).drop("_kp")
+
+
+def minhash_lsh_pairs_incremental(delta: DataFrame, index: DataFrame,
+                                  text_col: str = "text", id_col: str = "doc_id",
+                                  num_hashes: int = 8, bands: int = 4,
+                                  max_bucket: int | None = None) -> DataFrame:
+    """Near-dup candidate pairs INVOLVING the delta, against a persisted
+    band index of the corpus — the incremental form of
+    ``minhash_lsh_pairs`` for daily curation at 100 TB: re-hashing the
+    full corpus per day is O(corpus); this is O(delta + touched
+    buckets).
+
+    ``index`` is the corpus's ``minhash_band_index`` output (typically
+    ``write_band_index``-persisted and re-read via
+    ``read_band_index_for``, which partition-prunes to delta-touched
+    key prefixes). Returns exactly the pairs the batch operator finds
+    on corpus ∪ delta that involve >= 1 delta doc (delta-delta and
+    delta-corpus; corpus-corpus pairs were already reported when those
+    docs were ingested). Contract: delta ids must not already be in the
+    index (re-ingestion dedup is the upstream exact/marker layer's job).
+
+    Shape: delta band entries (tiny) are broadcast as a semi-join
+    filter over the index — the corpus side is never shuffled and never
+    re-hashed; one groupBy-collect shuffle of (delta + touched-bucket)
+    entries builds the pair expansion, with the same pre-collect
+    ``max_bucket`` hot-bucket guard as the batch path.
+    """
+    delta_entries = minhash_band_index(delta, text_col, id_col, num_hashes, bands)
+    # two consumers (semi-join key set + union arm): materialize once,
+    # eager-cleaned via ContextCleaner like the batch guard path
+    delta_entries = delta_entries.localCheckpoint()
+    touched = delta_entries.select("band", "key").distinct()
+    corpus_hits = index.join(F.broadcast(touched), ["band", "key"], "left_semi")
+    entries = delta_entries.withColumn("_new", F.lit(True)).unionByName(
+        corpus_hits.select(id_col, "band", "key").withColumn("_new", F.lit(False))
+    )
+    if max_bucket is not None:
+        hot = (
+            entries.groupBy("band", "key").agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "key")
+        )
+        entries = entries.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    buckets = (
+        entries.groupBy("band", "key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col("_new")))
+            ).alias("members")
+        )
+        .where(F.size("members") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("members", 1, F.size("members") - 1),
+                    lambda m, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda m2: F.struct(
+                            m[id_col].alias("id_a"),
+                            m["_new"].alias("new_a"),
+                            m2[id_col].alias("id_b"),
+                            m2["_new"].alias("new_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.new_a", "p.new_b")
+    return (
+        pairs.where(F.col("new_a") | F.col("new_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

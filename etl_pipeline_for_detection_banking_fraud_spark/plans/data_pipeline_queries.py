@@ -186,6 +186,27 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @_q(
+    "dedup_minhash_incr",
+    "dedup: incremental MinHash-LSH — daily delta vs persisted corpus band index",
+    f"""
+    WITH {_MH_PAIRS_CTES}
+    SELECT id_a, id_b, n_shared_bands FROM mh_pairs
+    WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """,
+)
+def dedup_minhash_incr(spark, sf_dir):
+    # day-1-corpus / day-2-delta split of the same table: the operator
+    # must return exactly the batch pairs involving delta docs without
+    # re-hashing the corpus (index side is band entries only)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.minhash_lsh_pairs_incremental(
+        delta, dedup.minhash_band_index(corpus)
+    )
+
+
+@_q(
     "dedup_clusters",
     "dedup: connected components over near-dup pairs (iterative min-label "
     "propagation; cluster_id = min reachable doc_id)",

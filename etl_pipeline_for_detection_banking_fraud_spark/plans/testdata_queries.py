@@ -738,27 +738,29 @@ def sessionize(spark, sf_dir):
 
 # Driver-facing ordering. The correctness driver evaluates the catalog in
 # dict order and reports at most ~50 rows per round, so ordering IS evidence
-# policy: entries that have never produced a driver-side CORRECTNESS row go
-# FIRST, and the tail holds entries with the strongest independent evidence
-# (driver-green in round 2, code unchanged since, plus local parity tests) —
-# they are the ones that can afford to rotate out of a capped report.
+# policy: LEAST-RECENTLY-VERIFIED first. Entries that have never produced a
+# driver-side CORRECTNESS row go first, then entries whose newest driver row
+# is oldest; the tail holds entries green in the MOST RECENT report — they
+# are the ones that can afford to rotate out of a capped report. Tail
+# entries that do rotate out are still evidenced by their last green driver
+# row plus the local parity suite (tests/test_oracle_parity.py runs every
+# catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
-    "approx_stats",      # rows-only by design; never in a CORRECTNESS report
-    "cube_agg",          # new in r2 — builder-local parity only so far
-    "quantiles_exact",   # new in r2 — builder-local parity only so far
-    "skew_salted_agg",   # new in r2 — builder-local parity only so far
-    "case_when_bucketing",  # green in r1, absent from r2 report
-    "json_extract",         # green in r1, absent from r2 report
-    "tpch_q3_shape",        # green in r1, absent from r2 report
-    "dedup_clusters_star",  # new in r3
-    "rank_funcs",           # new in r3
-    "date_parts",           # new in r3
-    "scalar_subquery",      # new in r3
-    "array_funcs",          # new in r3
-]
-_REPORT_LAST = [
+    "dedup_minhash_incr",   # new in r4 — never reported
+    # newest driver row is r02 (rotated out of the r03 report):
     "pivot_agg", "rollup_agg", "distinct_count_agg", "string_funcs",
     "global_topk", "running_window", "lead_lag_window",
+    "sim_ann_ivf", "text_tfidf_topk", "sample_hash", "sample_stratified_n",
+    "multimodal_features",
+    # rows-only by design: reports its declared no_oracle row each round
+    "approx_stats",
+]
+_REPORT_LAST = [
+    # green in r03 AND covered by the golden 3-day replay + unit tests —
+    # the strongest independent evidence in the repo
+    "scan_filter_project", "cast_project", "concat_coalesce", "date_arith",
+    "between_filter", "null_filters", "nullsafe_neq", "join_chain",
+    "left_join_count", "anti_join", "semi_join", "row_counts", "min_max_date",
 ]
 
 

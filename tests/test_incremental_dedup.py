@@ -1,0 +1,84 @@
+"""Incremental MinHash dedup vs a persisted signature index.
+
+The VERDICT r3 scale gap: a real 100 TB curation pipeline deduplicates
+a daily delta against a persisted index instead of re-hashing the
+corpus. Differential contract: the incremental operator must return
+EXACTLY the pairs the batch operator finds on corpus ∪ delta that
+involve >= 1 delta doc — tested on a day-1-corpus/day-2-delta split of
+the testdata documents, plus the persisted-index round-trip with its
+partition-pruned read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup
+
+
+def _split(spark, sf001):
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    return docs, corpus, delta
+
+
+def _batch_pairs_involving_delta(docs):
+    batch = dedup.minhash_lsh_pairs(docs)
+    return {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in batch.where(
+            (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+        ).collect()
+    }
+
+
+def test_incremental_matches_batch(spark, sf001):
+    docs, corpus, delta = _split(spark, sf001)
+    expected = _batch_pairs_involving_delta(docs)
+    assert expected, "fixture must plant near-dup pairs touching the delta"
+
+    index = dedup.minhash_band_index(corpus)
+    incr = dedup.minhash_lsh_pairs_incremental(delta, index)
+    got = {(r.id_a, r.id_b, r.n_shared_bands) for r in incr.collect()}
+    assert got == expected
+
+
+def test_incremental_against_persisted_index_prunes_partitions(spark, sf001, tmp_path):
+    """Round-trip through write_band_index/read_band_index_for: same
+    pairs, and the index scan carries a partition filter on the key
+    prefix — the read literally touches only delta-addressable
+    directories."""
+    docs, corpus, delta = _split(spark, sf001)
+    expected = _batch_pairs_involving_delta(docs)
+
+    path = str(tmp_path / "band_index")
+    dedup.write_band_index(dedup.minhash_band_index(corpus), path)
+
+    delta_entries = dedup.minhash_band_index(delta)
+    index = dedup.read_band_index_for(spark, path, delta_entries)
+    plan = index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_kp" in plan
+
+    incr = dedup.minhash_lsh_pairs_incremental(delta, index)
+    got = {(r.id_a, r.id_b, r.n_shared_bands) for r in incr.collect()}
+    assert got == expected
+
+
+def test_incremental_hot_bucket_guard(spark, sf001):
+    """max_bucket drops over-threshold buckets BEFORE the collect, same
+    contract as the batch guard: with a tiny cap most pairs disappear
+    but the operator still completes and returns a subset."""
+    docs, corpus, delta = _split(spark, sf001)
+    index = dedup.minhash_band_index(corpus)
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs_incremental(delta, index).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs_incremental(
+            delta, index, max_bucket=2
+        ).collect()
+    }
+    assert guarded <= unguarded
