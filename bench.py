@@ -70,14 +70,23 @@ def _replay_secs(spark, incremental: bool) -> float | None:
     return round(time.perf_counter() - t0, 4)
 
 
-def _rules_history_secs(spark) -> dict[str, float] | None:
-    """Fraud-rules phase against a 90-day fact history, faithful vs
-    incremental: the 3-day replay can't show the scale mode's point
-    (at 3 days, history ~= day), so this builds a quarter of
-    hive-partitioned facts by date-shifting the day-1 feed and times
-    ONE day's rules in both modes — O(history) full re-scan vs the
-    partition-pruned O(day + lookback) read."""
+def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | None:
+    """Fraud-rules phase vs fact-history LENGTH — the scaling curve that
+    makes the incremental mode's point legible: faithful mode re-scans
+    the whole fact table every day (the reference's posture), so its
+    one-day cost grows with history; incremental mode reads a
+    partition-pruned day/lookback band, so its cost is flat. The 3-day
+    replay can't show this (history ~= day there).
+
+    One master warehouse is seeded with day 1 and extended in place by
+    date-shifting the day-1 feed (one broadcast-range crossJoin per
+    extension, not N unions); each timed point runs ONE day's rules in
+    each mode against a fresh copy of the master (run_fraud_rules
+    appends to the mart, so reusing a warehouse would let rules 3-4's
+    NOT-EXISTS dedup see the previous timing's hits and skew the write
+    volume)."""
     import datetime
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -93,37 +102,53 @@ def _rules_history_secs(spark) -> dict[str, float] | None:
     if not os.path.isdir(os.path.join(REF_DATA, "data")):
         return None
     dims = load_seed_dims(spark, os.path.join(REF_DATA, "ddl_dml.sql"))
+    master = tempfile.mkdtemp(prefix="bench_rules_master_")
+    seed = DailyBatch(spark, master, dims)
+    seed.run_day(  # seeds facts/blacklist/dim/mart for day 1
+        os.path.join(REF_DATA, "data", "transactions_01032021.txt"),
+        os.path.join(REF_DATA, "data", "passport_blacklist_01032021.xlsx"),
+        os.path.join(REF_DATA, "data", "terminals_01032021.xlsx"),
+    )
     tx = read_transactions(
         spark, os.path.join(REF_DATA, "data", "transactions_01032021.txt")
     )
-    # days +1..+89 of synthetic history: same feed, shifted timestamps,
-    # disambiguated ids (one broadcast-range crossJoin, not 89 unions)
-    rng = spark.range(1, 90).select(F.col("id").cast("int").alias("shift"))
-    ext = (
-        tx.crossJoin(F.broadcast(rng))
-        .withColumn(
-            "transaction_date",
-            F.col("transaction_date") + F.make_dt_interval(days=F.col("shift")),
-        )
-        .withColumn(
-            "transaction_id", F.concat_ws("_", "transaction_id", "shift")
-        )
-        .drop("shift")
-    )
-    out = {}
-    for mode, flag in (("rules_full_history", False), ("rules_incremental_day", True)):
-        batch = DailyBatch(
-            spark, tempfile.mkdtemp(prefix="bench_rules_"), dims, incremental=flag
-        )
-        batch.run_day(  # seeds facts/blacklist/dim/mart for day 1
-            os.path.join(REF_DATA, "data", "transactions_01032021.txt"),
-            os.path.join(REF_DATA, "data", "passport_blacklist_01032021.xlsx"),
-            os.path.join(REF_DATA, "data", "terminals_01032021.xlsx"),
-        )
-        batch.wh.append_transactions(ext)
-        t0 = time.perf_counter()
-        batch.run_fraud_rules(datetime.date(2021, 3, 1) + datetime.timedelta(days=89))
-        out[mode] = round(time.perf_counter() - t0, 4)
+    day1 = datetime.date(2021, 3, 1)
+    out: dict[str, float] = {}
+    have_days = 1
+    for n_days in sorted(day_counts):
+        if n_days > have_days:  # extend history: shifts have_days..n_days-1
+            rng = spark.range(have_days, n_days).select(
+                F.col("id").cast("int").alias("shift")
+            )
+            ext = (
+                tx.crossJoin(F.broadcast(rng))
+                .withColumn(
+                    "transaction_date",
+                    F.col("transaction_date")
+                    + F.make_dt_interval(days=F.col("shift")),
+                )
+                .withColumn(
+                    "transaction_id", F.concat_ws("_", "transaction_id", "shift")
+                )
+                .drop("shift")
+            )
+            seed.wh.append_transactions(ext)
+            have_days = n_days
+        target = day1 + datetime.timedelta(days=n_days - 1)
+        for mode, flag in (("full", False), ("incremental", True)):
+            run_root = tempfile.mkdtemp(prefix="bench_rules_run_")
+            shutil.rmtree(run_root)
+            shutil.copytree(master, run_root)
+            batch = DailyBatch(spark, run_root, dims, incremental=flag)
+            t0 = time.perf_counter()
+            batch.run_fraud_rules(target)
+            out[f"rules_{mode}_{n_days}d"] = round(time.perf_counter() - t0, 4)
+            shutil.rmtree(run_root, ignore_errors=True)
+    shutil.rmtree(master, ignore_errors=True)
+    # r1-r3 recorded the 90-day pair under these names; keep them stable
+    if "rules_full_90d" in out:
+        out["rules_full_history"] = out["rules_full_90d"]
+        out["rules_incremental_day"] = out["rules_incremental_90d"]
     return out
 
 
@@ -171,7 +196,7 @@ def main() -> None:
         if secs is not None:
             replay[mode] = secs
     try:
-        replay.update(_rules_history_secs(spark) or {})
+        replay.update(_rules_history_curve(spark) or {})
     except Exception as e:
         replay["rules_history_error"] = str(e)[:300]
     out = {

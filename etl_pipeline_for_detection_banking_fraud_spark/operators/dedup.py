@@ -485,8 +485,25 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return pairs.select("id_a", "id_b", "hamming")
 
 
+def _iter_checkpoint(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage truncation for iterative algorithms.
+
+    ``localCheckpoint`` (default) is executor-memory-resident: fast, but
+    NOT replayable — an executor loss mid-iteration kills the job. On a
+    real cluster pass ``checkpoint_dir`` (HDFS/object-store path) to use
+    reliable ``checkpoint`` instead: each round's state is written to
+    fault-tolerant storage, so recomputation after executor loss resumes
+    from the last round rather than failing. Same plan shape either way.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Cluster near-dup pairs into components: (node_id, cluster_id) with
     cluster_id = the minimum id reachable through the pair graph — the
     canonicalization step every dedup family feeds (pairs alone don't
@@ -501,6 +518,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     dense little cliques, so 2-3 rounds suffice; for adversarial
     long-chain graphs at 100 TB swap in alternating large-star/
     small-star rounds (same building blocks, O(log n) rounds).
+
+    ``checkpoint_dir``: pass a fault-tolerant path (HDFS/S3) on cluster
+    deployments to make per-round state survive executor loss (see
+    ``_iter_checkpoint``); default localCheckpoint is the fast
+    single-node mode.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -508,26 +530,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _iter_checkpoint(
         edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
     for _ in range(max_iterations):
         neigh = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "label")
-        # localCheckpoint (eager) truncates LINEAGE, not just execution:
+        # Checkpointing (eager) truncates LINEAGE, not just execution:
         # with persist alone the logical plan doubles per round and the
         # final plan drags every iteration behind it (thousands of
-        # phantom exchanges; planning time grows with rounds). Not
-        # replayable on executor loss — an iterative production job on a
-        # cluster would use reliable checkpoint(dir) here, same shape.
-        new_labels = (
+        # phantom exchanges; planning time grows with rounds).
+        new_labels = _iter_checkpoint(
             labels.unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .agg(F.min("label").alias("label")),
+            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")
@@ -554,7 +574,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
 
 
 def connected_components_star(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                              max_iterations: int = 20) -> DataFrame:
+                              max_iterations: int = 20,
+                              checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     same contract as ``connected_components`` ((node_id, cluster_id),
@@ -566,8 +587,10 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a", id_b: str = 
 
     Per round, both operations are one groupBy-min plus one join on the
     node key — fully distributed, same shuffle shape as propagation;
-    the driver loop is control flow only, and ``localCheckpoint``
-    truncates lineage per round exactly as in ``connected_components``.
+    the driver loop is control flow only, and per-round checkpointing
+    truncates lineage exactly as in ``connected_components``
+    (``checkpoint_dir`` selects the fault-tolerant cluster mode there
+    too).
 
     - large-star: every node links its LARGER neighbors to the minimum
       of its closed neighborhood (halves long paths' height);
@@ -577,17 +600,17 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a", id_b: str = 
     The fixed point is a star forest: each non-root carries exactly one
     edge to its component's minimum.
     """
-    e = (
+    e = _iter_checkpoint(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
-    nodes = (
+    nodes = _iter_checkpoint(
         pairs.select(F.col(id_a).alias("node"))
         .unionByName(pairs.select(F.col(id_b).alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     n_edges = e.count()
     for _ in range(max_iterations):
@@ -610,12 +633,12 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a", id_b: str = 
         # neighborhood (m = min since every v < u) into a star
         m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
         joined = ls.join(m2, "u")
-        ss = (
+        ss = _iter_checkpoint(
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(joined.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            checkpoint_dir,
         )
         n_new = ss.count()
         converged = n_new == n_edges and ss.subtract(e).isEmpty()

@@ -29,6 +29,23 @@ from pyspark.sql.window import Window
 from ..operators import scd2
 
 
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP.
+
+    The testdata generator has shipped the same instants under different
+    parquet physical types across rounds (NANOS adjusted-to-UTC, then
+    plain us with isAdjustedToUTC=false, which Spark 4 infers as NTZ).
+    The catalog's time math (unix_micros, timestamp-literal comparisons)
+    is typed for TIMESTAMP; with the session TZ pinned to UTC the
+    NTZ->LTZ cast re-labels the same wall-clock value as the same UTC
+    instant, so query results are bit-identical whichever physical type
+    the driver generated."""
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table.
 
@@ -46,8 +63,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _ntz_to_ltz(df)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _ntz_to_ltz(df)
     if name in ("documents", "embeddings"):
         # single-file testdata reads as ONE split; these tables feed
         # compute-heavy per-row operators (hashing, shingling, dot

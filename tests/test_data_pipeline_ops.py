@@ -241,6 +241,36 @@ def test_connected_components_star_handles_long_chains(spark):
     assert got == {i: 0 for i in range(61)}
 
 
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """`checkpoint_dir` switches per-round lineage truncation to reliable
+    checkpoint(dir) — the cluster-deployment mode that survives executor
+    loss. Same labels as the localCheckpoint default, and the round
+    state must actually land in the directory (that durability IS the
+    mode's contract)."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    ckpt = tmp_path / "cc_ckpt"
+    got = {
+        r.node_id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, checkpoint_dir=str(ckpt)
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert any(ckpt.rglob("*"))  # round state was written durably
+
+    star = {
+        r.node_id: r.cluster_id
+        for r in dedup.connected_components_star(
+            pairs, checkpoint_dir=str(ckpt)
+        ).collect()
+    }
+    assert star == got
+
+
 def test_hash_sample_is_partition_independent_and_nested(spark, sf001):
     """The same rows are selected regardless of physical layout, and a
     smaller fraction's sample nests inside a larger one (fixed seed)."""

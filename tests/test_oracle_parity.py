@@ -91,3 +91,55 @@ def test_query_matches_oracle(qdef, spark, duck, sf01):
 def test_rows_only_queries_run(qdef, spark, sf01):
     df = qdef.spark(spark, sf01)
     assert df.count() >= 0
+
+
+def test_approx_stats_within_published_bounds(spark, duck, sf01):
+    """`approx_stats` is rows-only in the driver report (sketch values are
+    implementation-defined), so pin its output contract here instead:
+    every sketch value must sit inside the algorithms' PUBLISHED error
+    bounds of the exact DuckDB answer.
+
+    - approx_count_distinct = HyperLogLog++ with default rsd 0.05
+      (Heule et al. 2013); assert relative error <= 3*rsd — a >=3-sigma
+      bound a correct sketch essentially never exceeds.
+    - percentile_approx with default accuracy 10000 guarantees the
+      returned value's RANK is within n/accuracy of the target rank
+      (Spark's ApproximatePercentile contract, Greenwald-Khanna bound
+      eps = 1/accuracy). Assert each sketch quantile lies between the
+      exact quantiles at q +- (eps + 2/n) — the bound itself plus two
+      ranks of interpolation slack.
+    """
+    qdef = {q.name: q for q in CATALOG}["approx_stats"]
+    got = {
+        r["l_returnflag"]: r
+        for r in (row.asDict() for row in qdef.spark(spark, sf01).collect())
+    }
+    eps = 1.0 / 10000  # percentile_approx default accuracy
+    exact = duck.sql(
+        """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS nd,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchall()
+    assert set(got) == {r[0] for r in exact}
+    for flag, nd, n in exact:
+        row = got[flag]
+        assert row["n"] == n  # count(*) in the same agg is exact
+        rel = abs(row["approx_parts"] - nd) / nd
+        assert rel <= 3 * 0.05, f"{flag}: HLL rel err {rel:.4f} > 15%"
+        slack = eps + 2.0 / n
+        for q in (0.5, 0.95, 0.99):
+            lo, hi = duck.sql(
+                f"""
+                SELECT quantile_disc(CAST(l_extendedprice AS DOUBLE), {max(q - slack, 0)}),
+                       quantile_disc(CAST(l_extendedprice AS DOUBLE), {min(q + slack, 1)})
+                FROM lineitem WHERE l_returnflag = '{flag}'
+                """
+            ).fetchone()
+            val = row[f"p{int(q * 100)}"]
+            assert lo <= val <= hi, (
+                f"{flag} p{int(q*100)}: sketch {val} outside rank-bound "
+                f"[{lo}, {hi}] (eps={slack:.5f}, n={n})"
+            )
