@@ -180,7 +180,27 @@ class DailyBatch:
         cards, accounts, clients = (
             self.dims["cards"], self.dims["accounts"], self.dims["clients"],
         )
-        stored = self.wh.read(MART, schemas.REP_FRAUD)
+        # Retro range for rule 1 (computed up front so the mart read below
+        # can prune to it): a BACKDATED blacklist entry arriving today must
+        # flag older transactions dated after it.
+        retro_lo: datetime.date | None = None
+        if self.incremental and bl_delta is not None:
+            min_bl = bl_delta.agg(F.min("date")).first()[0]
+            if min_bl is not None and min_bl < date_global:
+                retro_lo = min_bl + datetime.timedelta(days=1)
+        if self.incremental:
+            # The rules' NOT-EXISTS dedup joins on event_dt EQUALITY and
+            # every candidate's event day falls inside the rule band
+            # (current day for rules 1-2, lookback band for 3-4, retro
+            # range for rule 1's backdated term) — so the stored-mart
+            # side prunes to the union of those bands. O(band) dedup
+            # even after years of accumulated hits.
+            prune_from = date_global - datetime.timedelta(days=self.lookback_days)
+            if retro_lo is not None and retro_lo < prune_from:
+                prune_from = retro_lo
+            stored = self.wh.read_mart(MART, since=prune_from, until=date_global)
+        else:
+            stored = self.wh.read_mart(MART)
 
         counts: dict[str, int] = {}
         acc = self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
@@ -200,32 +220,28 @@ class DailyBatch:
 
         guard_12 = (not self.strict) or self.incremental
         r1 = fraud_rules.rule1_passport(tx, cards, accounts, clients, bl, date_global)
-        if self.incremental and bl_delta is not None:
-            # Retroactive term: a backdated blacklist entry arriving today
-            # must flag OLDER transactions (predicate: tx_date > bl_date).
-            # Re-scan only the partition-pruned band (min delta date, today)
-            # against ONLY the delta entries — O(delta window), not
-            # O(history); skipped entirely on days with no new entries.
-            # min_bl >= date_global means no entry is BACKDATED (the common
-            # case: feeds date new entries the day they arrive) — the retro
-            # range would be empty, so don't even build its subplan; the
-            # current-day term already covers same-day entries.
-            min_bl = bl_delta.agg(F.min("date")).first()[0]
-            if min_bl is not None and min_bl < date_global:
-                retro_tx = self.wh.read_transactions(
-                    FACT_TX,
-                    since=min_bl + datetime.timedelta(days=1),
-                    until=date_global - datetime.timedelta(days=1),
+        if retro_lo is not None:
+            # Retroactive term: re-scan only the partition-pruned band
+            # (min delta date, today) against ONLY the delta entries —
+            # O(delta window), not O(history); skipped entirely on days
+            # with no backdated entries (retro_lo is None when every
+            # delta entry is dated today or later — the common case:
+            # feeds date new entries the day they arrive; the
+            # current-day term already covers those).
+            retro_tx = self.wh.read_transactions(
+                FACT_TX,
+                since=retro_lo,
+                until=date_global - datetime.timedelta(days=1),
+            )
+            # Disjoint date ranges (retro ends yesterday) -> no overlap
+            # with the current-day term; no dedup needed inside the union.
+            # Expiry-predicate re-hits on retro days are removed by the
+            # stored-mart guard below.
+            r1 = r1.unionByName(
+                fraud_rules.rule1_passport(
+                    retro_tx, cards, accounts, clients, bl_delta, date_global
                 )
-                # Disjoint date ranges (retro ends yesterday) -> no overlap
-                # with the current-day term; no dedup needed inside the union.
-                # Expiry-predicate re-hits on retro days are removed by the
-                # stored-mart guard below.
-                r1 = r1.unionByName(
-                    fraud_rules.rule1_passport(
-                        retro_tx, cards, accounts, clients, bl_delta, date_global
-                    )
-                )
+            )
         if guard_12:
             r1 = fraud_rules._dedup_against(r1, stored, fraud_rules.EVENT_PASSPORT)
         acc = acc.unionByName(settle(r1, "REP_FRAUD_passport", "rep_fraud_passport"))
@@ -245,7 +261,7 @@ class DailyBatch:
         r4 = rule4(tx_band, cards, accounts, clients, stored.unionByName(acc), date_global)
         acc = acc.unionByName(settle(r4, "REP_FRAUD_attempt_amount", "rep_fraud_attempt_amount"))
 
-        self.wh.append(acc, MART)
+        self.wh.append_mart(acc, MART)
         flush_meta(self.wh)
         for df in persisted:
             df.unpersist()

@@ -36,8 +36,25 @@ class Warehouse:
         return os.path.join(self.root, table.lower())
 
     def exists(self, table: str) -> bool:
+        """True iff the table directory holds actual DATA files.
+
+        A partitioned append of an EMPTY DataFrame writes only a
+        _SUCCESS marker (no partition dirs, no part files) — Spark then
+        fails schema inference on the read. Such a table must read as
+        empty-typed, so marker/hidden files don't count; one level of
+        subdirectories covers the ``dt=``/``v=N`` layouts."""
         p = self._path(table)
-        return os.path.isdir(p) and any(True for _ in os.scandir(p))
+        if not os.path.isdir(p):
+            return False
+        for entry in os.scandir(p):
+            if entry.name.startswith(("_", ".")):
+                continue
+            if entry.is_file():
+                return True
+            for sub in os.scandir(entry.path):
+                if not sub.name.startswith(("_", ".")):
+                    return True
+        return False
 
     # -- append tables ------------------------------------------------------
 
@@ -48,7 +65,12 @@ class Warehouse:
         w.parquet(self._path(table))
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        """Read a table; an absent table reads as an empty typed DataFrame."""
+        """Read a table; an absent table reads as an empty typed DataFrame.
+
+        With ``schema`` given, the result is projected to exactly the
+        schema's columns (in order): hive partition columns like ``dt``
+        that the writer added for pruning are physical layout, not part
+        of the logical table."""
         if not self.exists(table):
             if schema is None:
                 raise FileNotFoundError(f"table {table} absent and no schema given")
@@ -56,8 +78,12 @@ class Warehouse:
         p = self._path(table)
         versions = _versions(p)
         if versions:
-            return self.spark.read.parquet(os.path.join(p, f"v={versions[-1]}"))
-        return self.spark.read.parquet(p)
+            df = self.spark.read.parquet(os.path.join(p, f"v={versions[-1]}"))
+        else:
+            df = self.spark.read.parquet(p)
+        if schema is not None:
+            df = df.select(*[f.name for f in schema.fields])
+        return df
 
     # -- versioned rewrite tables -------------------------------------------
 
@@ -116,6 +142,37 @@ class Warehouse:
             table,
             partition_by=["dt"],
         )
+
+    # -- fraud-mart convenience ----------------------------------------------
+
+    def append_mart(self, df: DataFrame, table: str = "rep_fraud") -> None:
+        """Mart append, hive-partitioned by event day.
+
+        The mart grows with every day's hits; the rules' NOT-EXISTS
+        dedup joins on ``event_dt`` EQUALITY, so a day's dedup only ever
+        needs the mart rows whose event day falls in that day's rule
+        band. Partitioning by ``dt = date(event_dt)`` turns that into a
+        partition-pruned read (``read_mart(since, until)``) — the dedup
+        stays O(band), not O(all historical hits), at 100 TB."""
+        self.append(
+            df.withColumn("dt", F.to_date("event_dt")), table, partition_by=["dt"]
+        )
+
+    def read_mart(self, table: str = "rep_fraud",
+                  since: "datetime.date | None" = None,
+                  until: "datetime.date | None" = None) -> DataFrame:
+        """Mart read; `since`/`until` prune on the `dt` partition column
+        (same mechanics as ``read_transactions``)."""
+        from .. import schemas
+
+        if not self.exists(table):
+            return self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
+        df = self.read(table)
+        if since is not None:
+            df = df.where(F.col("dt") >= F.lit(since))
+        if until is not None:
+            df = df.where(F.col("dt") <= F.lit(until))
+        return df.select(*[f.name for f in schemas.REP_FRAUD.fields])
 
     def read_transactions(self, table: str = "dwh_fact_transactions",
                           since: "datetime.date | None" = None,

@@ -4,8 +4,10 @@ Fraud rule 4 (reference: loading_rep_fraud.py:98-129) as a true
 streaming operator: per-card state holds the trailing 20 minutes of
 REJECT (ts, amount) attempts; a SUCCESS transaction emits a hit when
 two prior REJECTs form a strictly-decreasing chain inside the span.
-State is bounded (pruned to the 1200s band + capped), so it runs
-indefinitely — this is the ``applyInPandasWithState`` shape Spark
+State is bounded in BOTH dimensions — per key (trail pruned to the
+1200s band + row-capped) and in key count (event-time timeout evicts a
+card once the watermark passes its last REJECT + band) — so it runs
+indefinitely; this is the ``applyInPandasWithState`` shape Spark
 prescribes for operators its built-in windows can't express.
 
 Batch-mode equivalence is tested against the window formulation in
@@ -43,6 +45,11 @@ STATE_SCHEMA = T.StructType(
 
 def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     (card,) = key
+    if state.hasTimedOut:
+        # watermark passed this card's last-reject + band: no future
+        # SUCCESS can pair with the stored trail — evict the key.
+        state.remove()
+        return
     if state.exists:
         ts_list, am_list = state.get
         ts_list, am_list = list(ts_list), list(am_list)
@@ -79,7 +86,19 @@ def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterato
                     hits_ts.append(ts)
                     hits_am.append(float(am))
 
-    state.update((ts_list, am_list))
+    if ts_list:
+        state.update((ts_list, am_list))
+        # Event-time eviction: an idle card's trail is dead once the
+        # watermark passes its newest REJECT + band (no later SUCCESS
+        # can land inside the span). Without this, every card ever seen
+        # holds state forever — unbounded KEY growth on a stream of
+        # billions of cards, even with the per-key row cap.
+        timeout_at = (ts_list[-1] + BAND_SECONDS) * 1000
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_at, wm + 1000))
+    else:
+        # empty trail == no state: don't keep a row for this card at all
+        state.remove()
     if hits_ts:
         yield pd.DataFrame(
             {
@@ -90,15 +109,23 @@ def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterato
         )
 
 
-def amount_guessing_stream(tx_stream: DataFrame) -> DataFrame:
+def amount_guessing_stream(tx_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Apply the per-card state machine to a (streaming) transactions DF.
 
     Input needs columns card_num, transaction_date, amount, oper_result.
+    ``watermark`` bounds late data AND drives state-key eviction: a
+    card's trail times out once the watermark passes its newest REJECT
+    + the 20-minute band, so total state is O(cards active in the last
+    watermark+band), not O(cards ever seen).
     """
     from pyspark.sql import functions as F
 
-    prepared = tx_stream.select(
+    # transaction_date stays in the projection: it CARRIES the watermark
+    # (selecting it away would detach the event-time attribute and break
+    # the event-time timeout).
+    prepared = tx_stream.withWatermark("transaction_date", watermark).select(
         "card_num",
+        "transaction_date",
         F.col("transaction_date").cast("long").alias("ts_sec"),
         F.col("amount").cast("double").alias("amount"),
         "oper_result",
@@ -108,5 +135,5 @@ def amount_guessing_stream(tx_stream: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -61,6 +61,34 @@ def test_pruned_fact_read_has_partition_filters(spark, tmp_path):
     assert band.count() == 20
 
 
+def test_mart_is_partitioned_and_prunes(spark, tmp_path):
+    """rep_fraud is hive-partitioned by event day, and read_mart(since,
+    until) reaches the scan as PartitionFilters — the rules' NOT-EXISTS
+    dedup against the stored mart stays O(band) as the mart accumulates
+    years of hits."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [
+        (datetime.datetime(2021, 3, 1 + (i % 3), 12, 0), f"P{i}", "F", "7",
+         f"type{i % 2}", datetime.date(2021, 3, 3))
+        for i in range(30)
+    ]
+    wh.append_mart(spark.createDataFrame(rows, schema=schemas.REP_FRAUD))
+
+    assert any(
+        d.startswith("dt=")
+        for d in os.listdir(tmp_path / "wh" / "rep_fraud")
+    )
+    day = datetime.date(2021, 3, 2)
+    pruned = wh.read_mart(since=day, until=day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters")[1][:300]
+    assert pruned.count() == 10
+    assert pruned.columns == [f.name for f in schemas.REP_FRAUD.fields]
+    # unpruned read returns everything, same logical schema
+    assert wh.read_mart().count() == 30
+
+
 def test_incremental_matches_faithful_hit_set(spark, ref_data, tmp_path):
     """3-day replay in both modes: identical distinct hit sets, including
     retroactive hits from backdated blacklist entries (the 03-03 feed

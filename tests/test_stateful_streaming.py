@@ -80,3 +80,89 @@ def test_state_carries_across_microbatches(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_idle_card_state_is_evicted(spark, tmp_path):
+    """A card whose trail can no longer complete a triple (watermark
+    passed its last REJECT + band) must be EVICTED from the state store
+    — otherwise state grows with every card ever seen. Also: a card
+    that never stored a REJECT holds no state row at all."""
+    inbox = tmp_path / "in3"
+    inbox.mkdir()
+    (inbox / "b1.csv").write_text(
+        "\n".join([
+            HEADER,
+            "1;2021-03-01 10:00:00;300,00;C1;PAYMENT;REJECT;T",
+            "2;2021-03-01 10:00:00;300,00;C2;PAYMENT;SUCCESS;T",  # no trail
+        ])
+    )
+    tx = ingest.read_transactions_stream(spark, str(inbox), max_files_per_trigger=1)
+    hits = stateful.amount_guessing_stream(tx)
+    q = (
+        hits.writeStream.outputMode("append").format("memory")
+        .queryName("amount_hits_3").start()
+    )
+
+    def state_rows():
+        progress = [p for p in q.recentProgress if p["stateOperators"]]
+        return progress[-1]["stateOperators"][0]["numRowsTotal"]
+
+    try:
+        q.processAllAvailable()
+        assert state_rows() == 1  # C1's trail; C2 stored nothing
+
+        # a much later event advances the watermark (1h delay) far past
+        # C1's 10:20 timeout; two triggers so the new watermark is
+        # applied to the state store
+        (inbox / "b2.csv").write_text(
+            "\n".join([
+                HEADER,
+                "3;2021-03-02 10:00:00;50,00;C3;PAYMENT;SUCCESS;T",
+            ])
+        )
+        q.processAllAvailable()
+        (inbox / "b3.csv").write_text(
+            "\n".join([
+                HEADER,
+                "4;2021-03-02 11:00:00;50,00;C3;PAYMENT;SUCCESS;T",
+            ])
+        )
+        q.processAllAvailable()
+        assert state_rows() == 0  # C1 evicted; C3 never stored
+    finally:
+        q.stop()
+
+
+def test_detection_still_works_with_eviction_enabled(spark, tmp_path):
+    """Eviction must not fire early: a SUCCESS inside the band (and
+    inside the watermark) still completes the triple stored in state."""
+    inbox = tmp_path / "in4"
+    inbox.mkdir()
+    (inbox / "b1.csv").write_text(
+        "\n".join([
+            HEADER,
+            "1;2021-03-01 10:00:00;300,00;C1;PAYMENT;REJECT;T",
+            "2;2021-03-01 10:05:00;200,00;C1;PAYMENT;REJECT;T",
+        ])
+    )
+    tx = ingest.read_transactions_stream(spark, str(inbox), max_files_per_trigger=1)
+    hits = stateful.amount_guessing_stream(tx)
+    q = (
+        hits.writeStream.outputMode("append").format("memory")
+        .queryName("amount_hits_4").start()
+    )
+    try:
+        q.processAllAvailable()
+        (inbox / "b2.csv").write_text(
+            "\n".join([
+                HEADER,
+                "3;2021-03-01 10:15:00;100,00;C1;PAYMENT;SUCCESS;T",
+            ])
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT card_num, event_ts FROM amount_hits_4").collect()
+        assert [(r.card_num, r.event_ts) for r in rows] == [
+            ("C1", datetime.datetime(2021, 3, 1, 10, 15))
+        ]
+    finally:
+        q.stop()
