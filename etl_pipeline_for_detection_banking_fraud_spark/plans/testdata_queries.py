@@ -58,6 +58,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle is TZ-naive; a non-UTC driver session would shift to_date()
     # and CAST(ts AS DATE) results.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Read naive (isAdjustedToUTC=false) parquet timestamps as TIMESTAMP
+    # directly instead of NTZ: under the pinned UTC session the instants
+    # are identical, and a native LTZ column keeps timestamp predicates
+    # PUSHED DOWN to the parquet scan — the _ntz_to_ltz cast fallback
+    # below would hide filters from the reader at 100 TB.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
