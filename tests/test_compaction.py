@@ -30,3 +30,28 @@ def test_compact_partitioned_fact(spark, tmp_path):
     files_after = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
     assert len(files_after) < len(files_before)
     assert wh.read_transactions().count() == n_before
+
+
+def test_compact_partitioned_mart(spark, tmp_path):
+    """Faithful mode re-inserts historical hits daily, so day N's mart
+    append touches up to N event-day partitions — one small file each,
+    O(days^2) files over a year. compact() folds each dt partition back
+    to one file with identical rows."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for day in range(1, 4):  # day N re-reports event days 1..N
+        rows = [
+            (datetime.datetime(2021, 3, ev, 12, 0), f"P{ev}", "F", "7",
+             "type", datetime.date(2021, 3, day))
+            for ev in range(1, day + 1)
+        ]
+        wh.append_mart(spark.createDataFrame(rows, schema=schemas.REP_FRAUD))
+
+    table_dir = str(tmp_path / "wh" / "rep_fraud")
+    files_before = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    rows_before = sorted(map(tuple, wh.read_mart().collect()))
+    assert len(files_before) >= 6  # 1+2+3 (one per touched partition per day)
+
+    wh.compact("rep_fraud")
+    files_after = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    assert len(files_after) == 3  # one per dt partition
+    assert sorted(map(tuple, wh.read_mart().collect())) == rows_before
