@@ -205,12 +205,31 @@ class DailyBatch:
         counts: dict[str, int] = {}
         acc = self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
         persisted = []
+        observed: list[tuple[str, str, "Observation"]] = []
 
         def settle(df, audit_name, short):
             """Materialize one rule's hits once (each result feeds the
             count, later rules' dedup visibility, and the final write —
             without persist the whole rule subtree would re-execute for
-            each of those)."""
+            each of those).
+
+            Faithful mode counts each rule eagerly — one Spark job per
+            rule, preserving the reference's per-stage audit rows AND
+            per-stage ERROR attribution. Incremental (scale) mode rides
+            the counts on the final mart write via Observation metrics
+            instead: the write materializes all four cached rule
+            subtrees in ONE job, so the per-day fixed cost drops by four
+            job launches; the audit still gets one row per rule (same
+            buffer order), but a failing rule surfaces under the
+            combined REP_FRAUD_rules stage."""
+            if self.incremental:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("n")).persist()
+                persisted.append(df)
+                observed.append((audit_name, short, obs))
+                return df
             with self._audited_stage(audit_name, date_global):
                 df = df.persist()
                 persisted.append(df)
@@ -261,7 +280,14 @@ class DailyBatch:
         r4 = rule4(tx_band, cards, accounts, clients, stored.unionByName(acc), date_global)
         acc = acc.unionByName(settle(r4, "REP_FRAUD_attempt_amount", "rep_fraud_attempt_amount"))
 
-        self.wh.append_mart(acc, MART)
+        if self.incremental:
+            with self._audited_stage("REP_FRAUD_rules", date_global):
+                self.wh.append_mart(acc, MART)
+            for audit_name, short, obs in observed:
+                counts[short] = int(obs.get["n"])
+                log_meta(self.wh, audit_name, date_global, counts[short])
+        else:
+            self.wh.append_mart(acc, MART)
         flush_meta(self.wh)
         for df in persisted:
             df.unpersist()
