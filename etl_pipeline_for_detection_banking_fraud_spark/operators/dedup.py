@@ -206,6 +206,23 @@ def write_band_index(index: DataFrame, path: str, prefix_len: int = 2) -> None:
     )
 
 
+def append_band_index(delta_index: DataFrame, path: str, prefix_len: int = 2) -> None:
+    """Fold a delta's band entries into a persisted index — the daily
+    maintenance step of the incremental loop: dedup today's delta
+    against the index (``minhash_lsh_pairs_incremental``), then append
+    the delta's entries so TOMORROW's delta sees today's docs. Nothing
+    is re-hashed: the write ships only the delta's entries into the
+    same key-prefix layout. Daily appends accumulate one file set per
+    touched prefix per day; compact periodically (same small-files
+    hygiene as the warehouse fact tables)."""
+    (
+        delta_index.withColumn("_kp", F.substring("key", 1, prefix_len))
+        .write.partitionBy("_kp")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def read_band_index_for(spark, path: str, delta_index: DataFrame,
                         prefix_len: int = 2) -> DataFrame:
     """Read only the index partitions a delta's band keys can land in.

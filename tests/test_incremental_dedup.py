@@ -82,3 +82,44 @@ def test_incremental_hot_bucket_guard(spark, sf001):
         ).collect()
     }
     assert guarded <= unguarded
+
+
+def test_day_over_day_index_maintenance(spark, sf001, tmp_path):
+    """The full daily loop across TWO deltas: day-2's entries are folded
+    into the persisted index (append_band_index), so day-3's incremental
+    pairs must equal the batch pairs involving day-3 docs over
+    corpus ∪ day-2 ∪ day-3 — including day3-day2 pairs that exist only
+    because the index was maintained."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 <= 7)
+    d2 = docs.where(F.col("doc_id") % 10 == 8)
+    d3 = docs.where(F.col("doc_id") % 10 == 9)
+
+    batch = dedup.minhash_lsh_pairs(docs)
+    expected = {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in batch.where(
+            (F.col("id_a") % 10 == 9) | (F.col("id_b") % 10 == 9)
+        ).collect()
+    }
+    assert expected, "fixture must plant near-dup pairs touching day 3"
+
+    path = str(tmp_path / "band_index")
+    dedup.write_band_index(dedup.minhash_band_index(corpus), path)
+
+    # day 2: dedup delta vs index, then fold its entries in
+    d2_entries = dedup.minhash_band_index(d2)
+    dedup.minhash_lsh_pairs_incremental(
+        d2, dedup.read_band_index_for(spark, path, d2_entries)
+    ).collect()
+    dedup.append_band_index(d2_entries, path)
+
+    # day 3: the maintained index must surface day3-day2 pairs too
+    d3_entries = dedup.minhash_band_index(d3)
+    got = {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in dedup.minhash_lsh_pairs_incremental(
+            d3, dedup.read_band_index_for(spark, path, d3_entries)
+        ).collect()
+    }
+    assert got == expected
