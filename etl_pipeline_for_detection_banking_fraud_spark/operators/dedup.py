@@ -316,6 +316,20 @@ def minhash_lsh_pairs_incremental(delta: DataFrame, index: DataFrame,
     )
 
 
+def ngram_shingle_index(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Inverted word-n-gram index: one row per (doc, distinct shingle),
+    with the doc's shingle-set size riding along — the shared building
+    block of the batch and incremental Jaccard operators, and the thing
+    a curation pipeline PERSISTS per corpus day (its (shingle) layout
+    plays the role minhash's band index plays)."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
+    sh = base.select(F.col(id_col), word_shingles(F.col("_tok"), n).alias("sh"))
+    return sh.select(
+        F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
                         max_df: int | None = None) -> DataFrame:
@@ -336,8 +350,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     Intersections that exist only through dropped shingles undercount
     (pairs may fall below threshold — document the cutoff when curating).
     """
-    base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
-    shingles = word_shingles(F.col("_tok"), n)
     # Join-free inverted index (same shape as minhash_lsh_pairs): one
     # shuffle of (shingle, id, set-size) into per-shingle buckets, then
     # intra-bucket ordered-pair expansion and a pair-count groupBy.
@@ -348,8 +360,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # not just skew — which is why max_df pre-filters below, before any
     # array is collected. No persist barrier: nothing is scanned twice,
     # and the session excludes InferFiltersFromGenerate (session.py).
-    sh = base.select(F.col(id_col), shingles.alias("sh"))
-    inv = sh.select(F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    inv = ngram_shingle_index(df, text_col, id_col, n)
     if max_df is not None:
         # Stop-shingles must be dropped BEFORE collect_list: this shape
         # concentrates each shingle's whole posting list in ONE row, so a
@@ -393,6 +404,82 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     ).select("p.id_a", "p.n_a", "p.id_b", "p.n_b")
     inter = (
         pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_incremental(delta: DataFrame, index: DataFrame,
+                                    text_col: str = "text", id_col: str = "doc_id",
+                                    n: int = 3, threshold: float = 0.5,
+                                    max_df: int | None = None) -> DataFrame:
+    """Jaccard near-dup pairs INVOLVING the delta, against a persisted
+    inverted shingle index of the corpus (``ngram_shingle_index``
+    output) — the Jaccard sibling of ``minhash_lsh_pairs_incremental``.
+
+    EXACT for delta-involving pairs: every shingle in the intersection
+    of a (delta, corpus) pair is by definition one of the delta doc's
+    shingles, so semi-joining the corpus index to the delta's shingles
+    keeps every intersection contribution; each side's full set size
+    (``n_sh``) rides in the index rows, so union sizes are exact too.
+    The corpus side is never re-shingled and never fully shuffled —
+    only delta-touched postings move. Same pre-collect ``max_df``
+    hot-shingle guard as the batch operator (applied to the combined
+    delta+touched postings).
+    """
+    delta_inv = ngram_shingle_index(delta, text_col, id_col, n).localCheckpoint()
+    touched = delta_inv.select("shingle").distinct()
+    corpus_hits = index.join(F.broadcast(touched), ["shingle"], "left_semi")
+    entries = delta_inv.withColumn("_new", F.lit(True)).unionByName(
+        corpus_hits.select(id_col, "n_sh", "shingle").withColumn("_new", F.lit(False))
+    )
+    if max_df is not None:
+        hot = (
+            entries.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        entries = entries.join(F.broadcast(hot), "shingle", "left_anti")
+    buckets = (
+        entries.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col("n_sh"), F.col("_new")))
+            ).alias("members")
+        )
+        .where(F.size("members") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("members", 1, F.size("members") - 1),
+                    lambda m, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda m2: F.struct(
+                            m[id_col].alias("id_a"),
+                            m["n_sh"].alias("n_a"),
+                            m["_new"].alias("new_a"),
+                            m2[id_col].alias("id_b"),
+                            m2["n_sh"].alias("n_b"),
+                            m2["_new"].alias("new_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.n_a", "p.new_a", "p.id_b", "p.n_b", "p.new_b")
+    inter = (
+        pairs.where(F.col("new_a") | F.col("new_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (

@@ -295,11 +295,7 @@ def dedup_clusters_star(spark, sf_dir):
     return cc.select(F.col("node_id").alias("doc_id"), "cluster_id")
 
 
-@_q(
-    "dedup_ngram_jaccard",
-    "dedup: word-trigram Jaccard pairs via inverted-index join",
-    f"""
-    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+_NGRAM_JACCARD_CTES = f"""toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
     sh AS (
         SELECT doc_id,
                CASE WHEN len(tok) >= 3 THEN list_distinct(list_transform(
@@ -314,7 +310,14 @@ def dedup_clusters_star(spark, sf_dir):
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    )
+    )"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    "dedup: word-trigram Jaccard pairs via inverted-index join",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES}
     SELECT i.id_a, i.id_b, i.n_inter,
            CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
     FROM inter i
@@ -325,6 +328,33 @@ def dedup_clusters_star(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@_q(
+    "dedup_ngram_incr",
+    "dedup: incremental word-trigram Jaccard — daily delta vs persisted "
+    "inverted shingle index (exact for delta-involving pairs)",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES}
+    SELECT i.id_a, i.id_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    JOIN sized sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.1
+      AND (i.id_a % 10 = 0 OR i.id_b % 10 = 0)
+    """,
+)
+def dedup_ngram_incr(spark, sf_dir):
+    # same day-1-corpus / day-2-delta split as dedup_minhash_incr: the
+    # operator must return exactly the batch pairs involving delta docs
+    # from the corpus's persisted inverted index, never re-shingling it
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.ngram_jaccard_pairs_incremental(
+        delta, dedup.ngram_shingle_index(corpus), threshold=0.1
+    )
 
 
 _SIMHASH_SQL_FP = (

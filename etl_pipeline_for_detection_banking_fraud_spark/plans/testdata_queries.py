@@ -771,6 +771,7 @@ def sessionize(spark, sf_dir):
 # catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
     "dedup_minhash_incr",   # new in r4 — never reported
+    "dedup_ngram_incr",     # new in r4 — never reported
     # newest driver row is r02 (rotated out of the r03 report):
     "pivot_agg", "rollup_agg", "distinct_count_agg", "string_funcs",
     "global_topk", "running_window", "lead_lag_window",

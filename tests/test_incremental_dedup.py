@@ -123,3 +123,27 @@ def test_day_over_day_index_maintenance(spark, sf001, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_ngram_incremental_matches_batch(spark, sf001):
+    """Jaccard sibling of the minhash differential: the incremental
+    operator over the corpus's persisted inverted index must return
+    EXACTLY the batch Jaccard pairs involving delta docs — same values
+    (n_inter, jaccard), not just the same ids."""
+    docs, corpus, delta = _split(spark, sf001)
+    batch = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    expected = {
+        (r.id_a, r.id_b, r.n_inter, round(r.jaccard, 9))
+        for r in batch.where(
+            (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+        ).collect()
+    }
+    assert expected, "fixture must plant near-dup pairs touching the delta"
+
+    incr = dedup.ngram_jaccard_pairs_incremental(
+        delta, dedup.ngram_shingle_index(corpus), threshold=0.1
+    )
+    got = {
+        (r.id_a, r.id_b, r.n_inter, round(r.jaccard, 9)) for r in incr.collect()
+    }
+    assert got == expected
