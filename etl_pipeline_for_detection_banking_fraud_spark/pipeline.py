@@ -205,7 +205,7 @@ class DailyBatch:
         counts: dict[str, int] = {}
         acc = self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
         persisted = []
-        observed: list[tuple[str, str, "Observation"]] = []
+        deferred: list[tuple[str, str, DataFrame]] = []
 
         def settle(df, audit_name, short):
             """Materialize one rule's hits once (each result feeds the
@@ -215,20 +215,22 @@ class DailyBatch:
 
             Faithful mode counts each rule eagerly — one Spark job per
             rule, preserving the reference's per-stage audit rows AND
-            per-stage ERROR attribution. Incremental (scale) mode rides
-            the counts on the final mart write via Observation metrics
-            instead: the write materializes all four cached rule
-            subtrees in ONE job, so the per-day fixed cost drops by four
-            job launches; the audit still gets one row per rule (same
-            buffer order), but a failing rule surfaces under the
-            combined REP_FRAUD_rules stage."""
+            per-stage ERROR attribution. Incremental (scale) mode defers
+            the counts until after the final mart write instead: the
+            write materializes all four cached rule subtrees in ONE job,
+            and the post-write counts read the caches (partition-local,
+            no recompute) — four heavy job launches become four trivial
+            ones per day. The audit still gets one row per rule in the
+            same buffer order, but a failing rule surfaces under the
+            combined REP_FRAUD_rules stage. (An Observation metric on
+            the write would drop even the trivial jobs, but a lingering
+            ObservationManager reference poisons later task-closure
+            serialization on the shared session — SparkException: Task
+            not serializable — so counts come from the caches.)"""
             if self.incremental:
-                from pyspark.sql import Observation
-
-                obs = Observation()
-                df = df.observe(obs, F.count(F.lit(1)).alias("n")).persist()
+                df = df.persist()
                 persisted.append(df)
-                observed.append((audit_name, short, obs))
+                deferred.append((audit_name, short, df))
                 return df
             with self._audited_stage(audit_name, date_global):
                 df = df.persist()
@@ -283,8 +285,8 @@ class DailyBatch:
         if self.incremental:
             with self._audited_stage("REP_FRAUD_rules", date_global):
                 self.wh.append_mart(acc, MART)
-            for audit_name, short, obs in observed:
-                counts[short] = int(obs.get["n"])
+            for audit_name, short, df in deferred:
+                counts[short] = df.count()  # cache-local: write materialized it
                 log_meta(self.wh, audit_name, date_global, counts[short])
         else:
             self.wh.append_mart(acc, MART)
