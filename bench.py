@@ -3,12 +3,31 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with
 a noop sink (count() alone can let Catalyst prune column work).
+
+Round-5 additions (so a cross-round comparison can tell a *plan*
+regression from a *machine* slowdown — round 4's numbers were uniformly
+~1.6x round 3's with zero query-code changes, which a single-trial bench
+cannot attribute):
+
+* every headline query runs ``SPARK_GRAFT_BENCH_TRIALS`` times (default
+  3); ``queries`` records the per-query MEDIAN and ``queries_detail``
+  records median/min/max plus the raw trials;
+* two fixed-cost calibration probes (pure-CPU aggregate and a small
+  hash+shuffle) run the same way; their medians are machine-speed
+  yardsticks — if probe time scales by the same factor as the queries,
+  the round-over-round delta is environmental, not a regression;
+* a one-shot sf1 point: the 4 scale-bearing tables are replicated 10x
+  (key-shifted; document text word-perturbed per replica so the
+  near-dup rate stays realistic instead of every doc gaining 9 exact
+  copies) and the 5 most expensive queries run once at ~6M lineitem
+  rows, making the scaling claims rest on a 10x data point.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,6 +56,165 @@ HEADLINE = [
 
 
 REF_DATA = "/root/reference/data"
+
+# The 5 most expensive headline queries (per BENCH_r03/r04) — these get
+# the extra sf1 data point.
+SF1_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "groupby_agg",
+    "join_chain",
+    "tpch_q3_shape",
+]
+# Tables those 5 queries read; the first 4 are replicated 10x, the tiny
+# dims are copied as-is.
+SF1_SCALED = ["lineitem", "orders", "customer", "documents"]
+SF1_COPIED = ["nation", "region"]
+SF1_STRIDE = 100_000_000  # key shift per replica; far above any sf0.1 key
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed_trials(fn, trials: int) -> dict:
+    """Run fn() `trials` times; return median/min/max + raw trials."""
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(round(time.perf_counter() - t0, 4))
+    return {
+        "median": round(statistics.median(ts), 4),
+        "min": min(ts),
+        "max": max(ts),
+        "trials": ts,
+    }
+
+
+def _calibration(spark, trials: int) -> dict:
+    """Fixed-cost machine-speed probes, independent of any data on disk.
+
+    cpu_probe: 30M-row arithmetic aggregate — pure whole-stage-codegen
+    CPU, no shuffle, no I/O. shuffle_probe: 3M md5 keys grouped into 256
+    buckets — exercises hashing + one exchange. If these scale by the
+    same factor as the headline queries between rounds, the delta is the
+    machine, not the plans."""
+    from pyspark.sql import functions as F
+
+    def cpu():
+        _noop(
+            spark.range(0, 30_000_000, 1, 32).select(
+                F.sum((F.col("id") * 3 + 7) % 1000003).alias("s")
+            )
+        )
+
+    def shuf():
+        _noop(
+            spark.range(0, 3_000_000, 1, 32)
+            .withColumn("k", F.md5(F.col("id").cast("string")))
+            .groupBy(F.substring("k", 1, 2).alias("b"))
+            .count()
+        )
+
+    cpu()  # warm codegen paths once so probe trials measure steady state
+    shuf()
+    return {
+        "cpu_probe": _timed_trials(cpu, trials),
+        "shuffle_probe": _timed_trials(shuf, trials),
+    }
+
+
+def _build_sf1(spark, sf_dir: str) -> str:
+    """Materialize a 10x replica of sf0.1's scale-bearing tables.
+
+    Keys are shifted by SF1_STRIDE per replica so join fan-outs stay
+    realistic (each replica is a self-contained key space; orders'
+    o_custkey and lineitem's l_orderkey shift together so the join
+    graph is preserved). Document text gets a per-replica word
+    substitution (~50% of words, crc32-keyed so the SAME substitution
+    applies to every doc in a replica): planted near-dup pairs inside a
+    replica survive verbatim, while cross-replica copies drop to
+    trigram-Jaccard ~0.07 — below the catalog's 0.1 pair threshold — so
+    this is a 10x corpus with the same dup-rate, not one where every
+    doc has 9 near-twins (which would make the sf1 number measure a
+    100x pair explosion instead of a 10x scale-up).
+
+    Scaled tables are written as 32 files (repartition before write):
+    a single 10x-size zstd file caps the scan at 1-2 tasks and the sf1
+    point would measure file layout, not the plan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = "/tmp/spark_graft_sf1_x10"
+    marker = os.path.join(out, "_ALL_TABLES_OK")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rep = F.col("rep")
+    reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+    for name in SF1_SCALED:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").crossJoin(
+            F.broadcast(reps)
+        )
+        shift = rep.cast("long") * F.lit(SF1_STRIDE)
+        if name == "lineitem":
+            df = df.withColumn("l_orderkey", F.col("l_orderkey") + shift)
+        elif name == "orders":
+            df = df.withColumn(
+                "o_orderkey", F.col("o_orderkey") + shift
+            ).withColumn("o_custkey", F.col("o_custkey") + shift)
+        elif name == "customer":
+            df = df.withColumn("c_custkey", F.col("c_custkey") + shift)
+        elif name == "documents":
+            perturbed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.when(
+                        F.crc32(F.concat(w, rep.cast("string"))) % 2 == 0,
+                        F.concat(w, F.lit("_"), rep.cast("string")),
+                    ).otherwise(w),
+                ),
+                " ",
+            )
+            df = (
+                df.withColumn("doc_id", F.col("doc_id") + shift)
+                .withColumn(
+                    "text", F.when(rep == 0, F.col("text")).otherwise(perturbed)
+                )
+                .withColumn("n_chars", F.length("text"))
+            )
+        df.drop("rep").repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    for name in SF1_COPIED:
+        src = f"{sf_dir}/{name}.parquet"
+        dst = os.path.join(out, f"{name}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _sf1_point(spark, qmap, sf_dir: str) -> dict:
+    """One-shot sf1 (10x) run of the 5 most expensive queries."""
+    t0 = time.perf_counter()
+    sf1_dir = _build_sf1(spark, sf_dir)
+    gen = round(time.perf_counter() - t0, 4)
+    timings: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        if name not in qmap:
+            continue
+        t0 = time.perf_counter()
+        _noop(qmap[name](spark, sf1_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+    return {"sf": 1.0, "mode": "replicate10_keyshift", "gen_sec": gen,
+            "queries": timings}
 
 
 def _replay_secs(spark, incremental: bool) -> float | None:
@@ -175,13 +353,27 @@ def main() -> None:
         if warm_dir is None:
             break  # no small SF available: single-query JVM warmup only
 
-    timings: dict[str, float] = {}
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
+    detail: dict[str, dict] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        detail[name] = _timed_trials(
+            lambda name=name: _noop(qmap[name](spark, sf_dir)), trials
+        )
+    timings = {name: d["median"] for name, d in detail.items()}
 
     total = round(sum(timings.values()), 4)
+    try:
+        calibration = _calibration(spark, trials)
+    except Exception as e:
+        calibration = {"error": str(e)[:300]}
+    sf1 = None
+    if os.environ.get("SPARK_GRAFT_SF1", "auto") != "0" and abs(
+        (float(sf) if sf.replace(".", "").isdigit() else 0) - 0.1
+    ) < 1e-9:
+        try:
+            sf1 = _sf1_point(spark, qmap, sf_dir)
+        except Exception as e:
+            sf1 = {"error": str(e)[:300]}
     # Pipeline replay pair (not folded into `value`, which stays the
     # headline-query total for round-over-round comparability).
     # Errors are RECORDED, not swallowed: a broken replay must not
@@ -204,8 +396,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_detail": detail,
+        "bench_trials": trials,
+        "calibration": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if sf1:
+        out["sf1"] = sf1
     if replay:
         out["replay"] = replay
     print(json.dumps(out))
