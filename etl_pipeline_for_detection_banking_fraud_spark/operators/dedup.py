@@ -434,10 +434,20 @@ def ngram_jaccard_pairs_incremental(delta: DataFrame, index: DataFrame,
     only delta-touched postings move. Same pre-collect ``max_df``
     hot-shingle guard as the batch operator (applied to the combined
     delta+touched postings).
+
+    Contract (same as ``minhash_lsh_pairs_incremental``): delta ids
+    must NOT already exist in the index — re-adding an id would make
+    it meet itself in every shared-shingle bucket. Violations are
+    guarded (self-pairs are dropped below) but the pair would still
+    surface once the stale index rows are retired.
     """
     delta_inv = ngram_shingle_index(delta, text_col, id_col, n).localCheckpoint()
     touched = delta_inv.select("shingle").distinct()
-    corpus_hits = index.join(F.broadcast(touched), ["shingle"], "left_semi")
+    # No broadcast hint: unlike the minhash variant's tiny band entries,
+    # the delta's distinct shingle set is one row per distinct word
+    # n-gram — easily past driver/broadcast limits for a realistic daily
+    # delta. AQE broadcasts it anyway when it IS small.
+    corpus_hits = index.join(touched, ["shingle"], "left_semi")
     entries = delta_inv.withColumn("_new", F.lit(True)).unionByName(
         corpus_hits.select(id_col, "n_sh", "shingle").withColumn("_new", F.lit(False))
     )
@@ -478,7 +488,12 @@ def ngram_jaccard_pairs_incremental(delta: DataFrame, index: DataFrame,
         ).alias("p")
     ).select("p.id_a", "p.n_a", "p.new_a", "p.id_b", "p.n_b", "p.new_b")
     inter = (
-        pairs.where(F.col("new_a") | F.col("new_b"))
+        pairs.where(
+            (F.col("new_a") | F.col("new_b"))
+            # contract-violation guard: a delta id already present in the
+            # index meets itself with jaccard ~1.0 in every shared bucket
+            & (F.col("id_a") != F.col("id_b"))
+        )
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -153,10 +153,45 @@ class Warehouse:
         needs the mart rows whose event day falls in that day's rule
         band. Partitioning by ``dt = date(event_dt)`` turns that into a
         partition-pruned read (``read_mart(since, until)``) — the dedup
-        stays O(band), not O(all historical hits), at 100 TB."""
+        stays O(band), not O(all historical hits), at 100 TB.
+
+        LAYOUT NOTE: the mart became dt-partitioned in round 4. A
+        warehouse written by an older build holds an UNPARTITIONED
+        ``rep_fraud`` — appending here would mix root-level files with
+        ``dt=`` dirs, which Spark partition discovery rejects. Guarded:
+        a legacy layout raises with a one-shot migration recipe
+        (rewrite through ``migrate_mart_layout``) instead of silently
+        corrupting the table."""
+        path = self._path(table)
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            raise ValueError(
+                f"{table} has a legacy unpartitioned layout at {path}; "
+                "run Warehouse.migrate_mart_layout() once before appending"
+            )
         self.append(
             df.withColumn("dt", F.to_date("event_dt")), table, partition_by=["dt"]
         )
+
+    def migrate_mart_layout(self, table: str = "rep_fraud") -> None:
+        """One-shot migration of a pre-round-4 UNPARTITIONED mart to the
+        dt-partitioned layout (tmp-write + rename swap, same atomicity
+        caveats as ``compact``). No-op if already partitioned/absent."""
+        p = self._path(table)
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return
+        df = self.spark.read.parquet(p)
+        if "dt" not in df.columns:
+            df = df.withColumn("dt", F.to_date("event_dt"))
+        tmp = p + ".migrate"
+        df.write.mode("overwrite").partitionBy("dt").parquet(tmp)
+        trash = p + ".old"
+        os.rename(p, trash)
+        os.rename(tmp, p)
+        shutil.rmtree(trash, ignore_errors=True)
 
     def read_mart(self, table: str = "rep_fraud",
                   since: "datetime.date | None" = None,

@@ -16,6 +16,7 @@ operators/fraud_rules.py on the same planted fixtures.
 
 from __future__ import annotations
 
+import bisect
 from collections.abc import Iterator
 
 import pandas as pd
@@ -65,8 +66,14 @@ def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterato
                 ts_list.pop(0)
                 am_list.pop(0)
             if res == "REJECT":
-                ts_list.append(int(ts))
-                am_list.append(float(am))
+                # sorted insert: a later microbatch can deliver an older
+                # (late-but-within-watermark) REJECT, so append would
+                # leave the trail unordered — then ts_list[0]-based
+                # pruning and ts_list[-1]-based eviction both key off
+                # the wrong element.
+                pos = bisect.bisect_right(ts_list, int(ts))
+                ts_list.insert(pos, int(ts))
+                am_list.insert(pos, float(am))
                 if len(ts_list) > MAX_STATE_ROWS:
                     ts_list.pop(0)
                     am_list.pop(0)
@@ -93,7 +100,10 @@ def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterato
         # can land inside the span). Without this, every card ever seen
         # holds state forever — unbounded KEY growth on a stream of
         # billions of cards, even with the per-key row cap.
-        timeout_at = (ts_list[-1] + BAND_SECONDS) * 1000
+        # max(), not [-1]: belt-and-braces with the sorted insert above —
+        # eviction must key off the NEWEST reject or a late arrival
+        # shortens the trail's lifetime and drops still-completable hits.
+        timeout_at = (max(ts_list) + BAND_SECONDS) * 1000
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(timeout_at, wm + 1000))
     else:

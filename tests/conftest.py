@@ -8,7 +8,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from etl_pipeline_for_detection_banking_fraud_spark.session import get_spark  # noqa: E402
 
 REFERENCE_DATA = "/root/reference/data/data"
+DDL_DML = os.path.join(os.path.dirname(REFERENCE_DATA), "ddl_dml.sql")
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+@pytest.fixture(scope="session")
+def ddl_dml():
+    return DDL_DML
 
 
 @pytest.fixture(scope="session")

@@ -11,9 +11,11 @@ import pytest
 from etl_pipeline_for_detection_banking_fraud_spark.pipeline import DailyBatch
 from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims
 
+from tests.conftest import DDL_DML
+
 
 def test_clear_stg_rows_logged_per_day(spark, ref_data, tmp_path):
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
     batch = DailyBatch(spark, str(tmp_path / "wh"), dims)
     batch.run_day(
         os.path.join(ref_data, "transactions_01032021.txt"),
@@ -35,7 +37,7 @@ def test_audit_writes_are_buffered_not_per_stage(spark, ref_data, tmp_path):
     """meta_loading must accumulate O(flushes-per-day) parquet files, not
     one per stage — the per-stage 1-row append is the classic small-files
     generator at scale (verdict r2 hygiene item)."""
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
     batch = DailyBatch(spark, str(tmp_path / "wh"), dims)
     batch.run_day(
         os.path.join(ref_data, "transactions_01032021.txt"),
@@ -76,7 +78,7 @@ def test_flush_failure_keeps_buffer(spark, tmp_path):
 
 
 def test_failing_stage_writes_error_audit_row(spark, ref_data, tmp_path):
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
     batch = DailyBatch(spark, str(tmp_path / "wh"), dims)
     with pytest.raises(FileNotFoundError):
         batch.run_day(

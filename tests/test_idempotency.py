@@ -8,6 +8,8 @@ import os
 from etl_pipeline_for_detection_banking_fraud_spark.pipeline import DailyBatch
 from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims
 
+from tests.conftest import DDL_DML
+
 
 def _day1(batch, ref_data):
     return batch.run_day(
@@ -28,7 +30,7 @@ def test_faithful_mode_rerun_double_inserts_rules_1_2(spark, ref_data, tmp_path)
                  "terminals_01032021.xlsx"):
         shutil.copy(os.path.join(ref_data, stem), workdir)
 
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
     batch = DailyBatch(spark, str(tmp_path / "wh_strict"), dims, strict=True)
     counts = batch.run_day(
         str(workdir / "transactions_01032021.txt"),
@@ -54,7 +56,7 @@ def test_fixed_mode_rerun_is_idempotent(spark, ref_data, tmp_path):
                  "terminals_01032021.xlsx"):
         shutil.copy(os.path.join(ref_data, stem), workdir)
 
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
     batch = DailyBatch(spark, str(tmp_path / "wh"), dims, strict=False)
     counts = batch.run_day(
         str(workdir / "transactions_01032021.txt"),

@@ -20,6 +20,8 @@ from etl_pipeline_for_detection_banking_fraud_spark.pipeline import DailyBatch
 from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims
 from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
 
+from tests.conftest import DDL_DML
+
 DAYS = ["01032021", "02032021", "03032021"]
 
 
@@ -93,7 +95,7 @@ def test_incremental_matches_faithful_hit_set(spark, ref_data, tmp_path):
     """3-day replay in both modes: identical distinct hit sets, including
     retroactive hits from backdated blacklist entries (the 03-03 feed
     carries entries dated 03-01)."""
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
 
     faithful = DailyBatch(spark, str(tmp_path / "wh_f"), dims)
     _run_days(faithful, ref_data)

@@ -20,6 +20,8 @@ from etl_pipeline_for_detection_banking_fraud_spark.sources.csv_source import (
 from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims
 from etl_pipeline_for_detection_banking_fraud_spark.sources.xlsx import read_terminals
 
+from tests.conftest import DDL_DML
+
 
 @pytest.fixture(scope="module")
 def replay_day3(spark, ref_data):
@@ -35,7 +37,7 @@ def replay_day3(spark, ref_data):
 
         snap = read_terminals(spark, os.path.join(ref_data, f"terminals_{day}.xlsx"))
         hist = scd2.apply_increment(hist, snap, datetime.date(*dg)).persist()
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
     return tx.persist(), hist, dims
 
 

@@ -26,6 +26,8 @@ from etl_pipeline_for_detection_banking_fraud_spark.sources.xlsx import (
 
 from . import ref_oracle
 
+from tests.conftest import DDL_DML
+
 DAYS = ["01032021", "02032021", "03032021"]
 DATES = [datetime.date(2021, 3, d) for d in (1, 2, 3)]
 
@@ -50,7 +52,7 @@ def duck_rows_of(rel) -> list[tuple]:
 def replay(spark, ref_data, tmp_path_factory):
     """(spark warehouse state, duckdb oracle connection) after 3 days."""
     root = str(tmp_path_factory.mktemp("wh"))
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
     batch = DailyBatch(spark, root, dims, use_window_rules=True)
 
     con = ref_oracle.make_oracle()

@@ -11,6 +11,8 @@ from etl_pipeline_for_detection_banking_fraud_spark.sources.ddl import (
 from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import parse_seed_dml
 from etl_pipeline_for_detection_banking_fraud_spark.sources.xlsx import read_passport_blacklist
 
+from tests.conftest import DDL_DML
+
 
 def test_split_statements_quotes_and_comments():
     sql = """
@@ -36,7 +38,7 @@ def test_run_ddl_script(spark, tmp_path):
 
 
 def test_seed_dml_counts():
-    parsed = parse_seed_dml("/root/reference/data/ddl_dml.sql")
+    parsed = parse_seed_dml(DDL_DML)
     assert len(parsed["cards"]) == 195
     assert len(parsed["accounts"]) == 77
     assert len(parsed["clients"]) == 50

@@ -36,6 +36,8 @@ from etl_pipeline_for_detection_banking_fraud_spark.sources.xlsx import (
 )
 from etl_pipeline_for_detection_banking_fraud_spark.streaming import ingest
 
+from tests.conftest import DDL_DML
+
 DAYS = ["01032021", "02032021", "03032021"]
 DATES = [datetime.date(2021, 3, d) for d in (1, 2, 3)]
 DAY_ROWS = [15650, 15686, 15780]
@@ -61,7 +63,7 @@ def test_streaming_replay_matches_batch_golden(spark, ref_data, tmp_path):
     root = str(tmp_path / "wh")
     wh = Warehouse(spark, root)
     ckpt = tmp_path / "ckpt"
-    dims = load_seed_dims(spark, "/root/reference/data/ddl_dml.sql")
+    dims = load_seed_dims(spark, DDL_DML)
     # Rules run in the reference's faithful mode over the STREAMED facts;
     # blacklist/terminals keep their batch ingestion (the reference has
     # no streaming analogue for the xlsx feeds).
