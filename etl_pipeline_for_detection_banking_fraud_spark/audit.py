@@ -36,10 +36,13 @@ def log_meta(wh: Warehouse, table_name: str, event_dt: datetime.date | None,
         wh._meta_buffer = buf
     buf.append((table_name, event_dt, int(rows_processed), status))
     if status != "SUCCESS":
-        flush_meta(wh)
+        # independent=True: an ERROR row must survive even if the
+        # surrounding warehouse transaction aborts — it commits in its
+        # own immediate transaction instead of the doomed one
+        flush_meta(wh, independent=True)
 
 
-def flush_meta(wh: Warehouse) -> None:
+def flush_meta(wh: Warehouse, independent: bool = False) -> None:
     """Write all buffered audit rows as ONE small-file-friendly append.
 
     The buffer is cleared only AFTER the append succeeds: if the write
@@ -47,6 +50,13 @@ def flush_meta(wh: Warehouse) -> None:
     the autoflush path was making durable — stay buffered for the next
     flush attempt. A retried flush can therefore duplicate audit rows;
     duplicates are accepted over losing the failure trail.
+
+    ``independent=True`` (the ERROR-autoflush path): when a warehouse
+    transaction is active, the rows commit in their OWN immediate
+    transaction rather than the active one — the active transaction is
+    about to abort (that's why there's an ERROR row), and rows riding in
+    it would vanish with it. Without an active transaction this is a
+    plain append (legacy warehouses stay legacy).
     """
     buf = getattr(wh, "_meta_buffer", None)
     if not buf:
@@ -56,7 +66,16 @@ def flush_meta(wh: Warehouse) -> None:
     # parallelism, which would write one file per non-empty slice and
     # defeat the point of buffering
     df = spark.createDataFrame(list(buf), schema=schemas.META_LOADING).coalesce(1)
-    wh.append(df, TABLE)
+    active = getattr(wh, "_active_txn", None)
+    if independent and active is not None and not active._done:
+        wh._active_txn = None
+        try:
+            with wh.transaction():
+                wh.append(df, TABLE)
+        finally:
+            wh._active_txn = active
+    else:
+        wh.append(df, TABLE)
     buf.clear()
 
 

@@ -47,7 +47,8 @@ class DailyBatch:
     def __init__(self, spark: SparkSession, warehouse_root: str,
                  seed_dims: dict[str, DataFrame], archive_dir: str | None = None,
                  use_window_rules: bool = True, strict: bool = True,
-                 incremental: bool = False, lookback_days: int = 1):
+                 incremental: bool = False, lookback_days: int = 1,
+                 atomic: bool = False):
         """`incremental=False` (default) is the parity mode: rules re-scan the
         full fact history every day, exactly like the reference
         (loading_rep_fraud.py:24,52 — no date filter, rules 1-2 re-insert all
@@ -56,7 +57,19 @@ class DailyBatch:
         `lookback_days` band (rules 3-4, whose time-window pairs can straddle
         midnight), and rules 1-2 gain the NOT-EXISTS idempotency guard so the
         lookback overlap cannot re-insert.  Daily cost becomes O(day), not
-        O(history)."""
+        O(history).
+
+        `atomic=True` runs each day inside ONE warehouse commit-log
+        transaction (the reference runs all inserts in one Postgres
+        transaction — loading_rep_fraud.py:135 / comm_funcs.py:18): the
+        fact appends, mart append and every audit row become visible
+        together or not at all, so a crash mid-day leaves nothing
+        visible and a straight re-run produces zero duplicates. The SCD2
+        dim rewrite stays on its versioned-swap path (already atomic,
+        and re-applying an already-applied increment derives an empty
+        delta — re-runs converge). ERROR audit rows commit in their own
+        independent transaction so the failure trail survives the
+        abort."""
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
         self.dims = seed_dims  # cards / accounts / clients
@@ -65,6 +78,18 @@ class DailyBatch:
         self.strict = strict
         self.incremental = incremental
         self.lookback_days = lookback_days
+        self.atomic = atomic
+
+    @contextlib.contextmanager
+    def _maybe_txn(self):
+        """One commit-log transaction around the block when atomic mode
+        is on (no-op if one is already open — run_day wraps
+        run_fraud_rules)."""
+        if self.atomic and self.wh._active_txn is None:
+            with self.wh.transaction():
+                yield
+        else:
+            yield
 
     # -- EP1: ingest ---------------------------------------------------------
 
@@ -106,6 +131,18 @@ class DailyBatch:
 
     def run_day(self, transactions_path: str, blacklist_path: str,
                 terminals_path: str) -> dict[str, int]:
+        with self._maybe_txn():
+            counts = self._run_day_stages(
+                transactions_path, blacklist_path, terminals_path
+            )
+        # archival AFTER the commit point: a crash inside the (atomic)
+        # day must leave the input files in place for the re-run
+        for p in (transactions_path, blacklist_path, terminals_path):
+            self._archive(p)
+        return counts
+
+    def _run_day_stages(self, transactions_path: str, blacklist_path: str,
+                        terminals_path: str) -> dict[str, int]:
         counts: dict[str, int] = {}
         date_global: datetime.date | None = None
 
@@ -155,14 +192,17 @@ class DailyBatch:
         if self.incremental:
             bl_new.unpersist()
 
-        for p in (transactions_path, blacklist_path, terminals_path):
-            self._archive(p)
         self.clear_stg_tables(date_global)
         counts["date_global"] = date_global
         return counts
 
     def run_fraud_rules(self, date_global: datetime.date,
                         bl_delta: DataFrame | None = None) -> dict[str, int]:
+        with self._maybe_txn():
+            return self._run_fraud_rules_inner(date_global, bl_delta)
+
+    def _run_fraud_rules_inner(self, date_global: datetime.date,
+                               bl_delta: DataFrame | None = None) -> dict[str, int]:
         if self.incremental:
             # Partition-pruned reads: rules 1-2 see exactly today's partition;
             # rules 3-4 see a lookback band for midnight-straddling pairs.

@@ -12,28 +12,286 @@ directory of parquet tables:
   store you would use Delta/Iceberg for this (same code shape, MERGE
   instead of union-rewrite); the jars are not in this image, so the
   versioned-dir backend keeps the engine dependency-free.
+
+Atomic multi-table transactions (the exactly-once path)
+-------------------------------------------------------
+
+``wh.transaction()`` opens a commit-log transaction: every ``append``
+inside it stages parquet files into their final table directories under
+txn-unique names, records them in the transaction, and publishes
+NOTHING until ``commit()`` atomically links one JSON entry into
+``<root>/_commitlog/`` — the Iceberg/Delta commit shape re-derived in
+pure Python because those jars aren't in this image. Properties:
+
+- all-or-nothing across TABLES: {fact append + audit rows + commit
+  marker} become visible as one unit; a crash at any earlier point
+  leaves only orphan files readers never see (``vacuum_orphans`` deletes
+  them) — this closes the streaming sink's crash-between-append-and-
+  marker double-append window (at-least-once -> exactly-once replay).
+- read-your-own-writes: ``read()`` on the warehouse that holds the open
+  transaction also sees its pending files — the pipeline's
+  L5 visibility (rules reading facts appended earlier in the run) works
+  unchanged inside a transaction.
+- once a table has a commit-log entry it is TRACKED: reads resolve
+  through the log only (by-name file listing with ``basePath`` so hive
+  partition columns still parse and prune). The first transactional
+  append to a pre-existing legacy table adopts its current files into
+  the entry, so history stays visible.
+- single writer per warehouse root (the reference's posture — one daily
+  driver): commit sequencing is a hard-link claim of the next sequence
+  number, which also makes concurrent committers fail cleanly rather
+  than overwrite each other.
+- scale posture: entries are O(files touched) JSON; ``compact()`` on a
+  tracked table folds history into one ``replace`` entry (a snapshot),
+  so the log never needs unbounded replay — same mechanics as Iceberg
+  snapshot + manifest compaction, minus the jars.
 """
 
 from __future__ import annotations
 
+import contextlib
 import datetime
+import json
 import os
 import re
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class Transaction:
+    """Pending multi-table append set; see module docstring. Created via
+    ``Warehouse.begin()`` / ``Warehouse.transaction()``."""
+
+    def __init__(self, wh: "Warehouse"):
+        self.wh = wh
+        self.txnid = uuid.uuid4().hex[:12]
+        self.pending: dict[str, list[str]] = {}  # table -> relpaths
+        self.replace = False  # True: commit entry REPLACES the file set
+        self._n = 0
+        self._stage_root = os.path.join(wh.root, "_stage", self.txnid)
+        self._done = False
+
+    def append(self, df: DataFrame, table: str,
+               partition_by: list[str] | None = None) -> None:
+        """Stage an append: files land in the table directory under
+        txn-unique names but stay invisible until commit()."""
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        table = table.lower()
+        self._n += 1
+        stage = os.path.join(self._stage_root, str(self._n))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(stage)
+        table_dir = self.wh._path(table)
+        files = self.pending.setdefault(table, [])
+        if not files and not self.replace and self.wh._manifest_files(table) is None:
+            # first transactional write to a legacy table: adopt its
+            # current files so they stay visible once the table flips to
+            # commit-log reads
+            files.extend(_data_files(table_dir))
+        k = 0
+        for dirpath, dirnames, fnames in os.walk(stage):
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                rel_dir = os.path.relpath(dirpath, stage)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                new_name = f"txn-{self.txnid}-{self._n:03d}-{k:05d}.parquet"
+                k += 1
+                dst_dir = os.path.join(table_dir, rel_dir) if rel_dir else table_dir
+                os.makedirs(dst_dir, exist_ok=True)
+                os.replace(os.path.join(dirpath, fn), os.path.join(dst_dir, new_name))
+                files.append(os.path.join(rel_dir, new_name) if rel_dir else new_name)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def commit(self) -> None:
+        """Atomically publish every pending append as ONE commit-log
+        entry (write-tmp + fsync + hard-link claim of the next sequence
+        number). Crash before the link: nothing visible. After: all of
+        it."""
+        if self._done:
+            raise RuntimeError("transaction already committed/aborted")
+        try:
+            log_dir = self.wh._manifest_dir()
+            os.makedirs(log_dir, exist_ok=True)
+            entry = {
+                "txn": self.txnid,
+                "op": "replace" if self.replace else "add",
+                "tables": self.pending,
+            }
+            tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+                f.flush()
+                os.fsync(f.fileno())
+            seq = _next_seq(log_dir)
+            while True:
+                final = os.path.join(log_dir, f"{seq:09d}.json")
+                try:
+                    os.link(tmp, final)  # atomic claim; fails if seq taken
+                    break
+                except FileExistsError:
+                    seq += 1
+            os.unlink(tmp)
+        finally:
+            # clear the active pointer whatever happened: a failed
+            # commit's staged files are NOT deleted here — the entry may
+            # or may not have linked, so deleting could lose committed
+            # data; unlinked files are orphans for vacuum_orphans()
+            self._finish()
+
+    def abort(self) -> None:
+        """Discard: delete this transaction's staged files (they were
+        never visible)."""
+        if self._done:
+            return
+        for table, files in self.pending.items():
+            table_dir = self.wh._path(table)
+            for rel in files:
+                if f"txn-{self.txnid}-" in os.path.basename(rel):
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(table_dir, rel))
+        shutil.rmtree(self._stage_root, ignore_errors=True)
+        self._finish()
+
+    def _finish(self) -> None:
+        self._done = True
+        shutil.rmtree(self._stage_root, ignore_errors=True)
+        if self.wh._active_txn is self:
+            self.wh._active_txn = None
+
+
+def _data_files(table_dir: str) -> list[str]:
+    """Relative paths of committed-by-layout (non-txn) data files."""
+    out = []
+    if not os.path.isdir(table_dir):
+        return out
+    for dirpath, dirnames, fnames in os.walk(table_dir):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for fn in sorted(fnames):
+            if (
+                fn.endswith(".parquet")
+                and not fn.startswith((".", "_", "txn-"))
+            ):
+                rel_dir = os.path.relpath(dirpath, table_dir)
+                out.append(os.path.join(rel_dir, fn) if rel_dir != "." else fn)
+    return out
+
+
+def _next_seq(log_dir: str) -> int:
+    seqs = [
+        int(fn[:-5])
+        for fn in os.listdir(log_dir)
+        if fn.endswith(".json") and fn[:-5].isdigit()
+    ]
+    return (max(seqs) + 1) if seqs else 1
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._active_txn: Transaction | None = None
+        self._entry_cache: dict[str, dict] = {}  # commit entries are immutable
         os.makedirs(root, exist_ok=True)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table.lower())
+
+    # -- commit-log transactions --------------------------------------------
+
+    def begin(self) -> Transaction:
+        """Open a multi-table transaction; every append until commit()
+        routes through it. Single active transaction per Warehouse."""
+        if self._active_txn is not None and not self._active_txn._done:
+            raise RuntimeError("a transaction is already active on this warehouse")
+        t = Transaction(self)
+        self._active_txn = t
+        return t
+
+    @contextlib.contextmanager
+    def transaction(self):
+        """``with wh.transaction():`` — commit on success, abort (and
+        re-raise) on exception. Appends inside the block need no code
+        changes; ``append()`` routes through the open transaction."""
+        t = self.begin()
+        try:
+            yield t
+        except BaseException:
+            t.abort()
+            raise
+        t.commit()
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_commitlog")
+
+    def _log_entries(self) -> list[dict]:
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".json") or not fn[:-5].isdigit():
+                continue
+            entry = self._entry_cache.get(fn)
+            if entry is None:
+                with open(os.path.join(d, fn)) as f:
+                    entry = json.load(f)
+                self._entry_cache[fn] = entry
+            out.append(entry)
+        return out
+
+    def _manifest_files(self, table: str) -> list[str] | None:
+        """Committed file relpaths for a TRACKED table; None if the
+        table has never appeared in the commit log (legacy reads)."""
+        table = table.lower()
+        tracked, files = False, []
+        for entry in self._log_entries():
+            t = entry.get("tables", {}).get(table)
+            if t is None:
+                continue
+            tracked = True
+            if entry.get("op") == "replace":
+                files = list(t)
+            else:
+                files.extend(t)
+        return files if tracked else None
+
+    def _pending_files(self, table: str) -> list[str]:
+        t = self._active_txn
+        if t is None or t._done:
+            return []
+        return t.pending.get(table.lower(), [])
+
+    def vacuum_orphans(self, table: str) -> int:
+        """Delete data files a crashed (uncommitted) transaction left in
+        a tracked table's directory. Files referenced by the commit log
+        or by the live transaction are kept. Returns files removed."""
+        mf = self._manifest_files(table)
+        if mf is None:
+            return 0  # untracked: legacy layout owns every file
+        keep = set(mf) | set(self._pending_files(table))
+        table_dir = self._path(table)
+        removed = 0
+        for dirpath, dirnames, fnames in os.walk(table_dir):
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            for fn in fnames:
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                rel_dir = os.path.relpath(dirpath, table_dir)
+                rel = os.path.join(rel_dir, fn) if rel_dir != "." else fn
+                if rel not in keep:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(dirpath, fn))
+                        removed += 1
+        return removed
 
     def exists(self, table: str) -> bool:
         """True iff the table directory holds actual DATA files.
@@ -43,6 +301,9 @@ class Warehouse:
         fails schema inference on the read. Such a table must read as
         empty-typed, so marker/hidden files don't count; one level of
         subdirectories covers the ``dt=``/``v=N`` layouts."""
+        mf = self._manifest_files(table)
+        if mf is not None or self._pending_files(table):
+            return bool(mf) or bool(self._pending_files(table))
         p = self._path(table)
         if not os.path.isdir(p):
             return False
@@ -50,15 +311,20 @@ class Warehouse:
             if entry.name.startswith(("_", ".")):
                 continue
             if entry.is_file():
-                return True
+                # txn- files without a commit-log row are a crashed
+                # transaction's orphans — invisible
+                return not entry.name.startswith("txn-")
             for sub in os.scandir(entry.path):
-                if not sub.name.startswith(("_", ".")):
+                if not sub.name.startswith(("_", ".", "txn-")):
                     return True
         return False
 
     # -- append tables ------------------------------------------------------
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        if self._active_txn is not None and not self._active_txn._done:
+            self._active_txn.append(df, table, partition_by)
+            return
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -77,8 +343,16 @@ class Warehouse:
             return self.spark.createDataFrame([], schema=schema)
         p = self._path(table)
         versions = _versions(p)
+        mf = self._manifest_files(table)
+        pend = self._pending_files(table)
         if versions:
             df = self.spark.read.parquet(os.path.join(p, f"v={versions[-1]}"))
+        elif mf is not None or pend:
+            # tracked table: read exactly the committed (+ own-txn
+            # pending) files by name; basePath keeps hive partition
+            # columns (dt=...) parsing and pruning
+            files = [os.path.join(p, rel) for rel in (mf or []) + pend]
+            df = self.spark.read.option("basePath", p).parquet(*files)
         else:
             df = self.spark.read.parquet(p)
         if schema is not None:
@@ -117,6 +391,32 @@ class Warehouse:
                 f"compact() is for append tables; {table} is a versioned "
                 "rewrite table — its rewrite already replaces whole files"
             )
+        mf = self._manifest_files(table)
+        if mf is not None:
+            # commit-log table: write the compacted file set as a new
+            # transaction and publish it as ONE `replace` entry — the
+            # snapshot that also stops the log needing unbounded replay.
+            # Readers switch atomically at the entry link; the old files
+            # are deleted after (in-flight readers holding the old list
+            # finish off the already-open file handles).
+            old = list(mf)
+            df = self.read(table)
+            part_cols = [c for c in df.columns if c == "dt"]
+            txn = Transaction(self)
+            txn.replace = True
+            if part_cols:
+                txn.append(
+                    df.repartition(target_files_per_partition, *part_cols),
+                    table, partition_by=part_cols,
+                )
+            else:
+                txn.append(df.coalesce(target_files_per_partition), table)
+            txn.commit()
+            table_dir = self._path(table)
+            for rel in old:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(table_dir, rel))
+            return
         df = self.spark.read.parquet(self._path(table))
         part_cols = [c for c in df.columns if c == "dt"]
         if part_cols:

@@ -131,7 +131,8 @@ def card_pairs_diff_city_stream(tx_stream: DataFrame, terminals: DataFrame,
 
 
 def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
-                        table: str = "dwh_fact_transactions"):
+                        table: str = "dwh_fact_transactions",
+                        atomic: bool = True):
     """EP1 as a streaming sink: each microbatch appends to the
     hive-partitioned fact (same layout the batch path writes, so the
     incremental partition-pruned rules read it unchanged) and leaves one
@@ -142,26 +143,31 @@ def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
     writer (and its partitioning) is reused verbatim — streaming and
     batch ingest cannot drift.
 
-    Idempotency: Spark's checkpoint replays a microbatch after a
-    failure with the SAME query id and batch_id, so the sink logs a
-    ``COMMIT_<query_id>_<batch_id>`` marker row (flushed last) and
-    skips any batch_id already marked for THIS query identity — a
-    replay of a fully-committed batch appends nothing. Scoping matters:
-    batch ids restart at 0 under a fresh checkpoint, so an unscoped
-    marker would make a legitimately new stream into the same warehouse
-    silently drop its first batches (data loss); the query id — stable
-    across restarts from one checkpoint, fresh for a new one — is read
-    from the checkpoint's ``metadata`` file at the first microbatch
-    (foreachBatch runs on the driver, after Spark has written it).
-    Cross-checkpoint duplicate rows are handled at the row level by
-    ``dedup_transactions_stream``, not markers. The marker set is read
-    once and maintained driver-side, so the steady-state check is O(1),
-    not a table read per batch. The remaining window is a crash BETWEEN
-    the fact append and the marker flush: that replay still
-    double-appends (at-least-once); closing it needs an atomic
-    multi-file commit, i.e. a transactional table format —
-    Delta/Iceberg slot in here unchanged.
+    Idempotency — EXACTLY-ONCE with ``atomic=True`` (default): Spark's
+    checkpoint replays a microbatch after a failure with the SAME query
+    id and batch_id, so the sink logs a ``COMMIT_<query_id>_<batch_id>``
+    marker row and skips any batch_id already marked for THIS query
+    identity. With ``atomic=True`` the fact append AND the marker/audit
+    rows ride in ONE warehouse commit-log transaction: there is no
+    crash point where the facts are visible but the marker isn't, so a
+    replay either sees the marker (skips — already fully committed) or
+    sees nothing (re-appends — nothing was visible). This closes the
+    round-4 caveat where a crash between the fact append and the marker
+    flush double-appended one microbatch. ``atomic=False`` keeps the
+    legacy flat-append layout with the documented at-least-once window.
+
+    Marker scoping: batch ids restart at 0 under a fresh checkpoint, so
+    an unscoped marker would make a legitimately new stream into the
+    same warehouse silently drop its first batches (data loss); the
+    query id — stable across restarts from one checkpoint, fresh for a
+    new one — is read from the checkpoint's ``metadata`` file at the
+    first microbatch (foreachBatch runs on the driver, after Spark has
+    written it). Cross-checkpoint duplicate rows are handled at the row
+    level by ``dedup_transactions_stream``, not markers. The marker set
+    is read once and maintained driver-side, so the steady-state check
+    is O(1), not a table read per batch.
     """
+    import contextlib as _ctx
     import json
     import os
 
@@ -189,19 +195,21 @@ def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
             f"COMMIT_{qid}_{batch_id}" if qid else f"COMMIT_BATCH_{batch_id}"
         )
         batch_df = batch_df.persist()
+        txn_scope = wh.transaction() if atomic else _ctx.nullcontext()
         try:
-            wh.append_transactions(batch_df, table)
-            days = (
-                batch_df.groupBy(F.to_date("transaction_date").alias("dt"))
-                .count()
-                .collect()
-            )
-            total = 0
-            for r in days:
-                log_meta(wh, marker, r["dt"], r["count"])
-                total += r["count"]
-            log_meta(wh, marker, None, total, commit_status)
-            flush_meta(wh)
+            with txn_scope:
+                wh.append_transactions(batch_df, table)
+                days = (
+                    batch_df.groupBy(F.to_date("transaction_date").alias("dt"))
+                    .count()
+                    .collect()
+                )
+                total = 0
+                for r in days:
+                    log_meta(wh, marker, r["dt"], r["count"])
+                    total += r["count"]
+                log_meta(wh, marker, None, total, commit_status)
+                flush_meta(wh)
             state["committed"].add(batch_id)
         finally:
             batch_df.unpersist()
