@@ -330,6 +330,60 @@ def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | 
     return out
 
 
+def _index_maintenance_bench(spark, sf_dir: str, days: int = 90) -> dict:
+    """Read-side win of dedup-index compaction: 90 simulated daily
+    appends leave one file set per touched prefix per day; the pair of
+    timings shows what the small-files problem costs the partition-
+    pruned incremental read, and what compact_band_index buys back."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    path = tempfile.mkdtemp(prefix="bench_band_index_") + "/idx"
+    base = dedup.minhash_band_index(corpus).localCheckpoint()
+    dedup.write_band_index(base, path)
+    for day in range(days):  # disjoint id-shifted slices, real append path
+        dedup.append_band_index(
+            base.where(F.col("doc_id") % 200 == (day % 200)).withColumn(
+                "doc_id", F.col("doc_id") + (1_000_000 + day * 100_000)
+            ),
+            path,
+        )
+    delta_entries = dedup.minhash_band_index(delta).localCheckpoint()
+
+    def read_pairs():
+        idx = dedup.read_band_index_for(spark, path, delta_entries)
+        _noop(dedup.minhash_lsh_pairs_incremental(delta, idx))
+
+    files_before = len(glob.glob(f"{path}/_kp=*/*.parquet"))
+    t0 = time.perf_counter()
+    read_pairs()
+    uncompacted = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    dedup.compact_band_index(spark, path)
+    compact_sec = round(time.perf_counter() - t0, 4)
+    files_after = len(glob.glob(f"{path}/_kp=*/*.parquet"))
+    t0 = time.perf_counter()
+    read_pairs()
+    compacted = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return {
+        "days": days,
+        "files_before": files_before,
+        "files_after": files_after,
+        "read_uncompacted_sec": uncompacted,
+        "read_compacted_sec": compacted,
+        "compact_sec": compact_sec,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -391,6 +445,10 @@ def main() -> None:
         replay.update(_rules_history_curve(spark) or {})
     except Exception as e:
         replay["rules_history_error"] = str(e)[:300]
+    try:
+        index_maint = _index_maintenance_bench(spark, sf_dir)
+    except Exception as e:
+        index_maint = {"error": str(e)[:300]}
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -403,6 +461,8 @@ def main() -> None:
     }
     if sf1:
         out["sf1"] = sf1
+    if index_maint:
+        out["index_maintenance"] = index_maint
     if replay:
         out["replay"] = replay
     print(json.dumps(out))

@@ -223,6 +223,74 @@ def append_band_index(delta_index: DataFrame, path: str, prefix_len: int = 2) ->
     )
 
 
+def compact_band_index(spark, path: str,
+                       target_files_per_partition: int = 1) -> None:
+    """Fold a persisted index's daily append file-sets back to
+    ``target_files_per_partition`` files per key-prefix partition.
+
+    ``append_band_index`` adds one file set per touched prefix per day —
+    at a year of daily deltas that is the same small-files problem the
+    warehouse fact tables have (a 256-prefix index accumulates up to
+    256*365 files whose listing + open cost dominates the partition-
+    pruned read). Same tmp-write + two-rename swap as
+    ``Warehouse.compact`` (atomic enough on local/HDFS; object stores
+    should route through a table format). Idempotent; contents are
+    byte-for-byte the same entries, so incremental dedup results are
+    unchanged."""
+    import os
+    import shutil
+
+    idx = spark.read.parquet(path)  # _kp partition column rides along
+    tmp = path + ".compact"
+    (
+        idx.repartition(target_files_per_partition, "_kp")
+        .write.partitionBy("_kp")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    trash = path + ".old"
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def retire_from_band_index(spark, path: str, ids: DataFrame,
+                           id_col: str = "doc_id") -> None:
+    """Remove documents from a persisted band index (deletion requests,
+    or re-ingestion of changed docs — retire the old entries, then
+    ``append_band_index`` the re-hashed ones; this is what makes the
+    `delta ids not already in the index` contract maintainable).
+
+    A doc's band keys hash across arbitrary prefixes, so finding its
+    entries needs one index scan — but the REWRITE only touches the
+    partitions that actually contain the ids: dynamic partition
+    overwrite replaces exactly those directories and leaves the other
+    ~prefixes untouched. The filtered replacement is localCheckpointed
+    before the write (Spark refuses a write whose plan reads the
+    output path). Idempotent — re-running retires nothing new. Not
+    atomic across partitions (maintenance op; crash = rerun)."""
+    idx = spark.read.parquet(path)
+    ids = ids.select(F.col(id_col)).distinct()
+    affected = [
+        r["_kp"]
+        for r in idx.join(F.broadcast(ids), [id_col], "left_semi")
+        .select("_kp").distinct().collect()
+    ]  # bounded control-plane read: <= 16^prefix_len values
+    if not affected:
+        return
+    replacement = (
+        idx.where(F.col("_kp").isin(affected))
+        .join(F.broadcast(ids), [id_col], "left_anti")
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        replacement.write.partitionBy("_kp").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def read_band_index_for(spark, path: str, delta_index: DataFrame,
                         prefix_len: int = 2) -> DataFrame:
     """Read only the index partitions a delta's band keys can land in.

@@ -147,3 +147,110 @@ def test_ngram_incremental_matches_batch(spark, sf001):
         (r.id_a, r.id_b, r.n_inter, round(r.jaccard, 9)) for r in incr.collect()
     }
     assert got == expected
+
+
+def test_index_compaction_preserves_pairs_and_bounds_files(spark, sf001, tmp_path):
+    """90 simulated daily appends -> one file set per touched prefix per
+    day (the small-files problem); compact_band_index folds each prefix
+    back to one file with IDENTICAL incremental-dedup results."""
+    import glob
+    import os
+
+    docs, corpus, delta = _split(spark, sf001)
+    path = str(tmp_path / "band_index")
+    dedup.write_band_index(dedup.minhash_band_index(corpus), path)
+
+    # simulate daily maintenance: re-append tiny disjoint slices of the
+    # corpus index (same layout as real day-folds; ids shifted so the
+    # delta contract holds)
+    base = dedup.minhash_band_index(corpus).localCheckpoint()
+    for day in range(12):
+        slice_day = base.where(F.col("doc_id") % 37 == day).withColumn(
+            "doc_id", F.col("doc_id") + (1_000_000 + day * 10_000)
+        )
+        dedup.append_band_index(slice_day, path)
+
+    delta_entries = dedup.minhash_band_index(delta)
+    before_files = glob.glob(os.path.join(path, "_kp=*", "*.parquet"))
+    idx_before = dedup.read_band_index_for(spark, path, delta_entries)
+    pairs_before = {
+        tuple(r) for r in dedup.minhash_lsh_pairs_incremental(
+            delta, idx_before
+        ).collect()
+    }
+
+    dedup.compact_band_index(spark, path)
+
+    after_files = glob.glob(os.path.join(path, "_kp=*", "*.parquet"))
+    assert len(after_files) < len(before_files)
+    # bounded: exactly one file per prefix partition now
+    per_prefix: dict[str, int] = {}
+    for f in after_files:
+        kp = os.path.basename(os.path.dirname(f))
+        per_prefix[kp] = per_prefix.get(kp, 0) + 1
+    assert max(per_prefix.values()) == 1
+
+    idx_after = dedup.read_band_index_for(spark, path, delta_entries)
+    pairs_after = {
+        tuple(r) for r in dedup.minhash_lsh_pairs_incremental(
+            delta, idx_after
+        ).collect()
+    }
+    assert pairs_after == pairs_before
+    # partition pruning survives compaction
+    plan = idx_after._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_kp" in plan
+
+
+def test_index_retirement_removes_docs(spark, sf001, tmp_path):
+    """retire_from_band_index removes exactly the given ids' entries:
+    pairs involving retired corpus docs disappear, every other pair
+    survives, and re-ingesting a retired doc as a delta doesn't
+    self-pair. Idempotent on re-run."""
+    docs, corpus, delta = _split(spark, sf001)
+    path = str(tmp_path / "band_index")
+    dedup.write_band_index(dedup.minhash_band_index(corpus), path)
+
+    delta_entries = dedup.minhash_band_index(delta)
+    idx = dedup.read_band_index_for(spark, path, delta_entries)
+    before = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs_incremental(delta, idx).collect()
+    }
+    assert before
+
+    # retire every corpus doc that currently pairs with the delta
+    retired_ids = sorted({i for pair in before for i in pair if i % 10 != 0})
+    assert retired_ids
+    ids_df = spark.createDataFrame([(i,) for i in retired_ids], "doc_id long")
+    dedup.retire_from_band_index(spark, path, ids_df)
+
+    idx2 = dedup.read_band_index_for(spark, path, delta_entries)
+    after = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs_incremental(delta, idx2).collect()
+    }
+    survivors = {
+        p for p in before
+        if not any(i in retired_ids for i in p)
+    }
+    assert after == survivors
+
+    # idempotent
+    dedup.retire_from_band_index(spark, path, ids_df)
+    idx3 = dedup.read_band_index_for(spark, path, delta_entries)
+    again = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs_incremental(delta, idx3).collect()
+    }
+    assert again == survivors
+
+    # re-ingestion flow: retired docs re-enter as a delta against the
+    # cleaned index without meeting their own stale entries
+    reingest = corpus.where(F.col("doc_id").isin(retired_ids))
+    re_pairs = dedup.minhash_lsh_pairs_incremental(
+        reingest, dedup.read_band_index_for(
+            spark, path, dedup.minhash_band_index(reingest)
+        ),
+    )
+    assert re_pairs.where(F.col("id_a") == F.col("id_b")).count() == 0
