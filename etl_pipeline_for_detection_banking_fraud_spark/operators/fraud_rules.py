@@ -211,30 +211,112 @@ def rule3_diff_cities_join(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
     return deduped.dropDuplicates(["event_dt", "passport"])
 
 
+def _rule3_hot_card_hits(hot: DataFrame) -> DataFrame:
+    """Exact rule-3 detection for hot cards, O(k) time and memory per
+    card (the rule-4 overflow pattern next door, ``_rule4_hot_card_hits``,
+    applied to the city-hop rule): one Arrow batch per card, a monotone
+    two-pointer sliding window over the sorted transactions maintaining
+    a city->count map for the trailing [ts-3599, ts-1] band. A SUCCESS
+    row hits iff the band holds a non-null city different from its own —
+    i.e. (non-null prior count) - (count of its own city) > 0. NULL
+    cities never hit and never witness, matching the relational form's
+    null comparison semantics."""
+    import collections
+
+    import pandas as pd
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ts_sec", kind="mergesort")
+        ts = pdf["_ts_sec"].tolist()
+        city = pdf["c_city"].tolist()
+        res = pdf["oper_result"].tolist()
+        cnt: collections.Counter = collections.Counter()
+        nonnull = 0
+        lo = hi = 0
+        keep = []
+        for i in range(len(ts)):
+            while hi < i and ts[hi] < ts[i]:  # same-second rows excluded
+                if isinstance(city[hi], str):
+                    cnt[city[hi]] += 1
+                    nonnull += 1
+                hi += 1
+            while lo < hi and ts[lo] < ts[i] - 3599:
+                if isinstance(city[lo], str):
+                    cnt[city[lo]] -= 1
+                    nonnull -= 1
+                lo += 1
+            if (
+                res[i] == "SUCCESS"
+                and isinstance(city[i], str)
+                and nonnull - cnt[city[i]] > 0
+            ):
+                keep.append(i)
+        return pdf.iloc[keep][["card_num", "transaction_date"]]
+
+    return hot.groupBy("card_num").applyInPandas(
+        detect, schema="card_num string, transaction_date timestamp"
+    )
+
+
 def rule3_diff_cities_window(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
                              clients: DataFrame, terminals_hist: DataFrame,
                              existing_mart: DataFrame,
-                             date_global: datetime.date) -> DataFrame:
+                             date_global: datetime.date,
+                             hot_card_threshold: int = 4096) -> DataFrame:
     """Production formulation: trailing-hour range frame per card.
 
     A transaction is fraudulent iff some earlier same-card transaction
     in the previous 3599s happened in a different city (city resolved
     per the SCD2 version in effect at each transaction's own time).
     One shuffle on card_num; no pair materialization.
+
+    Constant-memory frame state: "a different prior city exists" is
+    exactly ``min(city) != city OR max(city) != city`` over the frame
+    (all-equal prior cities make min = max = city), so the per-row state
+    is two strings and a count — no ``collect_set`` city trail, which a
+    bot sweeping many terminals could grow without bound (the round-4
+    advisory). NULL semantics match the set form: null prior cities are
+    ignored by min/max/count, a null own-city row never hits.
+
+    Hot-card guard (same pattern as ``rule4_amount_guessing_window``):
+    min/max over a sliding range frame are recomputed per row, so a
+    card with k same-band transactions still costs O(k) CPU per row
+    (O(k^2) per card — a straggler task at bot-attack k even though
+    memory is flat). Cards whose peak band population exceeds
+    ``hot_card_threshold`` are detected with the same constant-memory
+    window count (reusing the card_num exchange/sort) and routed
+    through the exact O(k)-total two-pointer scan in
+    ``_rule3_hot_card_hits``.
     """
     with_city = _city_asof(tx, terminals_hist, "c").withColumn(
         "_ts_sec", F.col("transaction_date").cast("long")
     )
     w = Window.partitionBy("card_num").orderBy("_ts_sec").rangeBetween(-3599, -1)
-    flagged = (
-        with_city.withColumn("_prior_cities", F.collect_set("c_city").over(w))
+    marked = with_city.withColumn(
+        "_n_prior", F.count("c_city").over(w)
+    ).withColumn(
+        "_card_peak", F.max("_n_prior").over(Window.partitionBy("card_num"))
+    )
+    cold_flagged = (
+        marked.where(F.col("_card_peak") <= hot_card_threshold)
+        .withColumn("_min_city", F.min("c_city").over(w))
+        .withColumn("_max_city", F.max("c_city").over(w))
         .where(
             (F.col("oper_result") == "SUCCESS")
-            & (F.size(F.array_remove(F.col("_prior_cities"), F.col("c_city"))) > 0)
+            & (
+                (F.col("_min_city") != F.col("c_city"))
+                | (F.col("_max_city") != F.col("c_city"))
+            )
+        )
+        .select("card_num", "transaction_date")
+    )
+    hot_flagged = _rule3_hot_card_hits(
+        marked.where(F.col("_card_peak") > hot_card_threshold).select(
+            "card_num", "transaction_date", "_ts_sec", "c_city", "oper_result"
         )
     )
     hits = enrich_client(
-        flagged.select("card_num", "transaction_date").distinct(), cards, accounts, clients
+        cold_flagged.unionByName(hot_flagged).distinct(), cards, accounts, clients
     )
     cand = _report(hits, F.col("transaction_date"), EVENT_CITIES, date_global)
     deduped = _dedup_against(cand, existing_mart, EVENT_CITIES)
