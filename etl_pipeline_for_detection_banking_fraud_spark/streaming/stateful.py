@@ -119,6 +119,118 @@ def _detect(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterato
         )
 
 
+CITY_BAND_SECONDS = 3600
+CITY_MAX_STATE_ROWS = 256  # trail holds ALL tx (any row can witness)
+
+CITY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("card_num", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+CITY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_list", T.ArrayType(T.LongType())),
+        T.StructField("city_list", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _detect_city(key, pdf_iter: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    """Fraud rule 3 (reference: loading_rep_fraud.py:64-92) as a per-card
+    state machine: the trail holds the trailing hour of (ts, city) for
+    EVERY transaction (any row is a witness); a SUCCESS row emits a hit
+    when a strictly-earlier trail entry inside 3599s carries a different
+    non-null city. Same batch-form semantics as
+    ``operators/fraud_rules.rule3_diff_cities_window`` (equal-second
+    rows never witness each other; null cities neither hit nor
+    witness); same state bounds as the rule-4 machine next door —
+    per-key band-pruned + row-capped trail, event-time timeout evicting
+    idle cards."""
+    (card,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        ts_list, city_list = state.get
+        ts_list, city_list = list(ts_list), list(city_list)
+    else:
+        ts_list, city_list = [], []
+
+    hits_ts = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts_sec")
+        for ts, city, res in zip(pdf["ts_sec"], pdf["city"], pdf["oper_result"]):
+            ts = int(ts)
+            city = city if isinstance(city, str) else None
+            while ts_list and ts - ts_list[0] >= CITY_BAND_SECONDS:
+                ts_list.pop(0)
+                city_list.pop(0)
+            if (
+                res == "SUCCESS"
+                and city is not None
+                and any(
+                    t < ts and c is not None and c != city
+                    for t, c in zip(ts_list, city_list)
+                )
+            ):
+                hits_ts.append(ts)
+            pos = bisect.bisect_right(ts_list, ts)
+            ts_list.insert(pos, ts)
+            city_list.insert(pos, city)
+            if len(ts_list) > CITY_MAX_STATE_ROWS:
+                ts_list.pop(0)
+                city_list.pop(0)
+
+    if ts_list:
+        state.update((ts_list, city_list))
+        timeout_at = (max(ts_list) + CITY_BAND_SECONDS) * 1000
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_at, wm + 1000))
+    else:
+        state.remove()
+    if hits_ts:
+        yield pd.DataFrame(
+            {
+                "card_num": [card] * len(hits_ts),
+                "event_ts": pd.to_datetime(hits_ts, unit="s"),
+            }
+        )
+
+
+def city_hop_stream(tx_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Apply the rule-3 city-hop state machine to a (streaming)
+    transactions DF already carrying a ``city`` column (stream-static
+    broadcast join against the terminals dimension snapshot in effect —
+    the streaming analogue of the batch rule's SCD2 as-of resolve; at
+    100 TB the same topology joins against the latest dim version per
+    microbatch).
+
+    Input needs columns card_num, transaction_date, city, oper_result.
+    State is bounded per key (hour-band-pruned, row-capped trail) and
+    in key count (event-time timeout: a card evicts once the watermark
+    passes its newest transaction + band)."""
+    from pyspark.sql import functions as F
+
+    # transaction_date stays in the projection: it carries the watermark
+    prepared = tx_stream.withWatermark("transaction_date", watermark).select(
+        "card_num",
+        "transaction_date",
+        F.col("transaction_date").cast("long").alias("ts_sec"),
+        F.col("city"),
+        "oper_result",
+    )
+    return prepared.groupBy("card_num").applyInPandasWithState(
+        _detect_city,
+        outputStructType=CITY_OUTPUT_SCHEMA,
+        stateStructType=CITY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def amount_guessing_stream(tx_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Apply the per-card state machine to a (streaming) transactions DF.
 

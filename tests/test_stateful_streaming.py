@@ -166,3 +166,129 @@ def test_detection_still_works_with_eviction_enabled(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Rule 3 city-hop state machine
+# ---------------------------------------------------------------------------
+
+
+def _city_stream(spark, inbox, snapshot):
+    from pyspark.sql import functions as F
+
+    tx = ingest.read_transactions_stream(spark, str(inbox))
+    enriched = tx.join(
+        F.broadcast(snapshot), tx.terminal == snapshot.terminal_id, "left"
+    ).withColumn("city", snapshot.terminal_city)
+    return stateful.city_hop_stream(enriched)
+
+
+def _snapshot(spark):
+    return spark.createDataFrame(
+        [("T_A", "CityA"), ("T_B", "CityB")], "terminal_id string, terminal_city string"
+    )
+
+
+def test_city_hop_detected_within_batch(spark, tmp_path):
+    import datetime as dt
+
+    inbox = tmp_path / "c1"
+    inbox.mkdir()
+    (inbox / "b1.csv").write_text(
+        "\n".join([
+            HEADER,
+            "1;2021-03-01 10:00:00;10,00;C1;PAYMENT;SUCCESS;T_A",
+            "2;2021-03-01 10:30:00;10,00;C1;PAYMENT;SUCCESS;T_B",  # hit
+            # same card, >1h later in another city -> no hit
+            "3;2021-03-01 12:00:00;10,00;C1;PAYMENT;SUCCESS;T_A",
+            # REJECT in a different city is not a hit (only SUCCESS hits)
+            "4;2021-03-01 12:20:00;10,00;C1;PAYMENT;REJECT;T_B",
+            # ...but it IS a witness for a later SUCCESS
+            "5;2021-03-01 12:40:00;10,00;C1;PAYMENT;SUCCESS;T_A",  # hit
+        ])
+    )
+    hits = _city_stream(spark, inbox, _snapshot(spark))
+    q = hits.writeStream.outputMode("append").format("memory").queryName("city_1").start()
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r.card_num, r.event_ts)
+            for r in spark.sql("SELECT * FROM city_1").collect()
+        )
+        assert rows == [
+            ("C1", dt.datetime(2021, 3, 1, 10, 30)),
+            ("C1", dt.datetime(2021, 3, 1, 12, 40)),
+        ]
+    finally:
+        q.stop()
+
+
+def test_city_hop_state_across_microbatches(spark, tmp_path):
+    import datetime as dt
+
+    inbox = tmp_path / "c2"
+    inbox.mkdir()
+    (inbox / "b1.csv").write_text(
+        "\n".join([
+            HEADER,
+            "1;2021-03-01 10:00:00;10,00;C1;PAYMENT;SUCCESS;T_A",
+        ])
+    )
+    hits = _city_stream(spark, inbox, _snapshot(spark))
+    q = hits.writeStream.outputMode("append").format("memory").queryName("city_2").start()
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM city_2").count() == 0
+        (inbox / "b2.csv").write_text(
+            "\n".join([
+                HEADER,
+                "2;2021-03-01 10:45:00;10,00;C1;PAYMENT;SUCCESS;T_B",
+            ])
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM city_2").collect()
+        assert [(r.card_num, r.event_ts) for r in rows] == [
+            ("C1", dt.datetime(2021, 3, 1, 10, 45))
+        ]
+    finally:
+        q.stop()
+
+
+def test_city_hop_state_eviction(spark, tmp_path):
+    """A card idle past watermark + band must leave the state store."""
+    inbox = tmp_path / "c3"
+    inbox.mkdir()
+    (inbox / "b1.csv").write_text(
+        "\n".join([
+            HEADER,
+            "1;2021-03-01 10:00:00;10,00;C1;PAYMENT;SUCCESS;T_A",
+        ])
+    )
+    hits = _city_stream(spark, inbox, _snapshot(spark))
+    q = hits.writeStream.outputMode("append").format("memory").queryName("city_3").start()
+
+    def state_rows():
+        progress = [p for p in q.recentProgress if p["stateOperators"]]
+        return progress[-1]["stateOperators"][0]["numRowsTotal"]
+
+    try:
+        q.processAllAvailable()
+        assert state_rows() == 1
+        (inbox / "b2.csv").write_text(
+            "\n".join([
+                HEADER,
+                "2;2021-03-02 10:00:00;10,00;C2;PAYMENT;SUCCESS;T_A",
+            ])
+        )
+        q.processAllAvailable()
+        (inbox / "b3.csv").write_text(
+            "\n".join([
+                HEADER,
+                "3;2021-03-02 11:00:00;10,00;C2;PAYMENT;SUCCESS;T_A",
+            ])
+        )
+        q.processAllAvailable()
+        assert state_rows() <= 2  # C1 evicted (only C2's trail, maybe 1)
+        assert state_rows() >= 1
+    finally:
+        q.stop()
