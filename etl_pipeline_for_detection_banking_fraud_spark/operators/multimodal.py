@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the warehouse as ``binary`` columns
 with a media_type tag. The Spark-side contract — schema, partitioning,
-Arrow batch shape through mapInPandas — is real and tested; the actual
-codec step is STUBBED (decode libraries are not in this image): the
-default feature extractor is a clearly-marked deterministic fake, and
-``decode_media`` raises NotImplementedError so a real codec can be
-dropped in behind the same signature.
+Arrow batch shape through mapInPandas — is real and tested. The codec
+seam now has one REAL end-to-end decoder: ``audio/wav`` (pure-stdlib
+RIFF/WAVE PCM parse + numpy sample stats, no external codec library),
+driven by ``wav_features``. Other media types still raise
+NotImplementedError from ``decode_media`` (PIL/ffmpeg are not in this
+image) — the same signature a real image/video codec drops into.
 """
 
 from __future__ import annotations
@@ -20,6 +21,11 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, media_type string"
 
+WAV_FEATURE_SCHEMA = (
+    "doc_id bigint, channels int, sample_rate int, n_frames bigint, "
+    "duration_ms bigint, peak int, rms double"
+)
+
 
 def to_binary_table(documents: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
@@ -32,12 +38,85 @@ def to_binary_table(documents: DataFrame, text_col: str = "text",
     )
 
 
+def decode_wav(content: bytes) -> dict:
+    """Pure-stdlib RIFF/WAVE PCM decode: header via the ``wave`` module,
+    sample statistics via numpy over the raw frame buffer. Supports the
+    8-bit-unsigned and 16-bit-signed PCM encodings the WAV container
+    standardizes; returns container metadata + peak/RMS amplitude (the
+    features an audio-curation pipeline filters on: silence, clipping,
+    duration outliers)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    if sampwidth == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif sampwidth == 1:
+        # 8-bit WAV is unsigned with a 128 midpoint
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sampwidth}")
+    peak = int(np.abs(samples).max()) if samples.size else 0
+    rms = float(np.sqrt(np.mean(np.square(samples)))) if samples.size else 0.0
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1000) // rate if rate else 0,
+        "peak": peak,
+        "rms": rms,
+    }
+
+
 def decode_media(content: bytes, media_type: str):
-    """Real codec hook — intentionally unimplemented in this image."""
+    """Codec dispatch. ``audio/wav`` decodes for real (stdlib + numpy);
+    other media types need codec libraries (PIL/ffmpeg) not present in
+    this image and keep the NotImplementedError seam."""
+    if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return decode_wav(content)
     raise NotImplementedError(
-        "media decoding requires codec libraries (PIL/ffmpeg) not present "
-        "in this environment; extract_features uses a deterministic stub"
+        f"decoding {media_type} requires codec libraries (PIL/ffmpeg) not "
+        "present in this environment; extract_features uses a "
+        "deterministic stub for such types"
     )
+
+
+def wav_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL feature extraction for ``audio/wav`` payloads:
+    the same mapInPandas shape as ``extract_features``, but the codec
+    step is the genuine RIFF/PCM decode. Rows whose media_type is not a
+    WAV variant are passed through with null features (schema-stable;
+    filter on ``channels IS NOT NULL`` downstream)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wav_types = {"audio/wav", "audio/x-wav", "audio/wave"}
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col],
+                "channels": [], "sample_rate": [], "n_frames": [],
+                "duration_ms": [], "peak": [], "rms": [],
+            }
+            for content, mt in zip(pdf["content"], pdf["media_type"]):
+                if mt in wav_types:
+                    d = decode_media(bytes(content), mt)
+                else:
+                    d = dict.fromkeys(
+                        ("channels", "sample_rate", "n_frames",
+                         "duration_ms", "peak", "rms")
+                    )
+                for k in ("channels", "sample_rate", "n_frames",
+                          "duration_ms", "peak", "rms"):
+                    out[k].append(d[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(featurize, schema=WAV_FEATURE_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:

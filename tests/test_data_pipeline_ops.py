@@ -285,3 +285,82 @@ def test_hash_sample_is_partition_independent_and_nested(spark, sf001):
     # independent seed draws a different sample
     ids_seed2 = {r.doc_id for r in sampling.hash_sample(doc, 0.2, seed="s1").collect()}
     assert ids_seed2 != ids_1part
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec behind the multimodal seam
+# ---------------------------------------------------------------------------
+
+
+def _make_wav(sampwidth, rate, channels, samples):
+    """Craft a WAV payload with the stdlib writer (samples are ints in
+    the signed range of the width; 8-bit is stored unsigned +128)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        if sampwidth == 2:
+            frames = b"".join(struct.pack("<h", s) for s in samples)
+        else:
+            frames = bytes((s + 128) & 0xFF for s in samples)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_wav_golden_16bit():
+    """Known samples -> exact header fields and analytically computed
+    peak/RMS."""
+    samples = [0, 1000, -2000, 3000]  # rms = sqrt(14_000_000/4)
+    payload = _make_wav(2, 8000, 1, samples)
+    d = multimodal.decode_media(payload, "audio/wav")
+    assert d["channels"] == 1
+    assert d["sample_rate"] == 8000
+    assert d["n_frames"] == 4
+    assert d["duration_ms"] == 0  # 4 frames at 8kHz is 0.5ms -> floor 0
+    assert d["peak"] == 3000
+    assert abs(d["rms"] - (14_000_000 / 4) ** 0.5) < 1e-9
+
+
+def test_decode_wav_golden_8bit_stereo():
+    # stereo: frames interleave L/R; 6 samples = 3 frames
+    samples = [10, -10, 20, -20, 127, -128]
+    payload = _make_wav(1, 44100, 2, samples)
+    d = multimodal.decode_media(payload, "audio/x-wav")
+    assert d["channels"] == 2
+    assert d["sample_rate"] == 44100
+    assert d["n_frames"] == 3
+    assert d["peak"] == 128
+    expected_rms = (sum(s * s for s in samples) / 6) ** 0.5
+    assert abs(d["rms"] - expected_rms) < 1e-9
+
+
+def test_decode_media_other_types_still_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image/png")
+
+
+def test_wav_features_end_to_end(spark):
+    """The Spark-side path: mixed WAV/non-WAV binary table through the
+    Arrow-batched featurizer — real decode for WAV rows, schema-stable
+    nulls for the rest."""
+    silence = _make_wav(2, 16000, 1, [0] * 1600)  # 100ms of silence
+    tone = _make_wav(2, 8000, 1, [1000, -1000] * 400)  # square-ish, 100ms
+    rows = [
+        (1, bytearray(silence), "audio/wav"),
+        (2, bytearray(tone), "audio/wav"),
+        (3, bytearray(b"not audio"), "text/plain"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_type string"
+    )
+    out = {r.doc_id: r for r in multimodal.wav_features(media).collect()}
+    assert out[1].duration_ms == 100 and out[1].peak == 0 and out[1].rms == 0.0
+    assert out[2].duration_ms == 100 and out[2].peak == 1000
+    assert abs(out[2].rms - 1000.0) < 1e-9
+    assert out[2].sample_rate == 8000 and out[2].channels == 1
+    assert out[3].channels is None and out[3].rms is None
