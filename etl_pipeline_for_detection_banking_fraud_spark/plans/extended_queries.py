@@ -318,6 +318,54 @@ def approx_stats(spark, sf_dir):
 
 
 @_q(
+    "approx_stats_bounds",
+    "approx_stats' sketches CLAMPED to their published error bounds vs "
+    "the exact values — a deterministic boolean-per-metric frame, so "
+    "the sketch entry gets an EXACT oracle: a correct engine yields "
+    "all-TRUE, which is precisely what the oracle asserts",
+    """
+    SELECT l_returnflag,
+           TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_stats_bounds(spark, sf_dir):
+    """Published bounds: approx_count_distinct's default rsd is 0.05
+    (relative standard deviation — 3*rsd is a ~99.7% envelope);
+    percentile_approx at the default accuracy 10000 returns a value
+    whose RANK is within 1/10000 of the target, so the value must lie
+    between the exact quantiles one full percent either side (margin
+    100x the guarantee). If a sketch ever walks outside these bounds
+    the booleans flip and the driver's hash check goes red."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = 'CAST(l_extendedprice AS DOUBLE)'
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ad"),
+        F.countDistinct("l_partkey").alias("ed"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("a95"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("a99"),
+        F.expr(f"percentile({price}, 0.49)").alias("e49"),
+        F.expr(f"percentile({price}, 0.51)").alias("e51"),
+        F.expr(f"percentile({price}, 0.94)").alias("e94"),
+        F.expr(f"percentile({price}, 0.96)").alias("e96"),
+        F.expr(f"percentile({price}, 0.98)").alias("e98"),
+        F.expr(f"percentile({price}, 1.0)").alias("e100"),
+    )
+    ok = lambda a, lo, hi: (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("ad") - F.col("ed"))
+            <= F.lit(3 * 0.05) * F.col("ed")
+        ).alias("parts_ok"),
+        ok("a50", "e49", "e51").alias("p50_ok"),
+        ok("a95", "e94", "e96").alias("p95_ok"),
+        ok("a99", "e98", "e100").alias("p99_ok"),
+    )
+
+
+@_q(
     "tpch_q3_shape",
     "TPC-H Q3 shape: selective join + grouped revenue + deterministic top-k",
     """
