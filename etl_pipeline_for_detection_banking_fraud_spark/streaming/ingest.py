@@ -93,6 +93,40 @@ def daily_counts(tx_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def passport_hits_stream(tx_stream: DataFrame, cards: DataFrame,
+                         accounts: DataFrame, clients: DataFrame,
+                         blacklist: DataFrame, date_global) -> DataFrame:
+    """Fraud rule 1 (blocked/expired passport) as a stateless
+    stream-static topology: the batch rule function is
+    stream-compatible verbatim — broadcast dim joins, filters, mart
+    projection — so this wrapper only pins that contract.
+
+    Retroactivity caveat: a BACKDATED blacklist entry arriving after
+    the transactions it incriminates have streamed past must be handled
+    by a batch re-drive of the affected fact band (the incremental
+    pipeline's retro term, ``pipeline.py``) — a stream cannot revisit
+    rows it already emitted. The streaming-mart parity test wires
+    exactly that re-drive."""
+    from ..operators import fraud_rules
+
+    return fraud_rules.rule1_passport(
+        tx_stream, cards, accounts, clients, blacklist, date_global
+    )
+
+
+def contract_hits_stream(tx_stream: DataFrame, cards: DataFrame,
+                         accounts: DataFrame, clients: DataFrame,
+                         date_global) -> DataFrame:
+    """Fraud rule 2 (invalid contract) as a stateless stream-static
+    topology — same contract-pinning wrapper as
+    ``passport_hits_stream``."""
+    from ..operators import fraud_rules
+
+    return fraud_rules.rule2_contract(
+        tx_stream, cards, accounts, clients, date_global
+    )
+
+
 def card_pairs_diff_city_stream(tx_stream: DataFrame, terminals: DataFrame,
                                 watermark: str = "2 hours") -> DataFrame:
     """Streaming shape of fraud rule 3: same-card pairs < 1 hour apart in

@@ -215,3 +215,160 @@ def test_streaming_rule3_matches_batch_event_cities(spark, ref_data, tmp_path):
         for r in mart_acc.collect()
     }
     assert got == golden
+
+
+def test_streaming_full_mart_matches_incremental_batch(spark, ref_data, tmp_path):
+    """The full fraud MART computed by streaming topologies: rules 1-2
+    as stateless stream-static joins (passport_hits_stream /
+    contract_hits_stream), rules 3-4 as the stateful machines
+    (city_hop_stream / amount_guessing_stream, state carried across
+    daily restarts via their checkpoints), hits projected and deduped
+    with the batch helpers — after the 3-day feed the streaming mart
+    must equal the INCREMENTAL batch replay's mart exactly (incremental,
+    not faithful: a stream naturally reports each hit once, which is
+    precisely the incremental mode's semantics; the faithful mode's
+    daily re-inserts exist only because the reference re-scans
+    history). The replay's blacklist feeds are never backdated, so the
+    rule-1 retro band re-drive documented in passport_hits_stream stays
+    idle here."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import fraud_rules as fr
+    from etl_pipeline_for_detection_banking_fraud_spark.streaming import stateful
+
+    dims = load_seed_dims(spark, DDL_DML)
+    cards, accounts, clients = dims["cards"], dims["accounts"], dims["clients"]
+
+    # -- golden: incremental batch replay -----------------------------------
+    gbatch = DailyBatch(spark, str(tmp_path / "golden_wh"), dims, incremental=True)
+    for day in DAYS:
+        gbatch.run_day(
+            os.path.join(ref_data, f"transactions_{day}.txt"),
+            os.path.join(ref_data, f"passport_blacklist_{day}.xlsx"),
+            os.path.join(ref_data, f"terminals_{day}.xlsx"),
+        )
+    # read_mart, not read: the incremental mart is hive-partitioned and a
+    # raw read would carry the physical dt column into the tuples
+    golden = {
+        tuple(r) for r in gbatch.wh.read_mart().collect()
+    }
+    assert golden
+
+    # -- streaming side -----------------------------------------------------
+    inbox = tmp_path / "s_inbox"          # shared: stateful rules 3-4
+    inbox.mkdir()
+    root = str(tmp_path / "s_wh")
+    wh = Warehouse(spark, root)
+    ck = {k: str(tmp_path / f"ck_{k}") for k in ("fact", "r3", "r4")}
+    hit_dirs = {k: str(tmp_path / f"hits_{k}") for k in ("r3", "r4")}
+    hist = spark.createDataFrame([], schema=schemas.TERMINALS_HIST)
+    bl_full = spark.createDataFrame([], schema=schemas.PASSPORT_BLACKLIST)
+    mart_acc = spark.createDataFrame([], schema=schemas.REP_FRAUD)
+    seen = {"r3": None, "r4": None}
+
+    def _drain_to(dfstream, sink_dir, ckpt):
+        q = (
+            dfstream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for day, date_global in zip(DAYS, DATES):
+        # feeds: shared inbox (stateful) + per-day inbox (stateless)
+        day_inbox = tmp_path / f"s_inbox_{day}"
+        day_inbox.mkdir()
+        src = os.path.join(ref_data, f"transactions_{day}.txt")
+        shutil.copy(src, inbox / f"transactions_{day}.txt")
+        shutil.copy(src, day_inbox / f"transactions_{day}.txt")
+
+        # facts stream into the warehouse (exactly-once sink)
+        tx_fact = ingest.dedup_transactions_stream(
+            ingest.read_transactions_stream(spark, str(inbox))
+        )
+        q = ingest.stream_to_warehouse(tx_fact, wh, ck["fact"])
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # reference feeds: cumulative blacklist + SCD2 dim (batch-side,
+        # same as the ingest e2e — the reference has no streaming xlsx)
+        bl = read_passport_blacklist(
+            spark, os.path.join(ref_data, f"passport_blacklist_{day}.xlsx")
+        )
+        bl_full = (
+            bl_full.unionByName(
+                bl.join(bl_full.select("passport"), "passport", "left_anti")
+                .select("date", "passport")
+            ).localCheckpoint()
+        )
+        term = read_terminals(spark, os.path.join(ref_data, f"terminals_{day}.xlsx"))
+        hist = scd2.apply_increment(hist, term, date_global).localCheckpoint()
+        snapshot = hist.where(
+            (~F.col("deleted_flg"))
+            & (F.col("effective_from") <= F.lit(date_global))
+            & (F.col("effective_to") >= F.lit(date_global))
+        ).select("terminal_id", "terminal_city")
+
+        # rules 1-2: stateless streams over the day's feed (fresh
+        # checkpoint per day — the date_global literal and blacklist
+        # snapshot change the plan daily)
+        day_rows = []
+        for key, builder in (
+            ("r1", lambda s: ingest.passport_hits_stream(
+                s, cards, accounts, clients, bl_full, date_global)),
+            ("r2", lambda s: ingest.contract_hits_stream(
+                s, cards, accounts, clients, date_global)),
+        ):
+            sink_dir = str(tmp_path / f"hits_{key}_{day}")
+            s = ingest.read_transactions_stream(spark, str(day_inbox))
+            _drain_to(builder(s), sink_dir, str(tmp_path / f"ck_{key}_{day}"))
+            if os.path.isdir(sink_dir):
+                day_rows.append(
+                    (key, spark.read.parquet(sink_dir))
+                )
+
+        # rules 3-4: stateful streams, checkpointed state across days
+        tx3 = ingest.read_transactions_stream(spark, str(inbox))
+        enriched = tx3.join(
+            F.broadcast(snapshot), tx3.terminal == snapshot.terminal_id, "left"
+        ).withColumn("city", snapshot.terminal_city)
+        _drain_to(stateful.city_hop_stream(enriched), hit_dirs["r3"], ck["r3"])
+        tx4 = ingest.read_transactions_stream(spark, str(inbox))
+        _drain_to(stateful.amount_guessing_stream(tx4), hit_dirs["r4"], ck["r4"])
+
+        # project + dedup exactly like the batch run does
+        for key, ev in (("r1", fr.EVENT_PASSPORT), ("r2", fr.EVENT_CONTRACT)):
+            rows = [df for k, df in day_rows if k == key]
+            if not rows:
+                continue
+            mart_day = fr._dedup_against(rows[0], mart_acc, ev)
+            mart_acc = mart_acc.unionByName(mart_day).localCheckpoint()
+        for key, ev in (("r3", fr.EVENT_CITIES), ("r4", fr.EVENT_AMOUNT)):
+            if not os.path.isdir(hit_dirs[key]):
+                continue
+            all_hits = spark.read.parquet(hit_dirs[key]).select(
+                "card_num", F.col("event_ts").alias("transaction_date")
+            ).distinct().localCheckpoint()
+            new_hits = (
+                all_hits if seen[key] is None else all_hits.exceptAll(seen[key])
+            )
+            seen[key] = all_hits
+            mart_day = fr._report(
+                fr.enrich_client(new_hits, cards, accounts, clients),
+                F.col("transaction_date"), ev, date_global,
+            )
+            mart_day = fr._dedup_against(mart_day, mart_acc, ev).dropDuplicates(
+                ["event_dt", "passport"]
+            )
+            mart_acc = mart_acc.unionByName(mart_day).localCheckpoint()
+
+    got = {tuple(r) for r in mart_acc.collect()}
+    assert got == golden
