@@ -492,3 +492,106 @@ def skew_salted_agg(spark, sf_dir):
         "l_returnflag", "n", F.col("qty_dec").cast("double").alias("qty"),
         "first_ship", "last_ship",
     )
+
+
+@_q(
+    "string_agg_ordered",
+    "ordered string aggregation (listagg/string_agg): deterministic via "
+    "sort-before-join — collect_list alone is partition-order-dependent",
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, '|' ORDER BY c_name) AS names,
+           count(*) AS n
+    FROM customer WHERE c_custkey % 100 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def string_agg_ordered(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_custkey") % 100 == 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "intersect_key",
+    "INTERSECT set op (completes the set-op family next to "
+    "union_except's UNION/EXCEPT)",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def intersect_key(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .intersect(
+            o.where(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("k"))
+        )
+    )
+
+
+@_q(
+    "window_tumbling",
+    "event-time tumbling window (batch form of the streaming groupBy("
+    "window(...)) aggregation; epoch-aligned 1h buckets == date_trunc)",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total"
+        )
+    )
+
+
+@_q(
+    "full_outer_join",
+    "FULL OUTER join with unmatched rows on both sides (completes the "
+    "join family: inner/left/semi/anti/asof are catalogued elsewhere)",
+    """
+    WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust
+               FROM customer WHERE c_nationkey % 2 = 0 GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, count(*) AS n_supp
+               FROM supplier WHERE s_nationkey % 3 = 0 GROUP BY 1)
+    SELECT COALESCE(c.k, s.k) AS k, c.n_cust AS n_cust, s.n_supp AS n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    """,
+)
+def full_outer_join(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") % 2 == 0)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") % 3 == 0)
+        .groupBy(F.col("s_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.k == s.ck, "full_outer").select(
+        F.coalesce(F.col("k"), F.col("ck")).alias("k"), "n_cust", "n_supp"
+    )

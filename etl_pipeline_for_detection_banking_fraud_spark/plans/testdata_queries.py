@@ -770,22 +770,28 @@ def sessionize(spark, sf_dir):
 # row plus the local parity suite (tests/test_oracle_parity.py runs every
 # catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
-    "dedup_minhash_incr",   # new in r4 — never reported
-    "dedup_ngram_incr",     # new in r4 — never reported
-    # newest driver row is r02 (rotated out of the r03 report):
-    "pivot_agg", "rollup_agg", "distinct_count_agg", "string_funcs",
-    "global_topk", "running_window", "lead_lag_window",
-    "sim_ann_ivf", "text_tfidf_topk", "sample_hash", "sample_stratified_n",
-    "multimodal_features",
-    # rows-only by design: reports its declared no_oracle row each round
-    "approx_stats",
-]
-_REPORT_LAST = [
-    # green in r03 AND covered by the golden 3-day replay + unit tests —
-    # the strongest independent evidence in the repo
+    # new in r5 — never reported
+    "approx_stats_bounds", "string_agg_ordered", "intersect_key",
+    "window_tumbling", "full_outer_join",
+    # newest driver row is r03 (rotated out of the capped r04 report):
     "scan_filter_project", "cast_project", "concat_coalesce", "date_arith",
     "between_filter", "null_filters", "nullsafe_neq", "join_chain",
     "left_join_count", "anti_join", "semi_join", "row_counts", "min_max_date",
+    "skew_salted_agg",
+    # rows-only by design: reports its declared no_oracle row each round
+    # (its sketch VALUES are now exact-oracle-covered via
+    # approx_stats_bounds above)
+    "approx_stats",
+]
+_REPORT_LAST = [
+    # green in r04 AND covered by the golden 3-day replay + planted-
+    # fixture unit tests — the strongest independent evidence in the
+    # repo, so these can afford to rotate out of a capped r05 report
+    "timeband_self_join", "timeband_window", "decreasing_triple",
+    "asof_join", "scd2_apply", "first_per_group", "distinct_pairs",
+    "groupby_agg", "topk_per_group", "union_except", "sessionize",
+    "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
 ]
 
 
