@@ -300,3 +300,50 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+def centroid_norms(embeddings: DataFrame, vec_col: str = "embedding",
+                   group_col: str = "label") -> DataFrame:
+    """Per-group embedding centroid, reduced to scalars (count, dim,
+    centroid L2 norm) — the vector aggregation a curation pipeline runs
+    per cluster/source/language to monitor embedding drift.
+
+    Shape: posexplode to (group, dim_pos, value), one partial-agg
+    shuffle keyed (group, pos) — the canonical distributed elementwise
+    mean, O(rows x dim) with map-side combine, never materializing any
+    per-group row set. Determinism: component sums accumulate in
+    DECIMAL (float -> decimal cast is exact), so the centroid — and
+    therefore the norm — is bit-identical across partitionings and
+    engines; the squared terms are summed in decimal too (doubles
+    products cast to decimal per element before the sum)."""
+    exploded = embeddings.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("_pos", "_v")
+    )
+    # exact decimal SUM, then divide in double: decimal DIVISION scale
+    # rules differ across engines (last-bit drift), double division of
+    # identical operands doesn't
+    # float -> DOUBLE -> decimal: engines disagree on direct
+    # float->decimal rounding (some scale in float precision); the
+    # exact float->double widening pins the value both engines round
+    comp = exploded.groupBy(group_col, "_pos").agg(
+        (
+            F.sum(
+                F.col("_v").cast("double").cast("decimal(27,9)")
+            ).cast("double")
+            / F.count("*")
+        ).alias("_mean")
+    )
+    n_vecs = embeddings.groupBy(group_col).agg(
+        F.count("*").alias("n_vecs"),
+        F.max(F.size(vec_col)).cast("long").alias("dim"),
+    )
+    norms = comp.groupBy(group_col).agg(
+        F.sqrt(
+            F.sum(
+                (F.col("_mean") * F.col("_mean")).cast("decimal(38,18)")
+            ).cast("double")
+        ).alias("centroid_norm")
+    )
+    return n_vecs.join(norms, group_col).select(
+        group_col, "n_vecs", "dim", "centroid_norm"
+    )

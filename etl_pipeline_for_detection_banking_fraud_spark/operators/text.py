@@ -160,3 +160,45 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .where(F.col("rn") <= k)
         .select(F.col(id_col), "term", "tf", "df", "tfidf", "rn")
     )
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Within-document repetition: 1 - distinct/total word n-grams —
+    the standard boilerplate/spam signal for pretraining curation
+    (high ratio = the document repeats itself; loops, templates, SEO
+    keyword stuffing). Pure higher-order functions, no shuffle."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
+    has = F.size("_tok") >= n
+    total = F.when(has, F.size("_tok") - (n - 1)).otherwise(0)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_tok") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_tok", i + j + 1) for j in range(n)]
+        ),
+    )
+    distinct = F.when(has, F.size(F.array_distinct(grams))).otherwise(0)
+    return base.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.when(
+            total > 0,
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+        ).otherwise(0.0).alias("repetition"),
+    )
+
+
+def regex_scan(df: DataFrame, patterns: dict[str, str],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document non-overlapping match counts for named regex
+    patterns — the PII/quality scanning surface (emails, phone-shaped
+    digit runs, repeated character classes). One JVM-side regexp_count
+    column per pattern; patterns should stick to the regex subset Java
+    and RE2-class engines agree on (no backrefs/lookbehind) so oracle
+    engines count identically."""
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+        for name, pat in patterns.items()
+    ]
+    return df.select(F.col(id_col), *cols)

@@ -740,3 +740,91 @@ def sim_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return similarity.ann_ivf_topk(emb, queries, k=5, center_fraction=0.02, n_probe=2)
+
+
+@_q(
+    "text_repetition",
+    "within-doc repetition ratio (1 - distinct/total word trigrams) — "
+    "the boilerplate/keyword-stuffing curation signal",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(tok) >= 3 THEN len(tok) - 2 ELSE 0 END AS n_ngrams,
+           CASE WHEN len(tok) >= 3 THEN len(list_distinct(list_transform(
+                    generate_series(0, len(tok) - 3),
+                    i -> concat_ws(' ', tok[i+1], tok[i+2], tok[i+3]))))
+                ELSE 0 END AS n_distinct,
+           CASE WHEN len(tok) >= 3 THEN
+                1.0 - CAST(len(list_distinct(list_transform(
+                          generate_series(0, len(tok) - 3),
+                          i -> concat_ws(' ', tok[i+1], tok[i+2], tok[i+3]))))
+                      AS DOUBLE) / CAST(len(tok) - 2 AS DOUBLE)
+                ELSE 0.0 END AS repetition
+    FROM toks
+    """,
+)
+def text_repetition(spark, sf_dir):
+    return text.repetition_ratio(_t(spark, sf_dir, "documents"))
+
+
+_SCAN_PATTERNS = {
+    # PII-style + quality patterns, restricted to the regex subset Java
+    # and RE2-class engines count identically (no backrefs/lookaround)
+    "n_email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "n_digit_runs": "[0-9]{4,}",
+    "n_vowel_runs": "[aeiou]{2,}",
+}
+
+
+@_q(
+    "text_regex_scan",
+    "regex scanning surface: per-doc non-overlapping match counts for "
+    "named PII/quality patterns (emails, digit runs, character-class "
+    "runs)",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SCAN_PATTERNS["n_email"]}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text, '{_SCAN_PATTERNS["n_digit_runs"]}')) AS BIGINT)
+               AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '{_SCAN_PATTERNS["n_vowel_runs"]}')) AS BIGINT)
+               AS n_vowel_runs
+    FROM documents
+    """,
+)
+def text_regex_scan(spark, sf_dir):
+    return text.regex_scan(_t(spark, sf_dir, "documents"), _SCAN_PATTERNS)
+
+
+@_q(
+    "embedding_centroids",
+    "per-group embedding centroid reduced to scalars (count, dim, "
+    "centroid L2 norm) — distributed elementwise mean via posexplode + "
+    "one (group, pos) partial-agg shuffle; decimal accumulation keeps "
+    "the norm bit-identical across engines",
+    """
+    WITH dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
+    positions AS (
+        SELECT unnest(generate_series(1, (SELECT d FROM dims))) AS i
+    ),
+    comp AS (
+        SELECT label, i,
+               CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,9)))
+                    AS DOUBLE) / count(*) AS mean_v
+        FROM embeddings CROSS JOIN positions
+        GROUP BY label, i
+    ),
+    norms AS (
+        SELECT label,
+               sqrt(CAST(sum(CAST(mean_v * mean_v AS DECIMAL(38,18))) AS DOUBLE))
+                   AS centroid_norm
+        FROM comp GROUP BY label
+    )
+    SELECT e.label, count(*) AS n_vecs, max(len(e.embedding)) AS dim,
+           max(n.centroid_norm) AS centroid_norm
+    FROM embeddings e JOIN norms n ON e.label = n.label
+    GROUP BY e.label
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    return similarity.centroid_norms(_t(spark, sf_dir, "embeddings"))

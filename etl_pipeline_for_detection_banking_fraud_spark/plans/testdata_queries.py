@@ -772,7 +772,8 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r5 — never reported
     "approx_stats_bounds", "string_agg_ordered", "intersect_key",
-    "window_tumbling", "full_outer_join",
+    "window_tumbling", "full_outer_join", "text_repetition",
+    "text_regex_scan", "embedding_centroids",
     # newest driver row is r03 (rotated out of the capped r04 report):
     "scan_filter_project", "cast_project", "concat_coalesce", "date_arith",
     "between_filter", "null_filters", "nullsafe_neq", "join_chain",

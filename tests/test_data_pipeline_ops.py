@@ -364,3 +364,58 @@ def test_wav_features_end_to_end(spark):
     assert abs(out[2].rms - 1000.0) < 1e-9
     assert out[2].sample_rate == 8000 and out[2].channels == 1
     assert out[3].channels is None and out[3].rms is None
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curation operators: repetition, regex scan, centroids
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_ratio_detects_loops(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),            # one trigram, repeated
+            (2, "one two three four five six"),              # all distinct
+            (3, "ab cd"),                                    # < n tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.repetition_ratio(docs).collect()}
+    assert out[1].n_ngrams == 4 and out[1].n_distinct == 1
+    assert abs(out[1].repetition - 0.75) < 1e-12
+    assert out[2].repetition == 0.0 and out[2].n_distinct == 4
+    assert out[3].n_ngrams == 0 and out[3].repetition == 0.0
+
+
+def test_regex_scan_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e-f.org, card 12345678"),
+            (2, "no personal data here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pats = {
+        "n_email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+        "n_digit_runs": "[0-9]{4,}",
+    }
+    out = {r.doc_id: r for r in text.regex_scan(docs, pats).collect()}
+    assert out[1].n_email == 2 and out[1].n_digit_runs == 1
+    assert out[2].n_email == 0 and out[2].n_digit_runs == 0
+
+
+def test_centroid_norms_analytic(spark):
+    """Two groups with hand-computed centroids: norms must be exact."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),   # centroid (0.5, 0.5) -> norm sqrt(0.5)
+        (3, [2.0, 0.0], 1),
+        (4, [4.0, 0.0], 1),   # centroid (3, 0) -> norm 3
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in similarity.centroid_norms(emb).collect()}
+    assert out[0].n_vecs == 2 and out[0].dim == 2
+    assert abs(out[0].centroid_norm - 0.5 ** 0.5) < 1e-12
+    assert abs(out[1].centroid_norm - 3.0) < 1e-12
