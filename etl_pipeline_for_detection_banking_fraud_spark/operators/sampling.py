@@ -62,3 +62,25 @@ def stratified_sample_n(df: DataFrame, n: int, strata_col: str,
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def weighted_mix(df: DataFrame, rates: dict[str, float],
+                 source_col: str = "source", key_col: str = "doc_id",
+                 default_rate: float = 0.0, seed: str = "mix0") -> DataFrame:
+    """Deterministic weighted corpus mixing — the operator that builds a
+    training mix ("2 parts wiki, 1 part web, drop the rest") as a
+    reproducible per-source Bernoulli: keep a row iff its content hash
+    falls below its source's rate threshold. Same properties as
+    hash_sample: partition-independent, re-run-stable, nested across
+    rates for a fixed seed (raising a source's weight only ADDS rows,
+    never resamples — incremental mix tuning doesn't churn the corpus).
+
+    Thresholds are INTEGER literals baked driver-side (no float
+    arithmetic in the plan, so any SQL engine computes the identical
+    mix); unlisted sources use ``default_rate``. Scan-local, zero
+    shuffle; the hash filter evaluates next to the scan."""
+    bounds = {s: sample_bound(r) for s, r in rates.items()}
+    expr = F.lit(sample_bound(default_rate))
+    for s, b in bounds.items():
+        expr = F.when(F.col(source_col) == s, F.lit(b)).otherwise(expr)
+    return df.where(hash60(F.col(key_col), seed) < expr)

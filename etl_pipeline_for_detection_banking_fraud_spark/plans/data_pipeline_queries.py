@@ -828,3 +828,69 @@ def text_regex_scan(spark, sf_dir):
 )
 def embedding_centroids(spark, sf_dir):
     return similarity.centroid_norms(_t(spark, sf_dir, "embeddings"))
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.05
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {sampling.sample_bound(r)}"
+        for s, r in _MIX_RATES.items()
+    )
+    return (
+        f"CASE source {arms} ELSE {sampling.sample_bound(_MIX_DEFAULT)} END"
+    )
+
+
+@_q(
+    "corpus_mix",
+    "weighted corpus mixing: per-source deterministic Bernoulli rates "
+    "(integer hash thresholds baked driver-side; nested across rates — "
+    "raising a weight only ADDS rows)",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_H60.format(seed='mix0', key='doc_id')} < {_mix_case_sql()}
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    doc = _t(spark, sf_dir, "documents")
+    return sampling.weighted_mix(
+        doc.select("doc_id", "source"), _MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+
+
+@_q(
+    "pack_sequences",
+    "sequence packing (contiguous-fill): per-shard running token sums "
+    "give every doc its start offset, bin id and straddle spill in the "
+    "packed stream — deterministic integer layout at any parallelism",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS start_offset
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           start_offset // 512 AS bin_id,
+           CAST(greatest(0, (start_offset % 512) + n_tokens - 512) AS BIGINT)
+               AS bin_spill
+    FROM cum
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    from ..operators import packing
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(text.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return packing.pack_offsets(doc, cap=512)

@@ -773,7 +773,8 @@ _REPORT_FIRST = [
     # new in r5 — never reported
     "approx_stats_bounds", "string_agg_ordered", "intersect_key",
     "window_tumbling", "full_outer_join", "text_repetition",
-    "text_regex_scan", "embedding_centroids",
+    "text_regex_scan", "embedding_centroids", "corpus_mix",
+    "pack_sequences",
     # newest driver row is r03 (rotated out of the capped r04 report):
     "scan_filter_project", "cast_project", "concat_coalesce", "date_arith",
     "between_filter", "null_filters", "nullsafe_neq", "join_chain",

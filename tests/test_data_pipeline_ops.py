@@ -419,3 +419,43 @@ def test_centroid_norms_analytic(spark):
     assert out[0].n_vecs == 2 and out[0].dim == 2
     assert abs(out[0].centroid_norm - 0.5 ** 0.5) < 1e-12
     assert abs(out[1].centroid_norm - 3.0) < 1e-12
+
+
+def test_weighted_mix_rates_and_nesting(spark):
+    """Per-source keep-rates land near their targets, and raising a
+    rate only ADDS rows (nesting) — the property that makes mix tuning
+    incremental instead of corpus-churning."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import sampling
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.1, "src3": 0.0}
+    out = sampling.weighted_mix(df, rates).groupBy("source").count()
+    got = {r.source: r["count"] for r in out.collect()}
+    assert got["src0"] == 1000
+    assert 400 < got.get("src1", 0) < 600
+    assert 50 < got.get("src2", 0) < 160
+    assert "src3" not in got
+
+    low = {r.doc_id for r in sampling.weighted_mix(df, {"src1": 0.3}).collect()}
+    high = {r.doc_id for r in sampling.weighted_mix(df, {"src1": 0.6}).collect()}
+    assert low <= high  # nested
+
+
+def test_pack_offsets_analytic(spark):
+    """Hand-computed packing layout, including a straddling doc and a
+    doc longer than the cap."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import packing
+
+    rows = [
+        (1, "en", 60), (2, "en", 50), (3, "en", 40),  # offsets 0,60,110
+        (4, "de", 250),                                # longer than cap
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    out = {r.doc_id: r for r in packing.pack_offsets(df, cap=100).collect()}
+    assert (out[1].start_offset, out[1].bin_id, out[1].bin_spill) == (0, 0, 0)
+    # doc 2 starts at 60, ends at 110 -> spills 10 past bin 0
+    assert (out[2].start_offset, out[2].bin_id, out[2].bin_spill) == (60, 0, 10)
+    assert (out[3].start_offset, out[3].bin_id) == (110, 1)
+    # de shard independent; 250-token doc spills 150 past its first bin
+    assert (out[4].start_offset, out[4].bin_id, out[4].bin_spill) == (0, 0, 150)
