@@ -217,7 +217,7 @@ def _sf1_point(spark, qmap, sf_dir: str) -> dict:
             "queries": timings}
 
 
-def _replay_secs(spark, incremental: bool) -> float | None:
+def _replay_secs(spark, incremental: bool, atomic: bool = False) -> float | None:
     """Time the engine's actual product — the 3-day banking replay —
     end-to-end: faithful mode re-scans full fact history per day (the
     reference's posture), incremental mode reads partition-pruned
@@ -235,7 +235,8 @@ def _replay_secs(spark, incremental: bool) -> float | None:
         return None
     dims = load_seed_dims(spark, os.path.join(REF_DATA, "ddl_dml.sql"))
     batch = DailyBatch(
-        spark, tempfile.mkdtemp(prefix="bench_wh_"), dims, incremental=incremental
+        spark, tempfile.mkdtemp(prefix="bench_wh_"), dims,
+        incremental=incremental, atomic=atomic,
     )
     days = ["01032021", "02032021", "03032021"]
     t0 = time.perf_counter()
@@ -433,9 +434,15 @@ def main() -> None:
     # Errors are RECORDED, not swallowed: a broken replay must not
     # masquerade as "reference data absent" in the bench JSON.
     replay = {}
-    for mode, flag in (("replay_faithful", False), ("replay_incremental", True)):
+    for mode, flag, atomic in (
+        ("replay_faithful", False, False),
+        ("replay_incremental", True, False),
+        # the exactly-once commit-log path: its delta vs replay_faithful
+        # is the measured cost of atomic multi-table transactions
+        ("replay_atomic", False, True),
+    ):
         try:
-            secs = _replay_secs(spark, flag)
+            secs = _replay_secs(spark, flag, atomic)
         except Exception as e:
             replay[f"{mode}_error"] = str(e)[:300]
             secs = None
