@@ -232,7 +232,7 @@ class Warehouse:
     def _manifest_dir(self) -> str:
         return os.path.join(self.root, "_commitlog")
 
-    def _log_entries(self) -> list[dict]:
+    def _log_entries(self) -> list[tuple[int, dict]]:
         d = self._manifest_dir()
         if not os.path.isdir(d):
             return []
@@ -245,15 +245,21 @@ class Warehouse:
                 with open(os.path.join(d, fn)) as f:
                     entry = json.load(f)
                 self._entry_cache[fn] = entry
-            out.append(entry)
+            out.append((int(fn[:-5]), entry))
         return out
 
-    def _manifest_files(self, table: str) -> list[str] | None:
+    def _manifest_files(self, table: str,
+                        at: int | None = None) -> list[str] | None:
         """Committed file relpaths for a TRACKED table; None if the
-        table has never appeared in the commit log (legacy reads)."""
+        table has never appeared in the commit log (legacy reads).
+        ``at`` replays the log only through that sequence number — the
+        time-travel read (snapshot isolation for free: every commit IS a
+        snapshot)."""
         table = table.lower()
         tracked, files = False, []
-        for entry in self._log_entries():
+        for seq, entry in self._log_entries():
+            if at is not None and seq > at:
+                break
             t = entry.get("tables", {}).get(table)
             if t is None:
                 continue
@@ -263,6 +269,50 @@ class Warehouse:
             else:
                 files.extend(t)
         return files if tracked else None
+
+    def snapshots(self) -> list[dict]:
+        """The commit history: one row per committed transaction —
+        sequence number (pass to ``read_at``), txn id, op, tables and
+        file counts. A caveat for time travel: ``compact()``'s replace
+        entry rewrites the file SET and deletes the old files, so
+        snapshots older than the latest replace may reference vacuumed
+        files (same retention contract as Delta/Iceberg VACUUM)."""
+        return [
+            {
+                "seq": seq,
+                "txn": entry.get("txn"),
+                "op": entry.get("op"),
+                "tables": {
+                    t: len(files) for t, files in entry.get("tables", {}).items()
+                },
+            }
+            for seq, entry in self._log_entries()
+        ]
+
+    def read_at(self, table: str, seq: int,
+                schema: T.StructType | None = None) -> DataFrame:
+        """Time-travel read: the table exactly as of commit ``seq``
+        (inclusive). Raises for tables not tracked by the commit log —
+        legacy directory layouts have no history to travel."""
+        p = self._path(table)
+        mf = self._manifest_files(table, at=seq)
+        if mf is None:
+            raise ValueError(
+                f"{table} has no commit-log history (legacy layout or "
+                f"never written as of seq {seq})"
+            )
+        if not mf:
+            if schema is None:
+                raise FileNotFoundError(
+                    f"table {table} empty as of seq {seq} and no schema given"
+                )
+            return self.spark.createDataFrame([], schema=schema)
+        df = self.spark.read.option("basePath", p).parquet(
+            *[os.path.join(p, rel) for rel in mf]
+        )
+        if schema is not None:
+            df = df.select(*[f.name for f in schema.fields])
+        return df
 
     def _pending_files(self, table: str) -> list[str]:
         t = self._active_txn

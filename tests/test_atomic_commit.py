@@ -283,3 +283,37 @@ def test_streaming_crash_between_append_and_marker(spark, ref_data, tmp_path,
     assert got.select("transaction_id").distinct().count() == n
     meta = Warehouse(spark, root).read("meta_loading").toPandas()
     assert (meta.status.str.startswith("COMMIT_")).sum() == 1
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """Every commit is a snapshot: read_at(seq) reproduces the table as
+    of that transaction; snapshots() lists the history."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    for d, n in ((1, 3), (2, 5), (3, 7)):
+        with wh.transaction():
+            wh.append_transactions(_tx_rows(spark, n, day=d, prefix=f"d{d}"))
+
+    snaps = wh.snapshots()
+    assert [s["op"] for s in snaps] == ["add", "add", "add"]
+    seqs = [s["seq"] for s in snaps]
+    assert wh.read_at("dwh_fact_transactions", seqs[0]).count() == 3
+    assert wh.read_at("dwh_fact_transactions", seqs[1]).count() == 8
+    assert wh.read_at("dwh_fact_transactions", seqs[2]).count() == 15
+    assert wh.read_transactions().count() == 15  # latest == normal read
+    # partition pruning works in historical reads too
+    old = wh.read_at("dwh_fact_transactions", seqs[1])
+    assert old.where(old.dt == datetime.date(2021, 3, 2)).count() == 5
+
+    # legacy tables have no history
+    wh.append_transactions(_tx_rows(spark, 2, prefix="legacy"), "legacy_tx")
+    with pytest.raises(ValueError, match="no commit-log history"):
+        wh.read_at("legacy_tx", seqs[2])
+
+    # compaction rewrites the file set: snapshots() records the replace
+    wh.compact("dwh_fact_transactions")
+    snaps2 = wh.snapshots()
+    assert snaps2[-1]["op"] == "replace"
+    assert wh.read_at(
+        "dwh_fact_transactions", snaps2[-1]["seq"]
+    ).count() == 15
