@@ -317,3 +317,32 @@ def test_time_travel_reads(spark, tmp_path):
     assert wh.read_at(
         "dwh_fact_transactions", snaps2[-1]["seq"]
     ).count() == 15
+
+
+def test_incremental_atomic_matches_incremental_legacy(spark, tmp_path):
+    """The scale mode (incremental) composes with the exactly-once mode
+    (atomic): identical mart over the 3-day replay. This is the
+    production configuration — partition-pruned O(day) rules inside one
+    commit-log transaction per day."""
+    dims = load_seed_dims(spark, DDL_DML)
+    ref = "/root/reference/data/data"
+
+    def feeds(day):
+        return (
+            os.path.join(ref, f"transactions_{day}.txt"),
+            os.path.join(ref, f"passport_blacklist_{day}.xlsx"),
+            os.path.join(ref, f"terminals_{day}.xlsx"),
+        )
+
+    legacy = DailyBatch(spark, str(tmp_path / "leg"), dims, incremental=True)
+    atomic = DailyBatch(
+        spark, str(tmp_path / "atm"), dims, incremental=True, atomic=True
+    )
+    for day in ("01032021", "02032021", "03032021"):
+        legacy.run_day(*feeds(day))
+        atomic.run_day(*feeds(day))
+    lm, am = legacy.wh.read_mart(), atomic.wh.read_mart()
+    assert lm.count() == am.count()
+    assert lm.exceptAll(am).count() == 0 and am.exceptAll(lm).count() == 0
+    # one commit per day (plus none extra): the day really is one txn
+    assert [s["op"] for s in atomic.wh.snapshots()] == ["add"] * 3
