@@ -292,8 +292,12 @@ def rule3_diff_cities_window(tx: DataFrame, cards: DataFrame, accounts: DataFram
         "_ts_sec", F.col("transaction_date").cast("long")
     )
     w = Window.partitionBy("card_num").orderBy("_ts_sec").rangeBetween(-3599, -1)
+    # routing measure counts ALL frame rows (count(lit(1)), not
+    # count(c_city)): null-city rows are invisible to the rule but the
+    # frame recompute still scans them — counting only non-null cities
+    # would leave a null-city-heavy bot on the O(k^2) cold path
     marked = with_city.withColumn(
-        "_n_prior", F.count("c_city").over(w)
+        "_n_prior", F.count(F.lit(1)).over(w)
     ).withColumn(
         "_card_peak", F.max("_n_prior").over(Window.partitionBy("card_num"))
     )
@@ -420,7 +424,8 @@ def _rule4_hot_card_hits(hot: DataFrame) -> DataFrame:
 def rule4_amount_guessing_window(tx: DataFrame, cards: DataFrame, accounts: DataFrame,
                                  clients: DataFrame, existing_mart: DataFrame,
                                  date_global: datetime.date,
-                                 hot_card_threshold: int = 512) -> DataFrame:
+                                 hot_card_threshold: int = 512,
+                                 hot_card_cpu_threshold: int = 8192) -> DataFrame:
     """Production formulation: trailing-20-minute frame + array EXISTS,
     with a hot-card overflow path bounding per-row memory.
 
@@ -441,14 +446,24 @@ def rule4_amount_guessing_window(tx: DataFrame, cards: DataFrame, accounts: Data
     through an exact O(k)-memory applyInPandas scan instead; all other
     cards stay on the codegen array path with per-row memory capped at
     ``hot_card_threshold`` structs.
+
+    Second routing axis, ``hot_card_cpu_threshold`` on TOTAL band
+    population: trail memory is REJECT-bounded, but the sliding frame
+    recompute scans every frame row per row — a SUCCESS-flood card with
+    few REJECTs is memory-safe yet still an O(k^2)-CPU straggler task.
+    Either axis over its threshold routes the card to the O(k) exact
+    path.
     """
     base = tx.withColumn("_ts_sec", F.col("transaction_date").cast("long"))
     w = Window.partitionBy("card_num").orderBy("_ts_sec").rangeBetween(-1199, -1)
     is_rej = F.col("oper_result") == "REJECT"
+    card_w = Window.partitionBy("card_num")
     marked = base.withColumn(
         "_band_rej", F.count(F.when(is_rej, 1)).over(w)
     ).withColumn(
-        "_card_peak", F.max("_band_rej").over(Window.partitionBy("card_num"))
+        "_card_peak", F.max("_band_rej").over(card_w)
+    ).withColumn(
+        "_card_peak_all", F.max(F.count(F.lit(1)).over(w)).over(card_w)
     )
     trail = F.collect_list(
         F.when(
@@ -456,8 +471,11 @@ def rule4_amount_guessing_window(tx: DataFrame, cards: DataFrame, accounts: Data
             F.struct(F.col("_ts_sec").alias("ts"), F.col("amount").alias("am")),
         )
     ).over(w)
+    is_hot = (F.col("_card_peak") > hot_card_threshold) | (
+        F.col("_card_peak_all") > hot_card_cpu_threshold
+    )
     cold_flagged = (
-        marked.where(F.col("_card_peak") <= hot_card_threshold)
+        marked.where(~is_hot)
         .withColumn("_trail", trail)
         .where(F.col("oper_result") == "SUCCESS")
         .where(
@@ -473,7 +491,7 @@ def rule4_amount_guessing_window(tx: DataFrame, cards: DataFrame, accounts: Data
         .select("card_num", "transaction_date")
     )
     hot_flagged = _rule4_hot_card_hits(
-        marked.where(F.col("_card_peak") > hot_card_threshold).select(
+        marked.where(is_hot).select(
             "card_num",
             "transaction_date",
             "_ts_sec",

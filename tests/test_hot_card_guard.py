@@ -230,3 +230,41 @@ def test_rule3_hot_path_matches_join_form_random(spark):
     rc = sorted((r.passport, r.event_dt) for r in cold.collect())
     assert ra == rh == rc
     assert len(ra) > 0
+
+
+def test_rule4_success_flood_routes_cpu_axis(spark):
+    """The second routing axis: 10k SUCCESS rows + 2 REJECTs in one
+    band is memory-safe (trail holds only REJECTs) but the sliding
+    frame recompute makes it an O(k^2)-CPU straggler — total band
+    population must route it to the exact O(k) path, which still finds
+    exactly the planted decreasing triple."""
+    cards, accounts, clients = _dims(spark)
+    rows = []
+    for i in range(10000):  # flood: high-amount SUCCESS, never a hit
+        ts = BASE + datetime.timedelta(seconds=i // 10)  # 1000s span
+        rows.append((ts, 99999, "C1", "SUCCESS", "T_A"))
+    rows.append((BASE + datetime.timedelta(seconds=1010), 300, "C1", "REJECT", "T_A"))
+    rows.append((BASE + datetime.timedelta(seconds=1020), 200, "C1", "REJECT", "T_A"))
+    hit_ts = BASE + datetime.timedelta(seconds=1030)
+    rows.append((hit_ts, 100, "C1", "SUCCESS", "T_A"))
+    tx = _tx_df(spark, rows)
+
+    out = fr.rule4_amount_guessing_window(
+        tx, cards, accounts, clients, _empty_mart(spark), REPORT_D
+    ).collect()
+    assert [(r.passport, r.event_dt) for r in out] == [("1111 111111", hit_ts)]
+
+    # the REJECT axis alone would NOT have routed this card
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = (
+        Window.partitionBy("card_num")
+        .orderBy(F.col("transaction_date").cast("long"))
+        .rangeBetween(-1199, -1)
+    )
+    peaks = tx.withColumn(
+        "_rej", F.count(F.when(F.col("oper_result") == "REJECT", 1)).over(w)
+    ).withColumn("_all", F.count(F.lit(1)).over(w)).agg(
+        F.max("_rej"), F.max("_all")
+    ).first()
+    assert peaks[0] <= 512 and peaks[1] > 8192
