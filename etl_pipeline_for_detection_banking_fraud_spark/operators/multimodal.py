@@ -75,12 +75,63 @@ def decode_wav(content: bytes) -> dict:
     }
 
 
+def decode_ppm(content: bytes) -> dict:
+    """Pure-stdlib binary PPM (Netpbm P6) decode: header parse per the
+    Netpbm spec (whitespace-separated width/height/maxval, '#' comments
+    allowed between tokens), then numpy over the raw interleaved RGB
+    plane. Returns dimensions + per-channel means + Rec.601 luma — the
+    features an image-curation pipeline filters on (resolution floors,
+    blank/overexposed frames)."""
+    import numpy as np
+
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 binary PPM")
+    # tokenize the header: P6, width, height, maxval; '#' starts a
+    # comment running to end-of-line; ONE whitespace byte ends the
+    # maxval token and the pixel plane follows immediately
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit-per-channel PPM supported")
+    n_pixels = width * height
+    plane = content[pos : pos + 3 * n_pixels]
+    if len(plane) != 3 * n_pixels:
+        raise ValueError("truncated PPM pixel plane")
+    px = np.frombuffer(plane, dtype=np.uint8).astype(np.float64).reshape(-1, 3)
+    mean_r, mean_g, mean_b = (float(m) for m in px.mean(axis=0)) if n_pixels else (
+        0.0, 0.0, 0.0)
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": n_pixels,
+        "mean_r": mean_r,
+        "mean_g": mean_g,
+        "mean_b": mean_b,
+        "luma": 0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b,
+    }
+
+
 def decode_media(content: bytes, media_type: str):
-    """Codec dispatch. ``audio/wav`` decodes for real (stdlib + numpy);
-    other media types need codec libraries (PIL/ffmpeg) not present in
-    this image and keep the NotImplementedError seam."""
+    """Codec dispatch. ``audio/wav`` (stdlib RIFF/PCM) and ``image/ppm``
+    (Netpbm P6) decode for real; other media types need codec libraries
+    (PIL/ffmpeg) not present in this image and keep the
+    NotImplementedError seam."""
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(content)
+    if media_type in ("image/ppm", "image/x-portable-pixmap"):
+        return decode_ppm(content)
     raise NotImplementedError(
         f"decoding {media_type} requires codec libraries (PIL/ffmpeg) not "
         "present in this environment; extract_features uses a "
@@ -117,6 +168,70 @@ def wav_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(featurize, schema=WAV_FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "mean_r double, mean_g double, mean_b double, luma double"
+)
+
+
+def image_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL feature extraction for ``image/ppm`` payloads —
+    same mapInPandas shape as ``wav_features``, codec step is the
+    genuine Netpbm P6 parse. Non-image rows pass through with null
+    features (schema-stable)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ppm_types = {"image/ppm", "image/x-portable-pixmap"}
+        keys = ("width", "height", "n_pixels", "mean_r", "mean_g", "mean_b", "luma")
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": pdf[id_col]}
+            out.update({k: [] for k in keys})
+            for content, mt in zip(pdf["content"], pdf["media_type"]):
+                d = (
+                    decode_media(bytes(content), mt)
+                    if mt in ppm_types
+                    else dict.fromkeys(keys)
+                )
+                for k in keys:
+                    out[k].append(d[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(featurize, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def synth_ppm_table(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic P6 payloads keyed off the doc id — the
+    image-side analog of ``to_binary_table``: real PPM bytes (header +
+    interleaved RGB plane) whose pixel values follow a pinned integer
+    recurrence, so an oracle can compute the decoded features
+    arithmetically and the encode->decode round trip through the REAL
+    parser is fully checkable. Byte k of doc d's plane is
+    (d*7 + k*11) % 256; width = 1 + d%4, height = 1 + d%3."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 1 + d % 4, 1 + d % 3
+                k = np.arange(3 * w * h, dtype=np.int64)
+                plane = ((d * 7 + k * 11) % 256).astype(np.uint8).tobytes()
+                payloads.append(b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + plane)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": payloads,
+                    "media_type": ["image/ppm"] * len(payloads),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(
+        synth, schema="doc_id bigint, content binary, media_type string"
+    )
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:

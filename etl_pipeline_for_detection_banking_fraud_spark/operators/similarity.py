@@ -221,6 +221,54 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int =
     )
 
 
+def _broadcast_centers(emb: DataFrame, center_fraction: float,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic hash-sampled center set as ONE broadcast row.
+
+    Centers are a seed-pinned hash sample of the corpus itself
+    (reproducible on any engine, so index builds stay oracle-checkable).
+    Collapsing the set to a single collect_list row makes downstream
+    cell assignment zero-shuffle per-row array algebra."""
+    from .sampling import hash_sample
+
+    centers = hash_sample(emb, center_fraction, key_col=id_col, seed="ivf").select(
+        F.col(id_col).alias("center_id"), F.col(vec_col).alias("cvec")
+    )
+    centers = centers.withColumn("c_nrm", l2_norm(F.col("cvec")))
+    return F.broadcast(
+        centers.agg(
+            F.collect_list(
+                F.struct(F.col("center_id"), F.col("cvec"), F.col("c_nrm"))
+            ).alias("cts")
+        )
+    )
+
+
+def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int,
+                   centers_arr: DataFrame) -> DataFrame:
+    """Attach each row's ``n`` nearest center ids (one output row per
+    probe). Cell assignment is per-row array algebra over the broadcast
+    center row — score every center inside the row, sort, slice — ZERO
+    shuffle, vs a window argmin that would shuffle the full corpus by
+    its unique id just to rank a handful of scores per row."""
+    # sort key (-cos, center_id): ascending struct sort == cosine
+    # DESC with center_id tie-break, exactly the oracle's ORDER BY
+    scored_arr = F.transform(
+        F.col("cts"),
+        lambda c: F.struct(
+            (-(dot_decimal(F.col(vec), c["cvec"]) / (F.col(nrm) * c["c_nrm"])))
+            .alias("neg_cos"),
+            c["center_id"].alias("center_id"),
+        ),
+    )
+    top = F.slice(F.sort_array(scored_arr), 1, n)
+    return (
+        side.crossJoin(centers_arr)
+        .withColumn("center_id", F.explode(F.transform(top, lambda s: s["center_id"])))
+        .drop("cts")
+    )
+
+
 def ann_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  center_fraction: float = 0.02, n_probe: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -246,46 +294,11 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     data); the catalog/oracle entry pins the cheaper n_probe=2, floor
     >= 0.5 (measured 0.62).
     """
-    from .sampling import hash_sample
-
-    centers = hash_sample(emb, center_fraction, key_col=id_col, seed="ivf").select(
-        F.col(id_col).alias("center_id"), F.col(vec_col).alias("cvec")
-    )
-    centers = centers.withColumn("c_nrm", l2_norm(F.col("cvec")))
-    # the whole center set as ONE broadcast row: cell assignment becomes
-    # per-row array algebra (score every center inside the row, sort,
-    # slice) — ZERO shuffle, vs a window argmin that would shuffle the
-    # full corpus by its unique id just to rank 3 scores per row
-    centers_arr = F.broadcast(
-        centers.agg(
-            F.collect_list(
-                F.struct(F.col("center_id"), F.col("cvec"), F.col("c_nrm"))
-            ).alias("cts")
-        )
-    )
-
-    def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:
-        # sort key (-cos, center_id): ascending struct sort == cosine
-        # DESC with center_id tie-break, exactly the oracle's ORDER BY
-        scored_arr = F.transform(
-            F.col("cts"),
-            lambda c: F.struct(
-                (-(dot_decimal(F.col(vec), c["cvec"]) / (F.col(nrm) * c["c_nrm"])))
-                .alias("neg_cos"),
-                c["center_id"].alias("center_id"),
-            ),
-        )
-        top = F.slice(F.sort_array(scored_arr), 1, n)
-        return (
-            side.crossJoin(centers_arr)
-            .withColumn("center_id", F.explode(F.transform(top, lambda s: s["center_id"])))
-            .drop("cts")
-        )
-
+    centers_arr = _broadcast_centers(emb, center_fraction, id_col, vec_col)
     corpus = emb.withColumn("nrm", l2_norm(F.col(vec_col)))
-    assigned = _nearest_cells(corpus, vec_col, "nrm", 1)
+    assigned = _nearest_cells(corpus, vec_col, "nrm", 1, centers_arr)
     q = queries.withColumn("qnrm", l2_norm(F.col("qvec")))
-    probes = _nearest_cells(q, "qvec", "qnrm", n_probe)
+    probes = _nearest_cells(q, "qvec", "qnrm", n_probe, centers_arr)
 
     cand = assigned.join(F.broadcast(probes), "center_id").where(
         F.col(id_col) != F.col("query_id")
@@ -299,6 +312,57 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
+                   center_fraction: float = 0.02,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster embeddings, then inside each cluster
+    drop every vector whose cosine to a LOWER-ID cluster member exceeds
+    ``threshold`` (keep-first semantics — deterministic, no dependence
+    on iteration order).
+
+    Shapes for 100 TB: clustering reuses the IVF machinery — a
+    seed-pinned hash-sampled center set rides as one broadcast row, so
+    assignment is zero-shuffle per-row array algebra; the quadratic
+    within-cluster comparison is the documented semantic-dedup trade
+    (cluster count ~ center_fraction * n keeps expected cluster size
+    ~1/center_fraction, constant in corpus size), and the self-join
+    shuffles only on center_id. Assignment is computed once behind a
+    persist barrier (three consumers). Returns every corpus vector:
+    (vec_id, center_id, max_prev_cos nullable, is_dup).
+    """
+    centers_arr = _broadcast_centers(emb, center_fraction, id_col, vec_col)
+    corpus = emb.withColumn("nrm", l2_norm(F.col(vec_col)))
+    assigned = _nearest_cells(corpus, vec_col, "nrm", 1, centers_arr).persist()
+    a = assigned.select(
+        "center_id", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"), F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        "center_id", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"), F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot_decimal(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    prev = (
+        a.join(b, "center_id")
+        .where(F.col("id_b") < F.col("id_a"))
+        .select(F.col("id_a").alias(id_col), cos.alias("_cos"))
+    )
+    agg = prev.groupBy(id_col).agg(F.max("_cos").alias("max_prev_cos"))
+    return (
+        assigned.select(F.col(id_col), F.col("center_id"))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("center_id"),
+            F.col("max_prev_cos"),
+            F.coalesce(F.col("max_prev_cos") >= threshold, F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
     )
 
 

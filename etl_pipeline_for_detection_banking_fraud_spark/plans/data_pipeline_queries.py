@@ -894,3 +894,129 @@ def pack_sequences(spark, sf_dir):
         F.size(text.tokens("text")).cast("long").alias("n_tokens"),
     )
     return packing.pack_offsets(doc, cap=512)
+
+
+@_q(
+    "text_decontaminate",
+    "benchmark decontamination: distinct word-trigram overlap between "
+    "each corpus doc and a broadcast eval set (doc_id % 97 == 0); "
+    "contaminated when >= 2 shared trigrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(tok) >= 3 THEN
+                   list_transform(generate_series(0, len(tok) - 3),
+                       i -> concat_ws(' ', tok[i+1], tok[i+2], tok[i+3]))
+               ELSE [] END)) AS shingle
+        FROM toks
+    ),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (
+        SELECT c.doc_id,
+               count(DISTINCT c.shingle) AS n_shared_ngrams,
+               count(DISTINCT e.eval_id) AS n_eval_docs
+        FROM corp c JOIN ev e USING (shingle)
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
+           CAST(coalesce(h.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+           coalesce(h.n_shared_ngrams, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    from ..operators import decontam
+
+    doc = _t(spark, sf_dir, "documents")
+    eval_set = doc.where(F.col("doc_id") % 97 == 0)
+    corpus = doc.where(F.col("doc_id") % 97 != 0)
+    return decontam.eval_ngram_overlap(corpus, eval_set, n=3, min_overlap=2)
+
+
+@_q(
+    "dedup_semantic",
+    "SemDeDup-style semantic dedup: IVF cell assignment (broadcast "
+    "hash-sampled centers), then keep-lowest-id within each cluster at "
+    "cosine >= 0.4",
+    f"""
+    WITH centers AS (
+        SELECT vec_id AS center_id, embedding AS cvec,
+               {_NORM_SQL.format(v='embedding')} AS c_nrm
+        FROM embeddings
+        WHERE {_H60.format(seed='ivf', key='vec_id')} < {{bound}}
+    ),
+    corpus AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(v='embedding')} AS nrm
+        FROM embeddings
+    ),
+    ca AS (
+        SELECT c.vec_id, c.embedding, c.nrm, ct.center_id,
+               {_dot_sql('c.embedding', 'ct.cvec')} / (c.nrm * ct.c_nrm) AS c_cos
+        FROM corpus c CROSS JOIN centers ct
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, center_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY c_cos DESC, center_id) AS crn
+            FROM ca) WHERE crn = 1
+    ),
+    prev AS (
+        SELECT a.vec_id,
+               max({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm))
+                   AS max_prev_cos
+        FROM assigned a JOIN assigned b
+             ON a.center_id = b.center_id AND b.vec_id < a.vec_id
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, a.center_id,
+           coalesce(p.max_prev_cos, -2.0) AS max_prev_cos,
+           coalesce(p.max_prev_cos >= 0.4, FALSE) AS is_dup
+    FROM assigned a LEFT JOIN prev p ON a.vec_id = p.vec_id
+    """.replace("{bound}", str(sampling.sample_bound(0.02))),
+)
+def dedup_semantic(spark, sf_dir):
+    out = similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, center_fraction=0.02
+    )
+    # cluster-first docs have no prior neighbor: null cosine -> -2.0
+    # sentinel (outside [-1,1]) so the frame carries no null doubles
+    return out.withColumn(
+        "max_prev_cos", F.coalesce(F.col("max_prev_cos"), F.lit(-2.0))
+    )
+
+
+@_q(
+    "multimodal_image",
+    "multimodal: REAL Netpbm P6 codec — deterministic synthetic PPM "
+    "payloads decoded by the stdlib parser; the oracle recomputes the "
+    "decoded features from the pinned pixel recurrence "
+    "(byte k of doc d = (d*7 + k*11) % 256)",
+    """
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 4 AS w, 1 + doc_id % 3 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS j
+        FROM dims
+    ),
+    chan AS (
+        SELECT doc_id,
+               avg(CAST((doc_id * 7 + (3 * j + 0) * 11) % 256 AS DOUBLE)) AS mean_r,
+               avg(CAST((doc_id * 7 + (3 * j + 1) * 11) % 256 AS DOUBLE)) AS mean_g,
+               avg(CAST((doc_id * 7 + (3 * j + 2) * 11) % 256 AS DOUBLE)) AS mean_b
+        FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(d.w * d.h AS BIGINT) AS n_pixels,
+           c.mean_r, c.mean_g, c.mean_b,
+           0.299 * c.mean_r + 0.587 * c.mean_g + 0.114 * c.mean_b AS luma
+    FROM dims d JOIN chan c USING (doc_id)
+    """,
+)
+def multimodal_image(spark, sf_dir):
+    media = multimodal.synth_ppm_table(_t(spark, sf_dir, "documents"))
+    return multimodal.image_features(media)

@@ -595,3 +595,79 @@ def full_outer_join(spark, sf_dir):
     return c.join(s, c.k == s.ck, "full_outer").select(
         F.coalesce(F.col("k"), F.col("ck")).alias("k"), "n_cust", "n_supp"
     )
+
+
+@_q(
+    "dq_checks",
+    "data-quality expectations: a Deequ-style check suite (row count, "
+    "null rate, key uniqueness, value range, referential integrity) — "
+    "every per-table metric rides ONE global aggregate",
+    """
+    SELECT 'orders_nonempty' AS check,
+           CAST((SELECT count(*) FROM orders) AS DOUBLE) AS value,
+           (SELECT count(*) FROM orders) >= 1 AS passed
+    UNION ALL
+    SELECT 'o_custkey_nulls',
+           CAST((SELECT count(*) FILTER (WHERE o_custkey IS NULL) FROM orders)
+                AS DOUBLE),
+           (SELECT count(*) FILTER (WHERE o_custkey IS NULL) FROM orders) = 0
+    UNION ALL
+    SELECT 'o_orderkey_dup',
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                AS DOUBLE),
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0
+    UNION ALL
+    SELECT 'o_totalprice_nonpositive',
+           CAST((SELECT count(*) FILTER (WHERE o_totalprice <= 0) FROM orders)
+                AS DOUBLE),
+           (SELECT count(*) FILTER (WHERE o_totalprice <= 0) FROM orders) = 0
+    UNION ALL
+    SELECT 'orders_customer_orphans',
+           CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+                AS DOUBLE),
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+    """,
+)
+def dq_checks(spark, sf_dir):
+    from ..operators import dq
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    per_table = dq.run_expectations(
+        orders,
+        [
+            dq.Check("orders_nonempty", F.count("*"), ">=", 1.0),
+            dq.Check(
+                "o_custkey_nulls",
+                F.sum(F.col("o_custkey").isNull().cast("long")),
+                "==", 0.0,
+            ),
+            dq.Check(
+                "o_orderkey_dup",
+                F.count("*") - F.countDistinct("o_orderkey"),
+                "==", 0.0,
+            ),
+            dq.Check(
+                "o_totalprice_nonpositive",
+                F.sum((F.col("o_totalprice") <= 0).cast("long")),
+                "==", 0.0,
+            ),
+        ],
+    )
+    orphans = dq.run_expectations(
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ),
+        [
+            dq.Check(
+                "orders_customer_orphans",
+                F.sum(F.col("c_custkey").isNull().cast("long")),
+                "==", 0.0,
+            )
+        ],
+    )
+    return dq.union_all(per_table, orphans)

@@ -459,3 +459,189 @@ def test_pack_offsets_analytic(spark):
     assert (out[3].start_offset, out[3].bin_id) == (110, 1)
     # de shard independent; 250-token doc spills 150 past its first bin
     assert (out[4].start_offset, out[4].bin_id, out[4].bin_spill) == (0, 0, 150)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_verbatim_and_partial_overlap(spark):
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import decontam
+
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),   # verbatim copy
+            (1, "he said the quick brown fox ran away"),          # 2 shared trigrams
+            (2, "quick brown dogs sleep all day"),                # 0 shared trigrams
+            (3, "to be or not to be"),                            # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in decontam.eval_ngram_overlap(
+            corpus, eval_set, n=3, min_overlap=2
+        ).collect()
+    }
+    assert len(out) == 4  # every corpus doc reported, hit or not
+    # verbatim copy: all 7 trigrams of the 9-token eval doc shared
+    assert (out[0].n_shared_ngrams, out[0].n_eval_docs, out[0].contaminated) == (
+        7, 1, True)
+    # 'the quick brown' + 'quick brown fox' shared -> at threshold
+    assert (out[1].n_shared_ngrams, out[1].contaminated) == (2, True)
+    assert (out[2].n_shared_ngrams, out[2].contaminated) == (0, False)
+    assert (out[3].n_shared_ngrams, out[3].n_eval_docs, out[3].contaminated) == (
+        0, 0, False)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_keeps_first_drops_later_near_dups(spark, sf001):
+    """Against the sf0.001 embeddings: every flagged dup must actually
+    have a lower-id co-clustered vector over the threshold (verified by
+    brute force), and no kept vector may have one."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    out = similarity.semantic_dedup(emb, threshold=0.4, center_fraction=0.05)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    cluster = {r.vec_id: r.center_id for r in rows}
+
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b] /
+                     (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+
+    for r in rows:
+        prior = [
+            cos(r.vec_id, other)
+            for other, c in cluster.items()
+            if c == r.center_id and other < r.vec_id
+        ]
+        expected_dup = bool(prior) and max(prior) >= 0.4
+        assert r.is_dup == expected_dup, r
+        if prior:
+            assert r.max_prev_cos == pytest.approx(max(prior), abs=1e-9)
+        else:
+            assert r.max_prev_cos is None
+
+
+# ---------------------------------------------------------------------------
+# Real PPM codec behind the multimodal seam
+# ---------------------------------------------------------------------------
+
+def test_decode_ppm_golden():
+    """Hand-built 2x2 P6 with a comment line in the header."""
+    plane = bytes([
+        255, 0, 0,    0, 255, 0,
+        0, 0, 255,    255, 255, 255,
+    ])
+    payload = b"P6\n# test image\n2 2\n255\n" + plane
+    d = multimodal.decode_media(payload, "image/ppm")
+    assert (d["width"], d["height"], d["n_pixels"]) == (2, 2, 4)
+    assert d["mean_r"] == pytest.approx((255 + 0 + 0 + 255) / 4)
+    assert d["mean_g"] == pytest.approx((0 + 255 + 0 + 255) / 4)
+    assert d["mean_b"] == pytest.approx((0 + 0 + 255 + 255) / 4)
+    assert d["luma"] == pytest.approx(
+        0.299 * d["mean_r"] + 0.587 * d["mean_g"] + 0.114 * d["mean_b"])
+
+
+def test_decode_ppm_rejects_bad_payloads():
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n1 1\n255\n\x00")  # not P6
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated plane
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_ppm_features_end_to_end(spark):
+    """synth -> REAL decode round trip matches the pinned recurrence."""
+    docs = spark.createDataFrame([(7,), (12,)], ["doc_id"])
+    media = multimodal.synth_ppm_table(docs)
+    out = {r.doc_id: r for r in multimodal.image_features(media).collect()}
+    # doc 7: w=1+7%4=4, h=1+7%3=2
+    assert (out[7].width, out[7].height, out[7].n_pixels) == (4, 2, 8)
+    exp_r = sum((7 * 7 + (3 * j) * 11) % 256 for j in range(8)) / 8
+    assert out[7].mean_r == pytest.approx(exp_r, abs=1e-12)
+    # doc 12: w=1, h=1 -> single pixel, means are the exact byte values
+    assert (out[12].width, out[12].height) == (1, 1)
+    assert out[12].mean_r == (12 * 7 + 0) % 256
+    assert out[12].mean_g == (12 * 7 + 11) % 256
+    assert out[12].mean_b == (12 * 7 + 22) % 256
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations
+# ---------------------------------------------------------------------------
+
+def test_dq_expectations_detect_planted_violations(spark):
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dq
+
+    rows = [
+        (1, 10, 5.0),
+        (1, 20, -1.0),   # duplicate key AND non-positive amount
+        (2, None, 3.0),  # null fk
+    ]
+    df = spark.createDataFrame(rows, ["pk", "fk", "amount"])
+    out = {
+        r.check: r
+        for r in dq.run_expectations(
+            df,
+            [
+                dq.Check("nonempty", F.count("*"), ">=", 1.0),
+                dq.Check("pk_dup", F.count("*") - F.countDistinct("pk"), "==", 0.0),
+                dq.Check("fk_nulls", F.sum(F.col("fk").isNull().cast("long")),
+                         "==", 0.0),
+                dq.Check("amount_nonpositive",
+                         F.sum((F.col("amount") <= 0).cast("long")), "==", 0.0),
+            ],
+        ).collect()
+    }
+    assert (out["nonempty"].value, out["nonempty"].passed) == (3.0, True)
+    assert (out["pk_dup"].value, out["pk_dup"].passed) == (1.0, False)
+    assert (out["fk_nulls"].value, out["fk_nulls"].passed) == (1.0, False)
+    assert (out["amount_nonpositive"].value,
+            out["amount_nonpositive"].passed) == (1.0, False)
+
+
+def test_dq_single_aggregate_plan(spark):
+    """All checks of one table ride ONE aggregate — the physical plan
+    must contain exactly one pair of HashAggregates (partial+final) and
+    one exchange, independent of check count."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dq
+
+    df = spark.range(100).select(F.col("id").alias("pk"))
+    checks = [
+        dq.Check(f"c{i}", F.sum((F.col("pk") % (i + 2) == 0).cast("long")),
+                 ">=", 0.0)
+        for i in range(8)
+    ]
+    plan = dq.run_expectations(df, checks)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "inline" in plan.lower() or "Generate" in plan
+
+
+def test_dq_rejects_duplicate_names_and_bad_ops(spark):
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import dq
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        dq.run_expectations(
+            df,
+            [dq.Check("a", F.count("*"), ">=", 0.0),
+             dq.Check("a", F.count("*"), ">=", 0.0)],
+        )
+    with pytest.raises(ValueError):
+        dq.run_expectations(
+            df, [dq.Check("a", F.count("*"), "!=", 0.0)]
+        ).collect()

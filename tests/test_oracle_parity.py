@@ -29,7 +29,10 @@ def duck(sf01):
 
 def _norm(v):
     if isinstance(v, float):
-        return ("f", round(v, 9)) if not math.isnan(v) else ("f", "nan")
+        # NaN gets its own type tag so rows stay sortable when a float
+        # column mixes NaN with real values (tuple compare never reaches
+        # the str-vs-float second element)
+        return ("f", round(v, 9)) if not math.isnan(v) else ("fnan", "nan")
     if hasattr(v, "to_pydatetime"):
         v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
