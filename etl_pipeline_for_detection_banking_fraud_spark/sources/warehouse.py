@@ -62,6 +62,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class CommitConflict(RuntimeError):
+    """A ``replace`` transaction lost the optimistic-concurrency race:
+    another transaction touching the same table committed after this
+    one's base snapshot. The staged files were never published (orphans
+    for ``vacuum_orphans``); re-read and retry — the same first-writer-
+    wins contract as a Delta/Iceberg ConcurrentModificationException."""
+
+
 class Transaction:
     """Pending multi-table append set; see module docstring. Created via
     ``Warehouse.begin()`` / ``Warehouse.transaction()``."""
@@ -71,6 +79,14 @@ class Transaction:
         self.txnid = uuid.uuid4().hex[:12]
         self.pending: dict[str, list[str]] = {}  # table -> relpaths
         self.replace = False  # True: commit entry REPLACES the file set
+        # for replace entries: the highest log seq included in the file
+        # set this replace was computed FROM. Commit detects any
+        # intervening entry touching the same tables and raises
+        # CommitConflict instead of silently dropping its files (the
+        # lost-update hazard of compaction racing an append). Plain
+        # appends never conflict — they commute, and the claim loop just
+        # takes the next free sequence number.
+        self.base_seq: int | None = None
         self._n = 0
         self._stage_root = os.path.join(wh.root, "_stage", self.txnid)
         self._done = False
@@ -132,13 +148,18 @@ class Transaction:
                 f.flush()
                 os.fsync(f.fileno())
             seq = _next_seq(log_dir)
+            self._check_conflicts(log_dir, seq, tmp)
             while True:
                 final = os.path.join(log_dir, f"{seq:09d}.json")
                 try:
                     os.link(tmp, final)  # atomic claim; fails if seq taken
                     break
                 except FileExistsError:
+                    # someone else claimed this seq between our listing
+                    # and the link; a replace must re-run conflict
+                    # detection against the entry that beat it
                     seq += 1
+                    self._check_conflicts(log_dir, seq, tmp)
             os.unlink(tmp)
         finally:
             # clear the active pointer whatever happened: a failed
@@ -146,6 +167,29 @@ class Transaction:
             # or may not have linked, so deleting could lose committed
             # data; unlinked files are orphans for vacuum_orphans()
             self._finish()
+
+    def _check_conflicts(self, log_dir: str, next_seq: int, tmp: str) -> None:
+        """First-writer-wins for replace entries: any committed entry in
+        (base_seq, next_seq) touching one of this transaction's tables
+        means the replace was computed from a stale file set. Appends
+        (base_seq is None) always pass — they commute."""
+        if not self.replace or self.base_seq is None:
+            return
+        for seq in range(self.base_seq + 1, next_seq):
+            p = os.path.join(log_dir, f"{seq:09d}.json")
+            try:
+                with open(p) as f:
+                    other = json.load(f)
+            except FileNotFoundError:
+                continue
+            clash = set(other.get("tables", {})) & set(self.pending)
+            if clash:
+                os.unlink(tmp)
+                raise CommitConflict(
+                    f"concurrent commit {seq:09d} touched {sorted(clash)} "
+                    f"after this replace's base snapshot {self.base_seq}; "
+                    "re-read and retry"
+                )
 
     def abort(self) -> None:
         """Discard: delete this transaction's staged files (they were
@@ -380,13 +424,23 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(table))
 
-    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+    def read(self, table: str, schema: T.StructType | None = None,
+             merge_schema: bool = False) -> DataFrame:
         """Read a table; an absent table reads as an empty typed DataFrame.
 
         With ``schema`` given, the result is projected to exactly the
         schema's columns (in order): hive partition columns like ``dt``
         that the writer added for pruning are physical layout, not part
-        of the logical table."""
+        of the logical table.
+
+        ``merge_schema=True`` is the schema-EVOLUTION read: parquet
+        footers across the whole file set are unioned (Spark
+        ``mergeSchema``), so a column added by a later append is visible
+        over the full history, with nulls for pre-evolution files —
+        additive evolution only, same contract as Delta's
+        mergeSchema writes. Off by default: footer merging reads every
+        footer, which costs listing time at 100 TB, and stable-schema
+        tables don't need it."""
         if not self.exists(table):
             if schema is None:
                 raise FileNotFoundError(f"table {table} absent and no schema given")
@@ -395,16 +449,19 @@ class Warehouse:
         versions = _versions(p)
         mf = self._manifest_files(table)
         pend = self._pending_files(table)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if versions:
-            df = self.spark.read.parquet(os.path.join(p, f"v={versions[-1]}"))
+            df = reader.parquet(os.path.join(p, f"v={versions[-1]}"))
         elif mf is not None or pend:
             # tracked table: read exactly the committed (+ own-txn
             # pending) files by name; basePath keeps hive partition
             # columns (dt=...) parsing and pruning
             files = [os.path.join(p, rel) for rel in (mf or []) + pend]
-            df = self.spark.read.option("basePath", p).parquet(*files)
+            df = reader.option("basePath", p).parquet(*files)
         else:
-            df = self.spark.read.parquet(p)
+            df = reader.parquet(p)
         if schema is not None:
             df = df.select(*[f.name for f in schema.fields])
         return df
@@ -448,24 +505,41 @@ class Warehouse:
             # snapshot that also stops the log needing unbounded replay.
             # Readers switch atomically at the entry link; the old files
             # are deleted after (in-flight readers holding the old list
-            # finish off the already-open file handles).
-            old = list(mf)
-            df = self.read(table)
-            part_cols = [c for c in df.columns if c == "dt"]
-            txn = Transaction(self)
-            txn.replace = True
-            if part_cols:
-                txn.append(
-                    df.repartition(target_files_per_partition, *part_cols),
-                    table, partition_by=part_cols,
-                )
-            else:
-                txn.append(df.coalesce(target_files_per_partition), table)
-            txn.commit()
-            table_dir = self._path(table)
-            for rel in old:
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(table_dir, rel))
+            # finish off the already-open file handles). The replace
+            # carries its base snapshot seq: a concurrent append to the
+            # same table between read and publish raises CommitConflict
+            # (first writer wins) and compaction re-reads and retries —
+            # without this the replace would silently drop the racing
+            # append's files (lost update).
+            for attempt in range(3):
+                self._entry_cache.clear()
+                entries = self._log_entries()
+                base_seq = max((s for s, _ in entries), default=0)
+                old = list(self._manifest_files(table) or [])
+                df = self.read(table)
+                part_cols = [c for c in df.columns if c == "dt"]
+                txn = Transaction(self)
+                txn.replace = True
+                txn.base_seq = base_seq
+                if part_cols:
+                    txn.append(
+                        df.repartition(target_files_per_partition, *part_cols),
+                        table, partition_by=part_cols,
+                    )
+                else:
+                    txn.append(df.coalesce(target_files_per_partition), table)
+                try:
+                    txn.commit()
+                except CommitConflict:
+                    if attempt == 2:
+                        raise
+                    self.vacuum_orphans(table)  # drop the stale staged files
+                    continue
+                table_dir = self._path(table)
+                for rel in old:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(table_dir, rel))
+                return
             return
         df = self.spark.read.parquet(self._path(table))
         part_cols = [c for c in df.columns if c == "dt"]

@@ -346,3 +346,122 @@ def test_incremental_atomic_matches_incremental_legacy(spark, tmp_path):
     assert lm.exceptAll(am).count() == 0 and am.exceptAll(lm).count() == 0
     # one commit per day (plus none extra): the day really is one txn
     assert [s["op"] for s in atomic.wh.snapshots()] == ["add"] * 3
+
+
+def test_replace_conflicting_with_append_raises(spark, tmp_path):
+    """Lost-update guard: a replace computed from a stale snapshot must
+    NOT publish over a concurrent append to the same table."""
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+        CommitConflict,
+    )
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    with wh.transaction():
+        wh.append_transactions(_tx_rows(spark, 4))
+
+    # open a replace against the current snapshot (seq 1)...
+    writer = Warehouse(spark, root)
+    txn = Transaction(writer)
+    txn.replace = True
+    txn.base_seq = 1
+    txn.append(writer.read_transactions().withColumn(
+        "dt", __import__("pyspark").sql.functions.to_date("transaction_date")
+    ), "dwh_fact_transactions", partition_by=["dt"])
+
+    # ...then a concurrent append lands first (seq 2)
+    racer = Warehouse(spark, root)
+    with racer.transaction():
+        racer.append_transactions(_tx_rows(spark, 3, prefix="r"))
+
+    with pytest.raises(CommitConflict):
+        txn.commit()
+    # the loser published nothing: all 7 rows visible, orphans vacuumable
+    reader = Warehouse(spark, root)
+    assert reader.read_transactions().count() == 7
+    assert reader.vacuum_orphans("dwh_fact_transactions") > 0
+    assert reader.read_transactions().count() == 7
+
+
+def test_replace_to_other_table_does_not_conflict(spark, tmp_path):
+    """Appends to OTHER tables between snapshot and publish commute
+    with the replace — no spurious conflict."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    with wh.transaction():
+        wh.append_transactions(_tx_rows(spark, 4))
+
+    writer = Warehouse(spark, root)
+    txn = Transaction(writer)
+    txn.replace = True
+    txn.base_seq = 1
+    txn.append(writer.read_transactions().withColumn(
+        "dt", __import__("pyspark").sql.functions.to_date("transaction_date")
+    ), "dwh_fact_transactions", partition_by=["dt"])
+
+    racer = Warehouse(spark, root)
+    with racer.transaction():
+        racer.append(
+            spark.createDataFrame(
+                [("s", datetime.date(2021, 3, 1), 1, "SUCCESS")],
+                schema=schemas.META_LOADING,
+            ).coalesce(1),
+            "meta_loading",
+        )
+    txn.commit()  # no conflict
+    reader = Warehouse(spark, root)
+    assert reader.read_transactions().count() == 4
+
+
+def test_compact_retries_through_conflict(spark, tmp_path, monkeypatch):
+    """compact() must survive an append racing its read->publish window
+    and keep the racing rows (first writer wins, compaction retries)."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    for i in range(3):
+        with wh.transaction():
+            wh.append_transactions(_tx_rows(spark, 2, prefix=f"b{i}"))
+
+    compactor = Warehouse(spark, root)
+    racer = Warehouse(spark, root)
+    raced = {"done": False}
+    orig_commit = Transaction.commit
+
+    def racing_commit(self):
+        # inject a concurrent append just before the FIRST replace publish
+        if self.replace and not raced["done"]:
+            raced["done"] = True
+            with racer.transaction():
+                racer.append_transactions(_tx_rows(spark, 5, prefix="race"))
+        return orig_commit(self)
+
+    monkeypatch.setattr(Transaction, "commit", racing_commit)
+    compactor.compact("dwh_fact_transactions")
+    reader = Warehouse(spark, root)
+    assert reader.read_transactions().count() == 11  # 6 compacted + 5 raced
+    ids = {r.transaction_id for r in reader.read_transactions().collect()}
+    assert {"race0", "b00", "b10", "b20"} <= ids
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive column evolution on a tracked table: merge_schema reads
+    union the footers; pre-evolution files surface nulls."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    with wh.transaction():
+        wh.append(spark.createDataFrame([(1, "a")], "id long, v string"), "t")
+    with wh.transaction():
+        wh.append(
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id long, v string, score double"
+            ),
+            "t",
+        )
+    merged = wh.read("t", merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # time travel before the evolution: the old schema, no phantom column
+    assert set(wh.read_at("t", 1).columns) == {"id", "v"}
