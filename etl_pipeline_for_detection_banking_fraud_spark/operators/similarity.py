@@ -366,6 +366,60 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
     )
 
 
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector int8 scalar quantization (the storage/ANN-memory
+    compression step of a vector pipeline: 4x smaller than float32,
+    the FAISS SQ8 scheme): map each component to
+    ``floor((x - vmin) / scale + 0.5) - 128`` with per-vector min/max
+    range, and report the reconstruction quality.
+
+    Per-row Column algebra only — zero shuffle at any corpus size.
+    Determinism: rounding is pinned as floor(x + 0.5) (engines disagree
+    on round()'s half-even vs half-up); error accumulation is the same
+    order-pinned left fold as the cosine kernels. Constant vectors
+    (scale 0) encode as all-zero codes with zero error. Returns
+    (id, dim, vmin, vmax, n_codes, mean_abs_err)."""
+    vec = F.col(vec_col)
+    vmin = F.array_min(vec).cast("double")
+    vmax = F.array_max(vec).cast("double")
+    base = emb.select(
+        F.col(id_col), vec.alias("_v"), vmin.alias("_lo"), vmax.alias("_hi")
+    )
+    scale = (F.col("_hi") - F.col("_lo")) / F.lit(255.0)
+    code = lambda x: F.least(  # noqa: E731
+        F.lit(127),
+        F.greatest(
+            F.lit(-128),
+            F.floor((x.cast("double") - F.col("_lo")) / scale + F.lit(0.5))
+            .cast("int") - F.lit(128),
+        ),
+    )
+    codes = F.when(
+        F.col("_hi") > F.col("_lo"), F.transform(F.col("_v"), code)
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    with_codes = base.withColumn("_codes", codes)
+    dequant = F.zip_with(
+        F.col("_v"),
+        F.col("_codes"),
+        lambda x, c: F.abs(
+            x.cast("double")
+            - ((c + F.lit(128)).cast("double")
+               * F.when(F.col("_hi") > F.col("_lo"), scale).otherwise(F.lit(0.0))
+               + F.col("_lo"))
+        ),
+    )
+    err = F.aggregate(dequant, F.lit(0.0), lambda acc, e: acc + e) / F.size("_v")
+    return with_codes.select(
+        F.col(id_col),
+        F.size("_v").cast("long").alias("dim"),
+        F.col("_lo").alias("vmin"),
+        F.col("_hi").alias("vmax"),
+        F.size("_codes").cast("long").alias("n_codes"),
+        err.alias("mean_abs_err"),
+    )
+
+
 def centroid_norms(embeddings: DataFrame, vec_col: str = "embedding",
                    group_col: str = "label") -> DataFrame:
     """Per-group embedding centroid, reduced to scalars (count, dim,

@@ -189,6 +189,88 @@ def repetition_ratio(df: DataFrame, text_col: str = "text",
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java and
+# RE2-class engines match identically (no lookaround, explicit classes;
+# both engines use leftmost-first alternation): contraction suffixes,
+# space-prefixed letter runs, digit runs, symbol runs.
+BPE_PATTERN = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Subword-style token accounting: count tokens under the BPE-ish
+    regex pre-tokenizer next to the whitespace tokenizer — the
+    tokens-per-word ratio is the standard proxy for how expensive a
+    document is to a subword vocabulary (high ratio = rare words,
+    noise, non-Latin text). JVM-side regexp_extract_all, no UDFs."""
+    # idx=0: the whole match (the pattern has no capture groups; Spark's
+    # default idx is group 1)
+    toks_re = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks_re).alias("n_bpe_tokens"),
+        F.size(tokens(text_col)).alias("n_ws_tokens"),
+    )
+    return base.select(
+        F.col(id_col),
+        "n_bpe_tokens",
+        "n_ws_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.greatest(F.col("n_ws_tokens"), F.lit(1))
+        ).alias("bpe_per_word"),
+    )
+
+
+def _char_hash32(t: Column) -> Column:
+    """First 15 hex chars of md5 -> 60-bit int -> low 32 bits (the same
+    engine-portable construction as the minhash token hash)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint").bitwiseAND(
+        F.lit(0xFFFFFFFF)
+    )
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    the whitespace-normalized text, slide a w-window over the hash
+    sequence, keep each window's minimum; the distinct minima are the
+    fingerprint set. Guarantees any shared run of >= k+w-1 characters
+    between two documents shares at least one fingerprint — the
+    plagiarism/near-dup detection primitive with a tunable
+    density/guarantee trade (vs minhash's probabilistic similarity).
+
+    All higher-order Column algebra inside the row (no shuffle until
+    the caller groups/joins on fp); output one row per (doc,
+    fingerprint). Documents shorter than k+w-1 chars emit no rows."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), norm.alias("_norm"))
+    n = F.length("_norm")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.col("_norm").substr(i + 1, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = base.select(
+        F.col(id_col), F.transform(grams, _char_hash32).alias("_h")
+    )
+    nh = F.size("_h")
+    mins = F.when(
+        nh >= w,
+        F.transform(
+            F.sequence(F.lit(0), nh - w),
+            lambda j: F.array_min(F.slice(F.col("_h"), j + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
 def regex_scan(df: DataFrame, patterns: dict[str, str],
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document non-overlapping match counts for named regex

@@ -1020,3 +1020,96 @@ def dedup_semantic(spark, sf_dir):
 def multimodal_image(spark, sf_dir):
     media = multimodal.synth_ppm_table(_t(spark, sf_dir, "documents"))
     return multimodal.image_features(media)
+
+
+@_q(
+    "text_tokens_bpe",
+    "BPE-ish regex pre-tokenizer (GPT-2 shape, lookaround-free subset): "
+    "subword token counts + tokens-per-word cost proxy",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '{text.BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len({_TOK}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+               '{text.BPE_PATTERN.replace("'", "''")}')) AS DOUBLE)
+               / greatest(len({_TOK}), 1) AS bpe_per_word
+    FROM documents
+    """,
+)
+def text_tokens_bpe(spark, sf_dir):
+    return text.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_winnow",
+    "winnowing fingerprints (MOSS, SIGMOD'03): md5-hashed char 5-grams, "
+    "4-window minima, distinct set — guarantees any shared run of >= 8 "
+    "chars shares a fingerprint",
+    """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CASE WHEN length(nm) >= 5 THEN
+                   list_transform(generate_series(0, length(nm) - 5),
+                                  i -> substr(nm, i + 1, 5))
+               ELSE [] END AS g
+        FROM norm
+    ),
+    hashed AS (
+        SELECT doc_id, list_transform(g, t ->
+                   CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) & 4294967295) AS h
+        FROM grams
+    ),
+    mins AS (
+        SELECT doc_id, CASE WHEN len(h) >= 4 THEN
+                   list_transform(generate_series(0, len(h) - 4),
+                                  j -> list_min(h[j+1:j+4]))
+               ELSE [] END AS m
+        FROM hashed
+    )
+    SELECT doc_id, unnest(list_distinct(m)) AS fp FROM mins
+    """,
+)
+def text_winnow(spark, sf_dir):
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
+@_q(
+    "embedding_quantize",
+    "per-vector int8 scalar quantization (FAISS SQ8 shape): pinned "
+    "floor(x+0.5) rounding, order-pinned reconstruction-error fold — "
+    "zero shuffle at any corpus size",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS lo,
+               CAST(list_max(embedding) AS DOUBLE) AS hi
+        FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id, embedding, lo, hi,
+               CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 0.0 END AS scale,
+               CASE WHEN hi > lo THEN
+                   list_transform(embedding, x -> least(127, greatest(-128,
+                       CAST(floor((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0)
+                            + 0.5) AS INT) - 128)))
+               ELSE list_transform(embedding, x -> 0) END AS c
+        FROM base
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           lo AS vmin, hi AS vmax,
+           CAST(len(c) AS BIGINT) AS n_codes,
+           list_reduce(list_transform(generate_series(1, len(embedding)),
+               i -> abs(CAST(embedding[i] AS DOUBLE)
+                        - ((c[i] + 128) * scale + lo))),
+               (a, b) -> a + b) / len(embedding) AS mean_abs_err
+    FROM coded
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))

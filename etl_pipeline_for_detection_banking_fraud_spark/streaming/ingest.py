@@ -254,3 +254,34 @@ def stream_to_warehouse(tx_stream: DataFrame, wh, checkpoint_dir: str,
         .outputMode("append")
         .start()
     )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 days",
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Streaming sessionization: ``session_window`` merges a user's
+    events separated by less than ``gap`` into one session — the
+    streaming twin of the batch ``sessionize`` catalog entry (lag-gap
+    cumulative window), unified-API style: the same call shape works on
+    a batch frame.
+
+    State: one open session per active user, evicted once the watermark
+    passes session end + gap — bounded by concurrently-active users, not
+    history. Boundary note: a gap of EXACTLY the session timeout starts
+    a new session here (session-window intervals are end-exclusive)
+    while the batch form's strict ``gap > timeout`` keeps it; parity
+    tests run on data without exact-boundary gaps (measure-zero for
+    microsecond event time).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

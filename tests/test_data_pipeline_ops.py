@@ -645,3 +645,62 @@ def test_dq_rejects_duplicate_names_and_bad_ops(spark):
         dq.run_expectations(
             df, [dq.Check("a", F.count("*"), "!=", 0.0)]
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish tokenizer + winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def test_bpe_token_stats_hand_example(spark):
+    df = spark.createDataFrame(
+        [(0, "don't stop me now, 42 times!")], ["doc_id", "text"]
+    )
+    r = text.bpe_token_stats(df).collect()[0]
+    # don | 't | stop | me | now | , | 42 | times | ! -> 9 subword tokens
+    assert (r.n_bpe_tokens, r.n_ws_tokens) == (9, 6)
+    assert r.bpe_per_word == pytest.approx(9 / 6)
+
+
+def test_winnow_guarantee_and_short_doc(spark):
+    """Winnowing guarantee: two docs sharing a run of >= k+w-1 = 8 chars
+    share at least one fingerprint; documents shorter than 8 chars emit
+    no fingerprints; disjoint-alphabet docs share none."""
+    df = spark.createDataFrame(
+        [
+            (0, "the miners went deep underground yesterday"),
+            (1, "she said the miners went home early"),   # shares 'the miners went '
+            (2, "zzzzqqqqxxxxwwww"),                       # disjoint content
+            (3, "tiny"),                                   # < k+w-1 chars
+        ],
+        ["doc_id", "text"],
+    )
+    fps = text.winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared 8+ char run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert 3 not in by_doc
+    # determinism: fingerprints are pure functions of content
+    fps2 = text.winnow_fingerprints(df, k=5, w=4).collect()
+    assert {(r.doc_id, r.fp) for r in fps} == {(r.doc_id, r.fp) for r in fps2}
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark):
+    """SQ8 guarantee: reconstruction error is bounded by half a
+    quantization step; constant vectors encode exactly."""
+    rows = [
+        (0, [0.0, 1.0, 0.5, 0.25]),
+        (1, [2.0, 2.0, 2.0]),          # constant -> zero error
+        (2, [-1.0, 1.0]),              # endpoints land exactly on codes
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(df).collect()}
+    for vid, vec in [(0, rows[0][1]), (2, rows[2][1])]:
+        r = out[vid]
+        step = (max(vec) - min(vec)) / 255.0
+        assert r.mean_abs_err <= step / 2 + 1e-12
+        assert (r.dim, r.n_codes) == (len(vec), len(vec))
+        assert (r.vmin, r.vmax) == (min(vec), max(vec))
+    assert out[1].mean_abs_err == 0.0
+    assert (out[1].vmin, out[1].vmax) == (2.0, 2.0)

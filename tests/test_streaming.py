@@ -234,3 +234,41 @@ def test_stream_to_warehouse_new_query_is_not_skipped(spark, ref_data, tmp_path)
     finally:
         q2.stop()
     assert wh.read_transactions().count() == 15650 + 15686
+
+
+def test_sessionize_stream_matches_batch(spark, sf001, tmp_path):
+    """Streaming session_window sessionization == the batch lag-gap
+    cumulative form: identical multiset of (user, session size)."""
+    from pyspark.sql import functions as F
+    from etl_pipeline_for_detection_banking_fraud_spark.plans import queries_map
+
+    # clean timestamp copy (the raw events.parquet carries NANOS
+    # timestamps the streaming reader can't infer)
+    ev = queries_map()["sessionize"]  # batch form, for parity
+    batch = ev(spark, sf001)
+    batch_counts = sorted(
+        (r.user_id, r.n_events) for r in batch.collect()
+    )
+
+    from etl_pipeline_for_detection_banking_fraud_spark.plans.testdata_queries import _t
+    inbox = tmp_path / "events_in"
+    src = _t(spark, sf001, "events").select("user_id", "event_id", "ts")
+    src.write.parquet(str(inbox))
+
+    stream = spark.readStream.schema(src.schema).parquet(str(inbox))
+    sess = ingest.sessionize_stream(stream)
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_counts = sorted(
+            (r.user_id, r.n_events)
+            for r in spark.sql("SELECT * FROM sessions_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert stream_counts == batch_counts
