@@ -1113,3 +1113,96 @@ def text_winnow(spark, sf_dir):
 )
 def embedding_quantize(spark, sf_dir):
     return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def _sqdist_sql(e: str, c: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({e})), "
+        f"i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) "
+        f"* (CAST({e}[i] AS DOUBLE) - {c}[i])), (x, y) -> x + y)"
+    )
+
+
+@_q(
+    "kmeans_iter2",
+    "distributed k-means, 2 Lloyd rounds (iterative algorithm with an "
+    "EXACT oracle: seed-pinned hash-sampled init, order-pinned distance "
+    "folds, decimal-exact component means, ties to smaller center_id)",
+    f"""
+    WITH centers0 AS (
+        SELECT vec_id AS center_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings
+        WHERE {_H60.format(seed='ivf', key='vec_id')} < {{bound}}
+    ),
+    d1 AS (
+        SELECT e.vec_id, e.embedding, c.center_id,
+               {_sqdist_sql('e.embedding', 'c.cvec')} AS dist
+        FROM embeddings e CROSS JOIN centers0 c
+    ),
+    a1 AS (
+        SELECT vec_id, embedding, center_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, center_id) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    pos AS (
+        SELECT unnest(generate_series(1,
+            (SELECT max(len(embedding)) FROM embeddings))) AS i
+    ),
+    m1 AS (
+        SELECT center_id, i,
+               CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,9)))
+                    AS DOUBLE) / count(*) AS mean_v
+        FROM a1 CROSS JOIN pos
+        GROUP BY center_id, i
+    ),
+    c1 AS (
+        SELECT c0.center_id, coalesce(m.cv, c0.cvec) AS cvec
+        FROM centers0 c0 LEFT JOIN (
+            SELECT center_id, list(mean_v ORDER BY i) AS cv
+            FROM m1 GROUP BY center_id
+        ) m USING (center_id)
+    ),
+    d2 AS (
+        SELECT e.vec_id, e.embedding, c.center_id,
+               {_sqdist_sql('e.embedding', 'c.cvec')} AS dist
+        FROM embeddings e CROSS JOIN c1 c
+    ),
+    a2 AS (
+        SELECT vec_id, embedding, center_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, center_id) AS rn
+            FROM d2) WHERE rn = 1
+    ),
+    m2 AS (
+        SELECT center_id, i,
+               CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,9)))
+                    AS DOUBLE) / count(*) AS mean_v
+        FROM a2 CROSS JOIN pos
+        GROUP BY center_id, i
+    ),
+    c2 AS (
+        SELECT c1.center_id, coalesce(m.cv, c1.cvec) AS cvec
+        FROM c1 LEFT JOIN (
+            SELECT center_id, list(mean_v ORDER BY i) AS cv
+            FROM m2 GROUP BY center_id
+        ) m USING (center_id)
+    ),
+    d3 AS (
+        SELECT e.vec_id, c.center_id,
+               {_sqdist_sql('e.embedding', 'c.cvec')} AS dist
+        FROM embeddings e CROSS JOIN c2 c
+    )
+    SELECT vec_id, center_id, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, center_id) AS rn
+        FROM d3) WHERE rn = 1
+    """.replace("{bound}", str(sampling.sample_bound(0.02))),
+)
+def kmeans_iter2(spark, sf_dir):
+    from ..operators import clustering
+
+    return clustering.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), n_iter=2, center_fraction=0.02
+    )

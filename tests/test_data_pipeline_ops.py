@@ -704,3 +704,30 @@ def test_quantize_embeddings_bounds_and_roundtrip(spark):
         assert (r.vmin, r.vmax) == (min(vec), max(vec))
     assert out[1].mean_abs_err == 0.0
     assert (out[1].vmin, out[1].vmax) == (2.0, 2.0)
+
+
+def test_kmeans_converges_on_planted_clusters(spark):
+    """Two tight planted blobs: after 2 Lloyd rounds every point sits
+    with its blob-mates and iteration does not increase total cost."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import clustering
+
+    blob_a = [[10.0 + dx, 10.0 + dy] for dx in (0.0, 0.3, -0.3) for dy in (0.0, 0.4)]
+    blob_b = [[-10.0 + dx, -10.0 + dy] for dx in (0.0, 0.2, -0.2) for dy in (0.0, 0.5)]
+    rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # high fraction so the hash sample lands >= 2 initial centers
+    out1 = {r.vec_id: r for r in
+            clustering.kmeans_assign(df, n_iter=1, center_fraction=0.35).collect()}
+    out2 = {r.vec_id: r for r in
+            clustering.kmeans_assign(df, n_iter=2, center_fraction=0.35).collect()}
+    # no center serves both blobs (they are 20 apart; the hash sample
+    # may land several centers inside one blob, which legitimately
+    # splits that blob's points among them)
+    a_ids = {out2[i].center_id for i in range(6)}
+    b_ids = {out2[i].center_id for i in range(6, 12)}
+    assert not (a_ids & b_ids)
+    # every point's final distance is intra-blob scale, not inter-blob
+    assert all(r.dist < 5.0 for r in out2.values())
+    cost1 = sum(r.dist for r in out1.values())
+    cost2 = sum(r.dist for r in out2.values())
+    assert cost2 <= cost1 + 1e-9  # Lloyd is monotone
