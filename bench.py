@@ -55,6 +55,20 @@ HEADLINE = [
 ]
 
 
+# Round-5 operator additions, timed separately (median-of-N, single
+# pass) so their cost is on record WITHOUT changing the headline metric
+# the cross-round comparison rests on.
+EXTENDED = [
+    "text_decontaminate",
+    "dedup_semantic",
+    "text_winnow",
+    "text_tokens_bpe",
+    "embedding_quantize",
+    "kmeans_iter2",
+    "dq_checks",
+    "multimodal_image",
+]
+
 REF_DATA = "/root/reference/data"
 
 # The 5 most expensive headline queries (per BENCH_r03/r04) — these get
@@ -417,6 +431,16 @@ def main() -> None:
     timings = {name: d["median"] for name, d in detail.items()}
 
     total = round(sum(timings.values()), 4)
+    extended: dict[str, dict] = {}
+    for name in EXTENDED:
+        if name not in qmap:
+            continue
+        try:
+            extended[name] = _timed_trials(
+                lambda name=name: _noop(qmap[name](spark, sf_dir)), trials
+            )
+        except Exception as e:  # noqa: BLE001 — record, don't abort the bench
+            extended[name] = {"error": str(e)[:200]}
     try:
         calibration = _calibration(spark, trials)
     except Exception as e:
@@ -464,6 +488,7 @@ def main() -> None:
         "queries_detail": detail,
         "bench_trials": trials,
         "calibration": calibration,
+        "extended": extended,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if sf1:

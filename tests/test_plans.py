@@ -81,3 +81,19 @@ def test_no_pushdown_serialization_trap(spark, sf01, qname):
     scan_part = plan[plan.find("FileScan"):]
     first_scan_line = scan_part.splitlines()[0] if scan_part else ""
     assert "split(" not in first_scan_line
+
+
+def test_report_rotation_lists_name_real_entries():
+    """The evidence-policy ordering lists must reference only existing
+    catalog entries (a typo would silently drop the rotation pin)."""
+    from etl_pipeline_for_detection_banking_fraud_spark.plans import testdata_queries as tq
+
+    names = {q.name for q in tq.CATALOG}
+    missing_first = set(tq._REPORT_FIRST) - names
+    missing_last = set(tq._REPORT_LAST) - names
+    assert not missing_first, f"_REPORT_FIRST typos: {missing_first}"
+    assert not missing_last, f"_REPORT_LAST typos: {missing_last}"
+    assert not set(tq._REPORT_FIRST) & set(tq._REPORT_LAST)
+    # ordering is a permutation of the catalog: nothing dropped/duplicated
+    ordered = [q.name for q in tq._ordered()]
+    assert sorted(ordered) == sorted(names)
