@@ -1206,3 +1206,59 @@ def kmeans_iter2(spark, sf_dir):
     return clustering.kmeans_assign(
         _t(spark, sf_dir, "embeddings"), n_iter=2, center_fraction=0.02
     )
+
+
+def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unroll the power iteration as chained CTEs (mechanical mirror of
+    operators.graph.pagerank over the user -> event_type bipartite
+    projection of events)."""
+    ctes = [
+        "edges AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src, "
+        "'t' || event_type AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT e.dst, CAST(sum(CAST(r.rank / d.deg AS "
+            f"DECIMAL(38,18))) AS DOUBLE) AS inflow "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            f"JOIN deg d ON d.src = r.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT CAST(coalesce(sum(CAST(r.rank AS "
+            f"DECIMAL(38,18))), 0) AS DOUBLE) AS dm "
+            f"FROM {prev} r LEFT JOIN deg d ON r.node = d.src "
+            f"WHERE d.src IS NULL)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, (1.0 - {damping}) / (SELECT n FROM nn) "
+            f"+ {damping} * (coalesce(c.inflow, 0.0) "
+            f"+ (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, rank FROM r{n_iter}"
+    )
+
+
+@_q(
+    "graph_pagerank",
+    "PageRank, 3 power iterations over the user -> event_type bipartite "
+    "graph (decimal-exact message accumulation, uniform dangling-mass "
+    "redistribution — iterative graph analytics with an exact oracle)",
+    _pagerank_sql(3, 0.85),
+)
+def graph_pagerank(spark, sf_dir):
+    from ..operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return graph.pagerank(edges, n_iter=3, damping=0.85)

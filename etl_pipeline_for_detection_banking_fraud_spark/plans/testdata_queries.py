@@ -773,6 +773,7 @@ _REPORT_FIRST = [
     # new in r5 — never reported
     "text_decontaminate", "dedup_semantic", "multimodal_image", "dq_checks",
     "text_tokens_bpe", "text_winnow", "embedding_quantize", "kmeans_iter2",
+    "graph_pagerank",
     "approx_stats_bounds", "string_agg_ordered", "intersect_key",
     "window_tumbling", "full_outer_join", "text_repetition",
     "text_regex_scan", "embedding_centroids", "corpus_mix",

@@ -731,3 +731,27 @@ def test_kmeans_converges_on_planted_clusters(spark):
     cost1 = sum(r.dist for r in out1.values())
     cost2 = sum(r.dist for r in out2.values())
     assert cost2 <= cost1 + 1e-9  # Lloyd is monotone
+
+
+def test_pagerank_mass_conservation_and_ordering(spark):
+    """Star-plus-chain planted graph: total rank mass is conserved
+    (dangling redistribution), and the node every edge points at
+    outranks the leaves."""
+    from etl_pipeline_for_detection_banking_fraud_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "sink")],
+        ["src", "dst"],
+    )
+    out = {r.node: r.rank for r in graph.pagerank(edges, n_iter=5).collect()}
+    assert set(out) == {"a", "b", "c", "hub", "sink"}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert out["hub"] > out["a"] == out["b"] == out["c"]
+    assert out["sink"] > out["a"]  # fed by the hub
+    # duplicate edges must not double-count
+    dup = spark.createDataFrame(
+        [("a", "hub"), ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "sink")],
+        ["src", "dst"],
+    )
+    out_dup = {r.node: r.rank for r in graph.pagerank(dup, n_iter=5).collect()}
+    assert out_dup == out
