@@ -94,3 +94,39 @@ def salted_agg(df: DataFrame, key: str, agg_exprs: "dict[str, str]",
         salted.groupBy(key, "_salt").agg(*partials)
         .groupBy(key).agg(*finals)
     )
+
+
+def prefilter_semi_join(probe: DataFrame, build: DataFrame,
+                        probe_key: str, build_key: str,
+                        buckets: int = 1 << 16) -> DataFrame:
+    """Semi-join of a huge ``probe`` against a selective ``build`` with
+    a broadcast bloom-style prefilter ahead of the shuffle.
+
+    At 100 TB the dominant cost of ``probe SEMI JOIN build`` is
+    shuffling the entire probe side; when the build side is selective,
+    almost all of that shuffle is wasted on rows that match nothing.
+    Stage 1 broadcasts the SET OF OCCUPIED HASH BUCKETS of the build
+    keys (≤ ``buckets`` ints — a one-bit-per-bucket bloom filter
+    expressed as a broadcast semi-join, since Spark doesn't register
+    ``bloom_filter_agg`` for SQL use) and drops every probe row whose
+    key hashes to an empty bucket BEFORE the exchange. Stage 2 is the
+    exact semi-join over the survivors, so false positives from bucket
+    collisions are eliminated and the result is bit-identical to the
+    plain semi-join — the prefilter only prunes.
+
+    False-positive rate ~ n_build_keys / buckets; size ``buckets`` at
+    ~16x the expected build-key count to keep the pass-through under
+    ~6% while the broadcast stays a few hundred KB of ints.
+    """
+    keys = build.select(F.col(build_key).alias("_bk")).distinct()
+    occupied = keys.select(
+        F.pmod(F.xxhash64(F.col("_bk")), F.lit(buckets)).alias("_kb")
+    ).distinct()
+    pruned = probe.join(
+        F.broadcast(occupied),
+        F.pmod(F.xxhash64(F.col(probe_key)), F.lit(buckets)) == F.col("_kb"),
+        "left_semi",
+    )
+    return pruned.join(
+        keys, F.col(probe_key) == F.col("_bk"), "left_semi"
+    )

@@ -1,0 +1,194 @@
+"""Round-5 catalog additions: lakehouse-style maintenance (CDC merge),
+range/interval joins, shuffle-prefiltered semi-joins, time-RANGE window
+frames, and RAG chunking — each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .data_pipeline_queries import _TOK
+from .testdata_queries import _q, _t
+
+
+@_q(
+    "cdc_upsert",
+    "CDC changelog apply / MERGE-style upsert (generic form of the "
+    "reference's per-table delta loops, incr_loading.py)",
+    """
+    WITH latest AS (
+        SELECT o_custkey AS k,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+               CAST(o_totalprice AS DOUBLE) AS new_bal
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
+           c.c_name AS c_name,
+           CAST(CASE WHEN l.op IS NOT NULL THEN l.new_bal
+                     ELSE c.c_acctbal END AS DOUBLE) AS c_acctbal
+    FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def cdc_upsert(spark, sf_dir):
+    """orders as a synthetic changelog over the customer snapshot: each
+    order updates its customer's balance to the order total (newest
+    order wins; version = (o_orderdate, o_orderkey) — a total order);
+    every 97th orderkey is a tombstone that deletes the customer."""
+    from ..operators import cdc
+
+    snapshot = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").cast("double").alias("c_acctbal"),
+    )
+    return cdc.apply_changelog(
+        snapshot, changes, key="c_custkey",
+        version_cols=("o_orderdate", "o_orderkey"),
+        payload_cols=("c_acctbal",),
+    )
+
+
+@_q(
+    "interval_overlap_join",
+    "interval-overlap (range) join via coarse-bucket equi-join — "
+    "generalizes the fraud rules' fixed time-band joins (J5)",
+    """
+    WITH iv AS (
+        SELECT user_id AS iv_user, CAST(ts AS DATE) AS day,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM events WHERE user_id % 25 = 0
+        GROUP BY 1, 2
+    )
+    SELECT iv.iv_user, iv.day,
+           count(*) AS n_overlap,
+           count(DISTINCT e.user_id) AS n_users
+    FROM iv JOIN events e
+      ON e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+     AND e.user_id <> iv.iv_user
+    GROUP BY 1, 2
+    """,
+)
+def interval_overlap_join(spark, sf_dir):
+    """Activity intervals (per tracked user per day: first..last event)
+    vs ALL other users' events landing inside them. The oracle states
+    the naive inequality join; the engine runs the bucketed equi-join
+    (operators/ranges.py) — same rows, no nested loop."""
+    from ..operators import ranges
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.where(F.col("user_id") % 25 == 0)
+        .groupBy(
+            F.col("user_id").alias("iv_user"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    joined = ranges.interval_overlap_join(
+        ev.select("user_id", "ts"), iv, "ts", "start_ts", "end_ts",
+        bucket_seconds=3600,
+    ).where(F.col("user_id") != F.col("iv_user"))
+    return joined.groupBy("iv_user", "day").agg(
+        F.count("*").alias("n_overlap"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_q(
+    "semi_join_prefilter",
+    "bloom-style broadcast prefilter ahead of a large-large semi-join "
+    "(prunes the probe-side shuffle; result exact)",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def semi_join_prefilter(spark, sf_dir):
+    from ..operators import scale
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    big_orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 300000
+    )
+    return scale.prefilter_semi_join(
+        li, big_orders, "l_orderkey", "o_orderkey"
+    )
+
+
+@_q(
+    "range_frame_window",
+    "time-RANGE window frame (RANGE BETWEEN n PRECEDING) — value-based "
+    "frame, deterministic under ties (unlike ROWS)",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS sum_hour
+    FROM (SELECT event_id, user_id, value,
+                 epoch_us(ts) AS e_us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY e_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_frame_window(spark, sf_dir):
+    """Trailing-hour frame keyed on the VALUE of the ordering column
+    (micros since epoch), not row position: all rows sharing a
+    timestamp get the same frame, so the result is deterministic even
+    with ties. The decimal round-trip keeps the double sum
+    order-insensitive (catalog parity rule)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.col("value").cast("decimal(18,6)").alias("_v"),
+        F.expr("unix_micros(ts)").alias("_e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_e")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_hour"),
+        F.sum("_v").over(w).cast("double").alias("sum_hour"),
+    )
+
+
+@_q(
+    "text_chunk",
+    "RAG chunking: fixed-size overlapping token windows per document "
+    "(size 64, stride 48)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    starts AS (
+        SELECT doc_id, t,
+               CAST(unnest(range(0, len(t), 48)) AS BIGINT) AS s
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           s // 48 AS chunk_no,
+           CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(t, s + 1, s + 64), ' '))
+               AS chunk_md5
+    FROM starts
+    """,
+)
+def text_chunk(spark, sf_dir):
+    from ..operators import chunking
+
+    return chunking.chunk_tokens(
+        _t(spark, sf_dir, "documents"), size=64, stride=48
+    )

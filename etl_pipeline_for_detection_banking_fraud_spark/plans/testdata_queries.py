@@ -771,6 +771,8 @@ def sessionize(spark, sf_dir):
 # catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
     # new in r5 — never reported
+    "cdc_upsert", "interval_overlap_join", "semi_join_prefilter",
+    "range_frame_window", "text_chunk",
     "text_decontaminate", "dedup_semantic", "multimodal_image", "dq_checks",
     "text_tokens_bpe", "text_winnow", "embedding_quantize", "kmeans_iter2",
     "graph_pagerank",

@@ -1,0 +1,181 @@
+"""Edge-case semantics for the round-5 lakehouse operators (the
+catalog's oracle parity covers the happy path at sf0.01; these pin the
+corners the testdata never hits)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_detection_banking_fraud_spark.operators import (
+    cdc,
+    chunking,
+    ranges,
+    scale,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestApplyChangelog:
+    def test_update_delete_insert_passthrough(self, spark):
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, bal double",
+        )
+        # key2: two updates out of version order -> v2 wins
+        # key3: delete; key4: insert (not in snapshot); key1: untouched
+        changes = spark.createDataFrame(
+            [
+                (2, 2, "U", 99.0),
+                (2, 1, "U", 55.0),
+                (3, 1, "D", None),
+                (4, 1, "I", 40.0),
+            ],
+            "k long, v long, op string, bal double",
+        )
+        out = cdc.apply_changelog(
+            snap, changes, key="k", version_cols=("v",),
+            payload_cols=("bal",),
+        )
+        rows = {r["k"]: r for r in out.collect()}
+        assert set(rows) == {1, 2, 4}
+        assert rows[1]["bal"] == 10.0 and rows[1]["name"] == "a"
+        assert rows[2]["bal"] == 99.0 and rows[2]["name"] == "b"
+        assert rows[4]["bal"] == 40.0 and rows[4]["name"] is None
+        assert out.columns == snap.columns
+
+    def test_delete_then_reinsert_latest_wins(self, spark):
+        snap = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+        changes = spark.createDataFrame(
+            [(1, 1, "D", None), (1, 2, "I", 7.0)],
+            "k long, v long, op string, bal double",
+        )
+        out = cdc.apply_changelog(
+            snap, changes, key="k", version_cols=("v",),
+            payload_cols=("bal",),
+        ).collect()
+        assert len(out) == 1 and out[0]["bal"] == 7.0
+
+
+class TestChunkTokens:
+    def _chunks(self, spark, text, size=4, stride=3):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return (
+            chunking.chunk_tokens(df, size=size, stride=stride)
+            .orderBy("chunk_no")
+            .collect()
+        )
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        assert self._chunks(spark, "   ") == []
+
+    def test_exact_window_single_chunk(self, spark):
+        rows = self._chunks(spark, "a b c d", size=4, stride=4)
+        assert len(rows) == 1
+        assert rows[0]["n_tokens"] == 4
+        assert rows[0]["chunk_md5"] == hashlib.md5(b"a b c d").hexdigest()
+
+    def test_overlap_and_clipping(self, spark):
+        # 5 tokens, size 4, stride 3 -> starts 0 and 3
+        rows = self._chunks(spark, "a b c d e", size=4, stride=3)
+        assert [(r["chunk_no"], r["n_tokens"]) for r in rows] == [(0, 4), (1, 2)]
+        assert rows[1]["chunk_md5"] == hashlib.md5(b"d e").hexdigest()
+
+    def test_lowercased_whitespace_tokens(self, spark):
+        rows = self._chunks(spark, "  A \t B\nc ", size=10, stride=10)
+        assert rows[0]["n_tokens"] == 3
+        assert rows[0]["chunk_md5"] == hashlib.md5(b"a b c").hexdigest()
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_naive_cross_filter(self, spark):
+        # Intervals spanning multiple 1h buckets + boundary-equal points
+        points = spark.createDataFrame(
+            [
+                (1, _ts("2021-03-01 00:00:00")),
+                (2, _ts("2021-03-01 00:59:59")),
+                (3, _ts("2021-03-01 02:30:00")),
+                (4, _ts("2021-03-01 05:00:00")),
+                (5, _ts("2021-03-02 00:00:00")),
+            ],
+            "pid long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [
+                (10, _ts("2021-03-01 00:00:00"), _ts("2021-03-01 05:00:00")),
+                (11, _ts("2021-03-01 02:00:00"), _ts("2021-03-01 02:59:00")),
+                (12, _ts("2021-03-03 00:00:00"), _ts("2021-03-03 01:00:00")),
+            ],
+            "ivid long, start_ts timestamp, end_ts timestamp",
+        )
+        got = sorted(
+            (r["pid"], r["ivid"])
+            for r in ranges.interval_overlap_join(
+                points, intervals, "ts", "start_ts", "end_ts",
+                bucket_seconds=3600,
+            ).collect()
+        )
+        naive = sorted(
+            (r["pid"], r["ivid"])
+            for r in points.crossJoin(intervals)
+            .where(
+                (F.col("ts") >= F.col("start_ts"))
+                & (F.col("ts") <= F.col("end_ts"))
+            )
+            .collect()
+        )
+        assert got == naive
+        assert (1, 10) in got and (4, 10) in got  # inclusive both ends
+
+    def test_null_ts_never_matches(self, spark):
+        points = spark.createDataFrame(
+            [(1, None)], "pid long, ts timestamp"
+        )
+        intervals = spark.createDataFrame(
+            [(10, _ts("2021-03-01 00:00:00"), _ts("2021-03-01 05:00:00"))],
+            "ivid long, start_ts timestamp, end_ts timestamp",
+        )
+        assert (
+            ranges.interval_overlap_join(
+                points, intervals, "ts", "start_ts", "end_ts"
+            ).count()
+            == 0
+        )
+
+
+class TestPrefilterSemiJoin:
+    def test_exact_even_with_forced_collisions(self, spark):
+        # buckets=2 makes nearly every probe row survive the prefilter;
+        # the second-stage exact semi-join must still remove them all.
+        probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+        build = spark.createDataFrame(
+            [(3,), (500,), (999,), (1500,)], "bk long"
+        )
+        got = sorted(
+            r["k"]
+            for r in scale.prefilter_semi_join(
+                probe, build, "k", "bk", buckets=2
+            ).collect()
+        )
+        assert got == [3, 500, 999]
+
+    def test_matches_plain_semi_join(self, spark, sf01):
+        li = spark.read.parquet(f"{sf01}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber"
+        )
+        orders = spark.read.parquet(f"{sf01}/orders.parquet").where(
+            F.col("o_totalprice") > 300000
+        )
+        got = scale.prefilter_semi_join(
+            li, orders, "l_orderkey", "o_orderkey"
+        )
+        want = li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "left_semi"
+        )
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
