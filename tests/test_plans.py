@@ -97,3 +97,26 @@ def test_report_rotation_lists_name_real_entries():
     # ordering is a permutation of the catalog: nothing dropped/duplicated
     ordered = [q.name for q in tq._ordered()]
     assert sorted(ordered) == sorted(names)
+
+
+@pytest.mark.parametrize(
+    "qname", ["interval_overlap_join", "semi_join_prefilter", "cdc_upsert"]
+)
+def test_round5_joins_no_nested_loop(spark, sf01, qname):
+    """The interval join must ride the coarse-bucket equi-join, the
+    prefilter semi-join its broadcast bucket set + exact semi-join, the
+    CDC merge a keyed outer join — none of them a cartesian plan."""
+    plan = _plan(QD[qname].spark(spark, sf01))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefilter_semi_join_broadcasts_bucket_set(spark, sf01):
+    plan = _plan(QD["semi_join_prefilter"].spark(spark, sf01))
+    assert "BroadcastExchange" in plan
+    assert plan.count("LeftSemi") == 2  # prefilter + exact stage
+
+
+def test_text_chunk_no_shuffle(spark, sf01):
+    plan = _plan(QD["text_chunk"].spark(spark, sf01))
+    assert plan.count("Exchange hashpartitioning") == 0
