@@ -65,8 +65,14 @@ EXTENDED = [
     "text_tokens_bpe",
     "embedding_quantize",
     "kmeans_iter2",
+    "graph_pagerank",
     "dq_checks",
     "multimodal_image",
+    "cdc_upsert",
+    "interval_overlap_join",
+    "semi_join_prefilter",
+    "range_frame_window",
+    "text_chunk",
 ]
 
 REF_DATA = "/root/reference/data"

@@ -192,3 +192,101 @@ def text_chunk(spark, sf_dir):
     return chunking.chunk_tokens(
         _t(spark, sf_dir, "documents"), size=64, stride=48
     )
+
+
+@_q(
+    "window_count_distinct",
+    "cumulative COUNT(DISTINCT) over a window — Spark's window frames "
+    "don't support distinct aggregates, so the engine uses the "
+    "first-occurrence-marker + running-sum rewrite (exact)",
+    """
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_types_seen
+    FROM events
+    """,
+)
+def window_count_distinct(spark, sf_dir):
+    """Distinct event_types each user has seen up to each event. The
+    rewrite: mark the first occurrence of each (user, type) along the
+    (ts, event_id) total order with row_number()==1, then running-sum
+    the markers — identical to the oracle's native windowed DISTINCT
+    (DuckDB supports it; Spark doesn't). Costs two exchanges — the
+    marker window hash-partitions by (user_id, event_type), the
+    running sum by user_id — the price of the rewrite; a native
+    distinct frame would shuffle once but keep a per-frame distinct
+    set, so this trades one exchange for constant-memory frames."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                            "event_type", "ts")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "_first", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    return marked.select(
+        "event_id", "user_id",
+        F.sum("_first").over(w_cum).alias("n_types_seen"),
+    )
+
+
+@_q(
+    "ratio_to_report",
+    "ratio-to-report window: each row's share of its group total "
+    "(order-insensitive via the decimal-exact group sum)",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) /
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey) AS DOUBLE) AS spend_share
+    FROM orders
+    """,
+)
+def ratio_to_report(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("double") / total.cast("double"))
+        .alias("spend_share"),
+    )
+
+
+@_q(
+    "histogram_equiwidth",
+    "equi-width histogram: clamped arithmetic binning + one-shuffle "
+    "count per bin",
+    """
+    SELECT least(greatest(CAST(floor(CAST(l_quantity AS DOUBLE) / 5.0)
+                               AS BIGINT), 0), 9) AS bin,
+           count(*) AS n,
+           CAST(min(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS bin_min,
+           CAST(max(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS bin_max
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def histogram_equiwidth(spark, sf_dir):
+    """10 bins of width 5 over l_quantity's [0, 50) domain, clamped at
+    both ends (out-of-domain values land in the edge bins rather than
+    vanishing). Bin boundaries are exact multiples of 5 — exactly
+    representable doubles — so the floor-divide binning agrees
+    bit-for-bit across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor(q / 5.0).cast("long"), F.lit(0)), F.lit(9)
+    )
+    return li.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.min(q).alias("bin_min"),
+        F.max(q).alias("bin_max"),
+    )
