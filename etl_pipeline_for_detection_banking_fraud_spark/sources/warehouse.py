@@ -557,6 +557,48 @@ class Warehouse:
         os.rename(tmp, final)
         shutil.rmtree(trash, ignore_errors=True)
 
+    def merge_table(self, table: str, changes: DataFrame, key: str,
+                    version_cols, payload_cols, op_col: str = "op") -> None:
+        """MERGE a CDC changelog into a table as ONE atomic commit.
+
+        Applies ``operators.cdc.apply_changelog`` (latest-change-per-key
+        upsert with tombstone deletes) to the table's current snapshot
+        and publishes the result as a commit-log ``replace`` entry — the
+        same optimistic-concurrency shape as ``compact()``: the replace
+        carries its base snapshot seq, a concurrent append to the same
+        table raises ``CommitConflict`` and the merge re-reads and
+        retries, so a racing append is merged rather than lost. Readers
+        switch atomically at the manifest link; pre-merge snapshots stay
+        readable via ``read_at`` (old files are NOT deleted — merge is a
+        logical change, not file maintenance; ``compact()`` remains the
+        reclaim path).
+        """
+        from ..operators import cdc
+
+        if not self.exists(table):
+            raise ValueError(f"merge_table: unknown table {table}")
+        for attempt in range(3):
+            self._entry_cache.clear()
+            entries = self._log_entries()
+            base_seq = max((s for s, _ in entries), default=0)
+            current = self.read(table)
+            merged = cdc.apply_changelog(
+                current, changes, key=key, version_cols=version_cols,
+                payload_cols=payload_cols, op_col=op_col,
+            )
+            part_cols = [c for c in current.columns if c == "dt"]
+            txn = Transaction(self)
+            txn.replace = True
+            txn.base_seq = base_seq
+            txn.append(merged, table, partition_by=part_cols or None)
+            try:
+                txn.commit()
+                return
+            except CommitConflict:
+                if attempt == 2:
+                    raise
+                self.vacuum_orphans(table)
+
     # -- transactions fact convenience ---------------------------------------
 
     def append_transactions(self, df: DataFrame, table: str = "dwh_fact_transactions") -> None:

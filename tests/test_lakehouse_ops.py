@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_for_detection_banking_fraud_spark.operators import (
@@ -179,3 +181,49 @@ class TestPrefilterSemiJoin:
         )
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
+
+
+class TestWarehouseMerge:
+    def test_merge_is_atomic_and_time_travelable(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, bal double",
+        )
+        with wh.transaction():
+            wh.append(snap.coalesce(1), "accounts")
+        pre_seq = max(s["seq"] for s in wh.snapshots())
+
+        changes = spark.createDataFrame(
+            [(2, 1, "U", 99.0), (3, 1, "D", None), (4, 1, "I", 40.0)],
+            "k long, v long, op string, bal double",
+        )
+        wh.merge_table(
+            "accounts", changes, key="k", version_cols=("v",),
+            payload_cols=("bal",),
+        )
+        rows = {r["k"]: r["bal"] for r in wh.read("accounts").collect()}
+        assert rows == {1: 10.0, 2: 99.0, 4: 40.0}
+        # the merge is one replace entry; the pre-merge snapshot is
+        # still readable (old files are retained, not deleted)
+        kinds = [s["op"] for s in wh.snapshots()]
+        assert kinds.count("replace") == 1
+        pre = {r["k"]: r["bal"]
+               for r in wh.read_at("accounts", pre_seq).collect()}
+        assert pre == {1: 10.0, 2: 20.0, 3: 30.0}
+
+    def test_merge_unknown_table_raises(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with pytest.raises(ValueError, match="unknown table"):
+            wh.merge_table(
+                "nope", spark.range(1), key="id", version_cols=("id",),
+                payload_cols=(),
+            )
