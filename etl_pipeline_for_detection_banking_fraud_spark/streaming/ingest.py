@@ -285,3 +285,44 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
             "n_events",
         )
     )
+
+
+def stream_merge_to_warehouse(changes_stream: DataFrame, wh, checkpoint_dir: str,
+                              table: str, key: str, version_cols,
+                              payload_cols, op_col: str = "op"):
+    """Streaming CDC upsert sink: each microbatch of changelog rows is
+    MERGED into ``table`` through ``Warehouse.merge_table`` (one atomic
+    replace commit per microbatch).
+
+    Replay safety WITHOUT markers: ``apply_changelog`` is idempotent —
+    re-applying a microbatch's changelog to the already-merged snapshot
+    lands every key in the same state (an update overwrites with the
+    same payload, a delete of an absent key no-ops, a re-insert
+    overwrites the identical row), so a checkpoint replay after a crash
+    converges instead of double-appending. Cross-batch ordering is
+    irrelevant to correctness only if ``version_cols`` is a total order
+    carried in the data (the merge keeps the per-batch newest; a
+    late-arriving OLDER version in a later batch would win the later
+    merge) — feed batches in source order, as Spark's checkpoint
+    guarantees.
+
+    Scale note: each merge rewrites the table's full file set (replace
+    commit) — right for dimension-sized tables at mini-batch cadence;
+    for fact-sized tables use ``stream_to_warehouse`` (append) and
+    reconcile with a periodic batch merge instead.
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        wh.merge_table(
+            table, batch_df, key=key, version_cols=version_cols,
+            payload_cols=payload_cols, op_col=op_col,
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

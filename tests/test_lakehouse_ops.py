@@ -227,3 +227,59 @@ class TestWarehouseMerge:
                 "nope", spark.range(1), key="id", version_cols=("id",),
                 payload_cols=(),
             )
+
+
+class TestStreamMerge:
+    def test_file_stream_cdc_merge_and_replay_idempotence(
+        self, spark, tmp_path
+    ):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming.ingest import (
+            stream_merge_to_warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(
+                spark.createDataFrame(
+                    [(1, 10.0), (2, 20.0)], "k long, bal double"
+                ).coalesce(1),
+                "accounts",
+            )
+
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        schema = "k long, v long, op string, bal double"
+        b1 = spark.createDataFrame([(2, 1, "U", 99.0), (3, 1, "I", 30.0)], schema)
+        b1.coalesce(1).write.parquet(str(inbox / "b1"))
+        stream = spark.readStream.schema(b1.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(inbox / "*"))
+        q = stream_merge_to_warehouse(
+            stream, wh, str(tmp_path / "ckpt"), "accounts",
+            key="k", version_cols=("v",), payload_cols=("bal",),
+        )
+        try:
+            q.processAllAvailable()
+            got = {r["k"]: r["bal"] for r in wh.read("accounts").collect()}
+            assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+            # second batch: delete + newer update
+            spark.createDataFrame(
+                [(1, 2, "D", None), (3, 2, "U", 33.0)], schema
+            ).coalesce(1).write.parquet(str(inbox / "b2"))
+            q.processAllAvailable()
+            got = {r["k"]: r["bal"] for r in wh.read("accounts").collect()}
+            assert got == {2: 99.0, 3: 33.0}
+        finally:
+            q.stop()
+        # replay idempotence: re-merging batch 2's changelog directly
+        # (the crash-replay path) leaves the snapshot unchanged
+        wh.merge_table(
+            "accounts",
+            spark.createDataFrame([(1, 2, "D", None), (3, 2, "U", 33.0)], schema),
+            key="k", version_cols=("v",), payload_cols=("bal",),
+        )
+        got = {r["k"]: r["bal"] for r in wh.read("accounts").collect()}
+        assert got == {2: 99.0, 3: 33.0}
