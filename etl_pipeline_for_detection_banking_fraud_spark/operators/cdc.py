@@ -52,6 +52,13 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame, key: str,
         snapshot — an insert);
       - keys without a changelog entry pass through unchanged.
 
+    These are log-compaction semantics: only each key's NEWEST change
+    matters, so a delete-then-reinsert of a snapshot key keeps the
+    snapshot's non-payload columns (the delete is superseded, never
+    "executed"). A sequential-replay merge would instead null them —
+    if that is the contract you need, apply the changelog in version-
+    split batches. Pinned by tests/test_cdc_property.py.
+
     Output schema == snapshot schema. ``changes`` must contain
     ``key``, ``op_col`` and every ``payload_cols`` name (same names as
     the snapshot columns they replace).
