@@ -290,3 +290,45 @@ def histogram_equiwidth(spark, sf_dir):
         F.min(q).alias("bin_min"),
         F.max(q).alias("bin_max"),
     )
+
+
+@_q(
+    "freq_items_bounds",
+    "heavy-hitters sketch (freqItems single-pass) clamped to its "
+    "published guarantee vs the exact frequencies — the approx_stats_"
+    "bounds pattern for the frequent-items family",
+    """
+    SELECT o_orderstatus, TRUE AS covered
+    FROM (SELECT o_orderstatus, count(*) AS n,
+                 (SELECT count(*) FROM orders) AS total
+          FROM orders GROUP BY o_orderstatus)
+    WHERE n > 0.2 * total
+    ORDER BY o_orderstatus
+    """,
+)
+def freq_items_bounds(spark, sf_dir):
+    """freqItems(support=s) guarantees every item with true frequency
+    > s*n is in the returned set (false positives allowed, false
+    negatives not). The entry emits one row per EXACT heavy hitter with
+    a containment boolean — the oracle asserts the all-TRUE frame, so
+    a sketch that ever drops a true heavy hitter flips a boolean and
+    the driver's hash goes red. The sketch side stays distributed; the
+    one-row freqItems result is broadcast, never collected."""
+    o = _t(spark, sf_dir, "orders")
+    support = 0.2
+    fi = o.stat.freqItems(["o_orderstatus"], support)
+    counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    total = o.agg(F.count("*").alias("total"))
+    heavy = counts.crossJoin(F.broadcast(total)).where(
+        F.col("n") > F.lit(support) * F.col("total")
+    )
+    return (
+        heavy.crossJoin(F.broadcast(fi))
+        .select(
+            "o_orderstatus",
+            F.array_contains(
+                F.col("o_orderstatus_freqItems"), F.col("o_orderstatus")
+            ).alias("covered"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -773,7 +773,7 @@ _REPORT_FIRST = [
     # new in r5 — never reported
     "cdc_upsert", "interval_overlap_join", "semi_join_prefilter",
     "range_frame_window", "text_chunk", "window_count_distinct",
-    "ratio_to_report", "histogram_equiwidth",
+    "ratio_to_report", "histogram_equiwidth", "freq_items_bounds",
     "text_decontaminate", "dedup_semantic", "multimodal_image", "dq_checks",
     "text_tokens_bpe", "text_winnow", "embedding_quantize", "kmeans_iter2",
     "graph_pagerank",
