@@ -73,6 +73,10 @@ EXTENDED = [
     "semi_join_prefilter",
     "range_frame_window",
     "text_chunk",
+    "window_count_distinct",
+    "ratio_to_report",
+    "histogram_equiwidth",
+    "freq_items_bounds",
 ]
 
 REF_DATA = "/root/reference/data"

@@ -90,6 +90,9 @@ class Transaction:
         self._n = 0
         self._stage_root = os.path.join(wh.root, "_stage", self.txnid)
         self._done = False
+        # table -> relpath -> {col: [min, max]} for files THIS txn wrote
+        # (adopted legacy files get no stats and are never pruned)
+        self.stats: dict[str, dict[str, dict]] = {}
 
     def append(self, df: DataFrame, table: str,
                partition_by: list[str] | None = None) -> None:
@@ -124,7 +127,11 @@ class Transaction:
                 dst_dir = os.path.join(table_dir, rel_dir) if rel_dir else table_dir
                 os.makedirs(dst_dir, exist_ok=True)
                 os.replace(os.path.join(dirpath, fn), os.path.join(dst_dir, new_name))
-                files.append(os.path.join(rel_dir, new_name) if rel_dir else new_name)
+                rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
+                files.append(rel)
+                st = _file_stats(os.path.join(table_dir, rel))
+                if st:
+                    self.stats.setdefault(table, {})[rel] = st
         shutil.rmtree(stage, ignore_errors=True)
 
     def commit(self) -> None:
@@ -142,6 +149,8 @@ class Transaction:
                 "op": "replace" if self.replace else "add",
                 "tables": self.pending,
             }
+            if self.stats:
+                entry["stats"] = self.stats
             tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -210,6 +219,49 @@ class Transaction:
         shutil.rmtree(self._stage_root, ignore_errors=True)
         if self.wh._active_txn is self:
             self.wh._active_txn = None
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file column min/max from the parquet footer (data-skipping
+    stats, the Delta/Iceberg manifest-stats shape in pure Python).
+
+    Only JSON-safe scalar types are recorded (int/float/str/bool);
+    columns whose footer lacks statistics, or with exotic logical
+    types, are simply absent — absence means "never prune on this
+    column for this file", so stats can only ever SKIP files proven
+    irrelevant, never lose rows. Failures are swallowed: stats are an
+    optimization, not a correctness dependency, and must never fail a
+    commit."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        out: dict[str, list] = {}
+        dropped: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in dropped:  # nested: skip
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dropped.add(name)
+                    out.pop(name, None)
+                    continue
+                lo, hi = st.min, st.max
+                if not all(isinstance(v, (int, float, str, bool)) for v in (lo, hi)):
+                    dropped.add(name)
+                    out.pop(name, None)
+                    continue
+                if name in out:
+                    out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+                else:
+                    out[name] = [lo, hi]
+        return out
+    except Exception:
+        return {}
 
 
 def _data_files(table_dir: str) -> list[str]:
@@ -313,6 +365,23 @@ class Warehouse:
             else:
                 files.extend(t)
         return files if tracked else None
+
+    def _manifest_stats(self, table: str, at: int | None = None) -> dict:
+        """Merged per-file column stats for a tracked table, mirroring
+        ``_manifest_files``'s replay (a replace entry resets the map)."""
+        table = table.lower()
+        stats: dict[str, dict] = {}
+        for seq, entry in self._log_entries():
+            if at is not None and seq > at:
+                break
+            if entry.get("tables", {}).get(table) is None:
+                continue
+            s = entry.get("stats", {}).get(table, {})
+            if entry.get("op") == "replace":
+                stats = dict(s)
+            else:
+                stats.update(s)
+        return stats
 
     def snapshots(self) -> list[dict]:
         """The commit history: one row per committed transaction —
@@ -425,7 +494,8 @@ class Warehouse:
         w.parquet(self._path(table))
 
     def read(self, table: str, schema: T.StructType | None = None,
-             merge_schema: bool = False) -> DataFrame:
+             merge_schema: bool = False,
+             prune: dict | None = None) -> DataFrame:
         """Read a table; an absent table reads as an empty typed DataFrame.
 
         With ``schema`` given, the result is projected to exactly the
@@ -441,6 +511,9 @@ class Warehouse:
         mergeSchema writes. Off by default: footer merging reads every
         footer, which costs listing time at 100 TB, and stable-schema
         tables don't need it."""
+        return self._read_impl(table, schema, merge_schema, prune)
+
+    def _read_impl(self, table, schema, merge_schema, prune) -> DataFrame:
         if not self.exists(table):
             if schema is None:
                 raise FileNotFoundError(f"table {table} absent and no schema given")
@@ -458,7 +531,42 @@ class Warehouse:
             # tracked table: read exactly the committed (+ own-txn
             # pending) files by name; basePath keeps hive partition
             # columns (dt=...) parsing and pruning
-            files = [os.path.join(p, rel) for rel in (mf or []) + pend]
+            rels = (mf or []) + pend
+            if prune and mf is not None:
+                # manifest-stats file skipping: drop a file only when
+                # its recorded [min, max] for EVERY pruned column is
+                # provably outside the requested [lo, hi]; files with
+                # no stats are always kept, and the caller still
+                # applies its own row filter — pruning is a strict
+                # superset contract, never a row filter
+                stats = self._manifest_stats(table)
+                kept = []
+                for rel in rels:
+                    fs = stats.get(rel)
+                    keep = True
+                    if fs:
+                        for col, (lo, hi) in prune.items():
+                            rng = fs.get(col)
+                            if rng is None:
+                                continue
+                            if (hi is not None and rng[0] > hi) or (
+                                lo is not None and rng[1] < lo
+                            ):
+                                keep = False
+                                break
+                    if keep:
+                        kept.append(rel)
+                rels = kept
+                if not rels:
+                    # every file skipped: empty frame with the table's
+                    # schema (read one manifest file schema-only)
+                    one = os.path.join(p, ((mf or []) + pend)[0])
+                    return self.spark.read.option("basePath", p).parquet(
+                        one
+                    ).limit(0) if schema is None else (
+                        self.spark.createDataFrame([], schema=schema)
+                    )
+            files = [os.path.join(p, rel) for rel in rels]
             df = reader.option("basePath", p).parquet(*files)
         else:
             df = reader.parquet(p)
@@ -556,6 +664,48 @@ class Warehouse:
         os.rename(final, trash)
         os.rename(tmp, final)
         shutil.rmtree(trash, ignore_errors=True)
+
+    def cluster_table(self, table: str, col: str, n_files: int = 8) -> None:
+        """OPTIMIZE-style clustering: rewrite a tracked table
+        range-partitioned and sorted by ``col`` so each file covers a
+        narrow value range, making the manifest min/max stats sharp —
+        a selective ``read(..., prune={col: (lo, hi)})`` then skips
+        most files outside the band (the Delta ZORDER/Iceberg
+        sort-order analog for a single key).
+
+        Publishes one optimistic-concurrency ``replace`` commit (same
+        conflict/retry contract as ``compact``); old files are deleted
+        — clustering is file maintenance, so it advances the time-travel
+        retention horizon exactly like compaction does."""
+        if self._manifest_files(table) is None:
+            raise ValueError(
+                f"cluster_table: {table} is not commit-log tracked"
+            )
+        for attempt in range(3):
+            self._entry_cache.clear()
+            entries = self._log_entries()
+            base_seq = max((s for s, _ in entries), default=0)
+            old = list(self._manifest_files(table) or [])
+            df = self.read(table)
+            txn = Transaction(self)
+            txn.replace = True
+            txn.base_seq = base_seq
+            txn.append(
+                df.repartitionByRange(n_files, col).sortWithinPartitions(col),
+                table,
+            )
+            try:
+                txn.commit()
+            except CommitConflict:
+                if attempt == 2:
+                    raise
+                self.vacuum_orphans(table)
+                continue
+            table_dir = self._path(table)
+            for rel in old:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(table_dir, rel))
+            return
 
     def merge_table(self, table: str, changes: DataFrame, key: str,
                     version_cols, payload_cols, op_col: str = "op") -> None:

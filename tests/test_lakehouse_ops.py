@@ -283,3 +283,75 @@ class TestStreamMerge:
         )
         got = {r["k"]: r["bal"] for r in wh.read("accounts").collect()}
         assert got == {2: 99.0, 3: 33.0}
+
+
+class TestFileSkipping:
+    def test_cluster_then_prune_skips_files_and_loses_no_rows(
+        self, spark, tmp_path
+    ):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        # keys deliberately shuffled so every unclustered file spans
+        # nearly the whole key range -> pruning can skip nothing
+        df = (
+            spark.range(0, 4000)
+            .select(
+                F.col("id").alias("k"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            )
+            .repartition(8)  # round-robin: each file sees all key ranges
+        )
+        with wh.transaction():
+            wh.append(df, "t")
+        stats = wh._manifest_stats("t")
+        assert stats and all("k" in s for s in stats.values())
+        full = wh.read("t")
+        assert full.count() == 4000
+
+        pruned_before = wh.read("t", prune={"k": (100, 150)})
+        n_files_before = pruned_before.select(
+            F.input_file_name()
+        ).distinct().count()
+
+        wh.cluster_table("t", "k", n_files=8)
+        assert wh.read("t").count() == 4000  # clustering loses nothing
+
+        pruned = wh.read("t", prune={"k": (100, 150)})
+        n_files_after = pruned.select(F.input_file_name()).distinct().count()
+        # after range-clustering a 51-key band lives in 1 (maybe 2) of
+        # the 8 files; before clustering every file overlapped the band
+        assert n_files_before == 8
+        assert n_files_after <= 2
+        # and the pruned read is a superset that filters to the exact rows
+        got = sorted(
+            r["k"] for r in pruned.where(F.col("k").between(100, 150)).collect()
+        )
+        assert got == list(range(100, 151))
+
+    def test_prune_with_no_stats_keeps_everything(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.range(10).select(F.col("id").alias("k")), "t")
+        # prune on a column with no recorded stats: nothing skipped
+        assert wh.read("t", prune={"nope": (0, 1)}).count() == 10
+
+    def test_all_files_skipped_reads_empty_with_schema(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(
+                spark.range(10).select(F.col("id").alias("k")).coalesce(1), "t"
+            )
+        out = wh.read("t", prune={"k": (1000, 2000)})
+        assert out.count() == 0
+        assert out.columns == ["k"]
