@@ -225,20 +225,45 @@ def _build_sf1(spark, sf_dir: str) -> str:
     return out
 
 
+def _plan_counts(df) -> dict:
+    """Join-strategy / exchange / nested-loop counts of the physical
+    plan — the audit signature that must not degrade with scale."""
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "bhj": p.count("BroadcastHashJoin"),
+        "smj": p.count("SortMergeJoin"),
+        "shj": p.count("ShuffledHashJoin"),
+        "exchanges": p.count("Exchange hashpartitioning"),
+        "nested_loop": p.count("BroadcastNestedLoopJoin")
+        + p.count("CartesianProduct"),
+    }
+
+
 def _sf1_point(spark, qmap, sf_dir: str) -> dict:
-    """One-shot sf1 (10x) run of the 5 most expensive queries."""
+    """One-shot sf1 (10x) run of the 5 most expensive queries, plus the
+    plan audit at BOTH scales: a query whose plan grows extra exchanges
+    or flips to a nested loop at 10x the data has a scale bug the sf0.1
+    timing can't see (e.g. a dimension crossing the broadcast threshold).
+    ``plan_same`` False is a flag to read the per-scale counts."""
     t0 = time.perf_counter()
     sf1_dir = _build_sf1(spark, sf_dir)
     gen = round(time.perf_counter() - t0, 4)
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for name in SF1_QUERIES:
         if name not in qmap:
             continue
         t0 = time.perf_counter()
         _noop(qmap[name](spark, sf1_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            c01 = _plan_counts(qmap[name](spark, sf_dir))
+            c1 = _plan_counts(qmap[name](spark, sf1_dir))
+            plans[name] = {"sf01": c01, "sf1": c1, "plan_same": c01 == c1}
+        except Exception as e:  # noqa: BLE001 — audit is best-effort
+            plans[name] = {"error": str(e)[:150]}
     return {"sf": 1.0, "mode": "replicate10_keyshift", "gen_sec": gen,
-            "queries": timings}
+            "queries": timings, "plans": plans}
 
 
 def _replay_secs(spark, incremental: bool, atomic: bool = False) -> float | None:
