@@ -49,6 +49,7 @@ pure Python because those jars aren't in this image. Properties:
 
 from __future__ import annotations
 
+import collections
 import contextlib
 import datetime
 import json
@@ -70,6 +71,15 @@ class CommitConflict(RuntimeError):
     wins contract as a Delta/Iceberg ConcurrentModificationException."""
 
 
+class SnapshotVacuumed(RuntimeError):
+    """``read_at`` asked for a snapshot older than the retention
+    boundary: a later ``compact()``/``cluster_table()`` deleted the data
+    files that snapshot referenced (file maintenance advances the
+    time-travel horizon — the Delta/Iceberg VACUUM contract). The error
+    names the oldest still-readable sequence number; snapshots at or
+    after it remain fully readable."""
+
+
 class Transaction:
     """Pending multi-table append set; see module docstring. Created via
     ``Warehouse.begin()`` / ``Warehouse.transaction()``."""
@@ -87,6 +97,13 @@ class Transaction:
         # appends never conflict — they commute, and the claim loop just
         # takes the next free sequence number.
         self.base_seq: int | None = None
+        # True when the committer will DELETE the files this replace
+        # supersedes (compact/cluster): the entry records it so replay
+        # knows the time-travel retention boundary for the table —
+        # read_at() below this seq raises SnapshotVacuumed instead of a
+        # raw missing-file error. merge_table keeps old files readable
+        # and leaves this False.
+        self.vacuum = False
         self._n = 0
         self._stage_root = os.path.join(wh.root, "_stage", self.txnid)
         self._done = False
@@ -151,6 +168,8 @@ class Transaction:
             }
             if self.stats:
                 entry["stats"] = self.stats
+            if self.vacuum:
+                entry["vacuum"] = True
             tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -170,6 +189,8 @@ class Transaction:
                     seq += 1
                     self._check_conflicts(log_dir, seq, tmp)
             os.unlink(tmp)
+            self.wh._invalidate_state()
+            self.wh._maybe_checkpoint(seq)
         finally:
             # clear the active pointer whatever happened: a failed
             # commit's staged files are NOT deleted here — the entry may
@@ -291,11 +312,36 @@ def _next_seq(log_dir: str) -> int:
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 checkpoint_interval: int = 32):
+        """``checkpoint_interval``: every N commits the committer folds
+        the replayed log state (file set + stats + retention per table)
+        into one ``<seq>.checkpoint.json`` — readers then replay
+        checkpoint + suffix instead of every entry since table birth.
+        At one commit per streaming microbatch the log reaches thousands
+        of entries within days; without checkpoints every read would
+        list AND json-parse all of them (the metadata-plane small-files
+        problem). 0 disables automatic checkpoints (``write_checkpoint``
+        stays available)."""
         self.spark = spark
         self.root = root
+        self.checkpoint_interval = checkpoint_interval
         self._active_txn: Transaction | None = None
-        self._entry_cache: dict[str, dict] = {}  # commit entries are immutable
+        # entries/checkpoints are immutable once linked -> plain caches,
+        # but BOUNDED: a long-lived reader over a microbatch-commit log
+        # must not hold one dict row per commit forever.
+        self._entry_cache: "collections.OrderedDict[int, dict]" = (
+            collections.OrderedDict()
+        )
+        self._ckpt_cache: "collections.OrderedDict[int, dict]" = (
+            collections.OrderedDict()
+        )
+        # (latest_entry_seq, replayed state) for at=None reads: repeat
+        # reads in one session parse only entries newer than the cache
+        self._state_cache: tuple[int, dict] | None = None
+        # observability: entry JSONs parsed by the most recent cold
+        # replay (the number checkpointing bounds; asserted in tests)
+        self.last_replay_parsed = 0
         os.makedirs(root, exist_ok=True)
 
     def _path(self, table: str) -> str:
@@ -328,21 +374,151 @@ class Warehouse:
     def _manifest_dir(self) -> str:
         return os.path.join(self.root, "_commitlog")
 
-    def _log_entries(self) -> list[tuple[int, dict]]:
+    _ENTRY_CACHE_MAX = 512
+    _CKPT_CACHE_MAX = 4
+
+    def _list_log(self) -> tuple[list[int], list[int]]:
+        """One directory listing -> (entry seqs, checkpoint seqs), both
+        sorted. The listing itself is O(dir) — cheap; what checkpoints
+        bound is the PARSING (open + json.load per entry)."""
         d = self._manifest_dir()
         if not os.path.isdir(d):
-            return []
-        out = []
-        for fn in sorted(os.listdir(d)):
-            if not fn.endswith(".json") or not fn[:-5].isdigit():
+            return [], []
+        entries, ckpts = [], []
+        for fn in os.listdir(d):
+            if fn.endswith(".checkpoint.json"):
+                s = fn[: -len(".checkpoint.json")]
+                if s.isdigit():
+                    ckpts.append(int(s))
+            elif fn.endswith(".json") and fn[:-5].isdigit():
+                entries.append(int(fn[:-5]))
+        return sorted(entries), sorted(ckpts)
+
+    def _load_entry(self, seq: int) -> dict | None:
+        entry = self._entry_cache.get(seq)
+        if entry is not None:
+            self._entry_cache.move_to_end(seq)
+            return entry
+        try:
+            with open(os.path.join(self._manifest_dir(), f"{seq:09d}.json")) as f:
+                entry = json.load(f)
+        except FileNotFoundError:
+            return None
+        self._entry_cache[seq] = entry
+        while len(self._entry_cache) > self._ENTRY_CACHE_MAX:
+            self._entry_cache.popitem(last=False)
+        return entry
+
+    def _load_checkpoint(self, seq: int) -> dict | None:
+        ck = self._ckpt_cache.get(seq)
+        if ck is not None:
+            self._ckpt_cache.move_to_end(seq)
+            return ck
+        p = os.path.join(self._manifest_dir(), f"{seq:09d}.checkpoint.json")
+        try:
+            with open(p) as f:
+                ck = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None  # torn/missing checkpoint: caller falls back
+        self._ckpt_cache[seq] = ck
+        while len(self._ckpt_cache) > self._CKPT_CACHE_MAX:
+            self._ckpt_cache.popitem(last=False)
+        return ck
+
+    def _invalidate_state(self) -> None:
+        self._state_cache = None
+
+    @staticmethod
+    def _apply_entry(state: dict, seq: int, entry: dict) -> None:
+        for table, files in entry.get("tables", {}).items():
+            s = entry.get("stats", {}).get(table, {})
+            if entry.get("op") == "replace":
+                state["tables"][table] = list(files)
+                state["stats"][table] = dict(s)
+                if entry.get("vacuum"):
+                    state["retention"][table] = seq
+            else:
+                state["tables"].setdefault(table, []).extend(files)
+                state["stats"].setdefault(table, {}).update(s)
+
+    def _replay_state(self, at: int | None = None) -> dict:
+        """Replay the commit log into {tables: {t: [files]}, stats,
+        retention} as of ``at`` (inclusive; None = head). Reads start
+        from the newest usable checkpoint <= at and parse only the entry
+        SUFFIX after it — O(checkpoint_interval) parses instead of
+        O(total commits). A torn/unreadable checkpoint falls back to the
+        next older one, then to full replay (checkpoints are an
+        optimization, never a correctness dependency)."""
+        entry_seqs, ckpt_seqs = self._list_log()
+        if at is not None:
+            entry_seqs = [s for s in entry_seqs if s <= at]
+            ckpt_seqs = [s for s in ckpt_seqs if s <= at]
+        head = entry_seqs[-1] if entry_seqs else 0
+        if at is None and self._state_cache is not None and \
+                self._state_cache[0] == head:
+            return self._state_cache[1]
+        state: dict = {"tables": {}, "stats": {}, "retention": {}}
+        start = 0
+        for cseq in reversed(ckpt_seqs):
+            ck = self._load_checkpoint(cseq)
+            if ck is not None:
+                state = {
+                    "tables": {t: list(v) for t, v in ck.get("tables", {}).items()},
+                    "stats": {t: dict(v) for t, v in ck.get("stats", {}).items()},
+                    "retention": dict(ck.get("retention", {})),
+                }
+                start = cseq
+                break
+        parsed = 0
+        for seq in entry_seqs:
+            if seq <= start:
                 continue
-            entry = self._entry_cache.get(fn)
+            entry = self._load_entry(seq)
             if entry is None:
-                with open(os.path.join(d, fn)) as f:
-                    entry = json.load(f)
-                self._entry_cache[fn] = entry
-            out.append((int(fn[:-5]), entry))
-        return out
+                continue
+            parsed += 1
+            self._apply_entry(state, seq, entry)
+        self.last_replay_parsed = parsed
+        if at is None:
+            self._state_cache = (head, state)
+        return state
+
+    def _maybe_checkpoint(self, seq: int) -> None:
+        """Called after every commit link: fold state into a checkpoint
+        every ``checkpoint_interval`` commits. Best-effort — a
+        checkpoint failure must never fail the commit it follows."""
+        if not self.checkpoint_interval:
+            return
+        if seq % self.checkpoint_interval == 0:
+            with contextlib.suppress(Exception):
+                self.write_checkpoint(seq)
+
+    def write_checkpoint(self, seq: int | None = None) -> int | None:
+        """Write ``<seq>.checkpoint.json``: the full replayed state
+        (file set + stats + retention per table) as of commit ``seq``
+        (default: the log head). Atomic (tmp + rename) and DETERMINISTIC
+        from the log prefix, so two committers racing to checkpoint the
+        same seq write identical content — last rename wins harmlessly.
+        Returns the checkpointed seq, or None for an empty log."""
+        entry_seqs, _ = self._list_log()
+        if not entry_seqs:
+            return None
+        if seq is None:
+            seq = entry_seqs[-1]
+        state = self._replay_state(at=seq)
+        d = self._manifest_dir()
+        ck = {"seq": seq, **state}
+        tmp = os.path.join(d, f".ckpt-tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, f"{seq:09d}.checkpoint.json"))
+        return seq
+
+    def _latest_seq(self) -> int:
+        entry_seqs, _ = self._list_log()
+        return entry_seqs[-1] if entry_seqs else 0
 
     def _manifest_files(self, table: str,
                         at: int | None = None) -> list[str] | None:
@@ -351,37 +527,20 @@ class Warehouse:
         ``at`` replays the log only through that sequence number — the
         time-travel read (snapshot isolation for free: every commit IS a
         snapshot)."""
-        table = table.lower()
-        tracked, files = False, []
-        for seq, entry in self._log_entries():
-            if at is not None and seq > at:
-                break
-            t = entry.get("tables", {}).get(table)
-            if t is None:
-                continue
-            tracked = True
-            if entry.get("op") == "replace":
-                files = list(t)
-            else:
-                files.extend(t)
-        return files if tracked else None
+        files = self._replay_state(at)["tables"].get(table.lower())
+        return None if files is None else list(files)
 
     def _manifest_stats(self, table: str, at: int | None = None) -> dict:
         """Merged per-file column stats for a tracked table, mirroring
         ``_manifest_files``'s replay (a replace entry resets the map)."""
-        table = table.lower()
-        stats: dict[str, dict] = {}
-        for seq, entry in self._log_entries():
-            if at is not None and seq > at:
-                break
-            if entry.get("tables", {}).get(table) is None:
-                continue
-            s = entry.get("stats", {}).get(table, {})
-            if entry.get("op") == "replace":
-                stats = dict(s)
-            else:
-                stats.update(s)
-        return stats
+        return dict(self._replay_state(at)["stats"].get(table.lower(), {}))
+
+    def min_readable_seq(self, table: str) -> int:
+        """Oldest sequence number whose snapshot of ``table`` is still
+        fully readable: file-maintenance replaces (compact/cluster)
+        delete superseded files and advance this boundary. 0 = all
+        history readable."""
+        return self._replay_state()["retention"].get(table.lower(), 0)
 
     def snapshots(self) -> list[dict]:
         """The commit history: one row per committed transaction —
@@ -389,25 +548,39 @@ class Warehouse:
         file counts. A caveat for time travel: ``compact()``'s replace
         entry rewrites the file SET and deletes the old files, so
         snapshots older than the latest replace may reference vacuumed
-        files (same retention contract as Delta/Iceberg VACUUM)."""
-        return [
-            {
+        files (``read_at`` raises the typed ``SnapshotVacuumed`` there —
+        same retention contract as Delta/Iceberg VACUUM)."""
+        out = []
+        for seq in self._list_log()[0]:
+            entry = self._load_entry(seq)
+            if entry is None:
+                continue
+            out.append({
                 "seq": seq,
                 "txn": entry.get("txn"),
                 "op": entry.get("op"),
                 "tables": {
                     t: len(files) for t, files in entry.get("tables", {}).items()
                 },
-            }
-            for seq, entry in self._log_entries()
-        ]
+            })
+        return out
 
     def read_at(self, table: str, seq: int,
                 schema: T.StructType | None = None) -> DataFrame:
         """Time-travel read: the table exactly as of commit ``seq``
-        (inclusive). Raises for tables not tracked by the commit log —
-        legacy directory layouts have no history to travel."""
+        (inclusive). Raises ``ValueError`` for tables not tracked by the
+        commit log (legacy layouts have no history to travel) and
+        ``SnapshotVacuumed`` for snapshots behind the retention boundary
+        a later compact/cluster established by deleting files."""
         p = self._path(table)
+        boundary = self.min_readable_seq(table)
+        if seq < boundary:
+            raise SnapshotVacuumed(
+                f"snapshot {seq} of {table} predates the retention "
+                f"boundary: a compact/cluster at commit {boundary} deleted "
+                f"the files it referenced; oldest readable snapshot is "
+                f"{boundary}"
+            )
         mf = self._manifest_files(table, at=seq)
         if mf is None:
             raise ValueError(
@@ -532,7 +705,7 @@ class Warehouse:
             # pending) files by name; basePath keeps hive partition
             # columns (dt=...) parsing and pruning
             rels = (mf or []) + pend
-            if prune and mf is not None:
+            if prune and mf is not None and rels:
                 # manifest-stats file skipping: drop a file only when
                 # its recorded [min, max] for EVERY pruned column is
                 # provably outside the requested [lo, hi]; files with
@@ -559,13 +732,14 @@ class Warehouse:
                 rels = kept
                 if not rels:
                     # every file skipped: empty frame with the table's
-                    # schema (read one manifest file schema-only)
-                    one = os.path.join(p, ((mf or []) + pend)[0])
-                    return self.spark.read.option("basePath", p).parquet(
-                        one
-                    ).limit(0) if schema is None else (
-                        self.spark.createDataFrame([], schema=schema)
-                    )
+                    # schema. Schema-only read over the FULL file set
+                    # through the configured reader (footers only, no
+                    # data) so a mergeSchema read still unions evolved
+                    # columns into the empty result.
+                    if schema is not None:
+                        return self.spark.createDataFrame([], schema=schema)
+                    allf = [os.path.join(p, r) for r in (mf or []) + pend]
+                    return reader.option("basePath", p).parquet(*allf).limit(0)
             files = [os.path.join(p, rel) for rel in rels]
             df = reader.option("basePath", p).parquet(*files)
         else:
@@ -620,15 +794,15 @@ class Warehouse:
             # without this the replace would silently drop the racing
             # append's files (lost update).
             for attempt in range(3):
-                self._entry_cache.clear()
-                entries = self._log_entries()
-                base_seq = max((s for s, _ in entries), default=0)
+                self._invalidate_state()
+                base_seq = self._latest_seq()
                 old = list(self._manifest_files(table) or [])
                 df = self.read(table)
                 part_cols = [c for c in df.columns if c == "dt"]
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
+                txn.vacuum = True  # old files deleted below: retention moves
                 if part_cols:
                     txn.append(
                         df.repartition(target_files_per_partition, *part_cols),
@@ -647,6 +821,10 @@ class Warehouse:
                 for rel in old:
                     with contextlib.suppress(OSError):
                         os.remove(os.path.join(table_dir, rel))
+                # natural checkpoint moment: state was just folded to one
+                # replace entry, so the snapshot is at its smallest
+                with contextlib.suppress(Exception):
+                    self.write_checkpoint()
                 return
             return
         df = self.spark.read.parquet(self._path(table))
@@ -673,6 +851,13 @@ class Warehouse:
         most files outside the band (the Delta ZORDER/Iceberg
         sort-order analog for a single key).
 
+        A ``dt``-hive-partitioned table keeps its layout: files are
+        clustered by ``col`` WITHIN each dt directory (``n_files`` value
+        ranges per partition), so partition pruning and file skipping
+        compose — without this, clustering would materialize ``dt`` as a
+        physical column in flat files and the next partitioned append
+        would mix dt-as-directory with dt-as-data under one basePath.
+
         Publishes one optimistic-concurrency ``replace`` commit (same
         conflict/retry contract as ``compact``); old files are deleted
         — clustering is file maintenance, so it advances the time-travel
@@ -682,18 +867,28 @@ class Warehouse:
                 f"cluster_table: {table} is not commit-log tracked"
             )
         for attempt in range(3):
-            self._entry_cache.clear()
-            entries = self._log_entries()
-            base_seq = max((s for s, _ in entries), default=0)
+            self._invalidate_state()
+            base_seq = self._latest_seq()
             old = list(self._manifest_files(table) or [])
             df = self.read(table)
+            part_cols = [c for c in df.columns if c == "dt"]
             txn = Transaction(self)
             txn.replace = True
             txn.base_seq = base_seq
-            txn.append(
-                df.repartitionByRange(n_files, col).sortWithinPartitions(col),
-                table,
-            )
+            txn.vacuum = True
+            if part_cols:
+                # n_files ranges over (dt, col); partitionBy then peels
+                # dt into directories, so each written file covers a
+                # narrow col band inside its dt dir
+                clustered = df.repartitionByRange(
+                    max(n_files, 1), *part_cols, col
+                ).sortWithinPartitions(*part_cols, col)
+                txn.append(clustered, table, partition_by=part_cols)
+            else:
+                txn.append(
+                    df.repartitionByRange(n_files, col).sortWithinPartitions(col),
+                    table,
+                )
             try:
                 txn.commit()
             except CommitConflict:
@@ -705,6 +900,8 @@ class Warehouse:
             for rel in old:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(table_dir, rel))
+            with contextlib.suppress(Exception):
+                self.write_checkpoint()
             return
 
     def merge_table(self, table: str, changes: DataFrame, key: str,
@@ -728,9 +925,8 @@ class Warehouse:
         if not self.exists(table):
             raise ValueError(f"merge_table: unknown table {table}")
         for attempt in range(3):
-            self._entry_cache.clear()
-            entries = self._log_entries()
-            base_seq = max((s for s, _ in entries), default=0)
+            self._invalidate_state()
+            base_seq = self._latest_seq()
             current = self.read(table)
             merged = cdc.apply_changelog(
                 current, changes, key=key, version_cols=version_cols,
