@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with
-a noop sink (count() alone can let Catalyst prune column work).
+Prints the full result as one JSON line {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}, then a
+FINAL compact JSON line (<=1,500 chars, parses standalone) carrying the
+headline value + per-query medians + calibration + replay — the driver
+records only a ~2,000-char stdout tail, so the last line must always
+hold the evidence. Each query is forced end-to-end with a noop sink
+(count() alone can let Catalyst prune column work).
 
 Round-5 additions (so a cross-round comparison can tell a *plan*
 regression from a *machine* slowdown — round 4's numbers were uniformly
@@ -227,8 +231,24 @@ def _build_sf1(spark, sf_dir: str) -> str:
 
 def _plan_counts(df) -> dict:
     """Join-strategy / exchange / nested-loop counts of the physical
-    plan — the audit signature that must not degrade with scale."""
-    p = df._jdf.queryExecution().executedPlan().toString()
+    plan — the audit signature that must not degrade with scale.
+
+    The dataset's own QueryExecution is EXECUTED first (JVM-side row
+    count of the physical RDD, nothing collected to Python): under AQE
+    the pre-execution executedPlan is the initial AdaptiveSparkPlan,
+    and the runtime join-strategy flips this audit exists to catch
+    (broadcast threshold crossings at 10x data) only appear in the
+    final plan after execution."""
+    qe = df._jdf.queryExecution()
+    try:
+        qe.executedPlan().execute().count()
+    except Exception:  # noqa: BLE001 — audit still reads the initial plan
+        pass
+    p = qe.executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==": count only the final section, else every
+    # node is double-counted
+    p = p.split("== Initial Plan ==")[0]
     return {
         "bhj": p.count("BroadcastHashJoin"),
         "smj": p.count("SortMergeJoin"),
@@ -363,6 +383,15 @@ def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | 
             seed.wh.append_transactions(ext)
             have_days = n_days
         target = day1 + datetime.timedelta(days=n_days - 1)
+        # Attribution yardstick (round-5 verdict item #3): a bare full
+        # scan of the same fact history. If rules_full_{n}d drifts
+        # round-over-round while this number holds, the regression is in
+        # the rules; if both drift by the same factor, it's the machine
+        # or file layout — the r4->r5 365d drift was unattributable
+        # precisely because no pure-scan baseline was on record.
+        t0 = time.perf_counter()
+        _noop(seed.wh.read_transactions())
+        out[f"history_scan_{n_days}d"] = round(time.perf_counter() - t0, 4)
         for mode, flag in (("full", False), ("incremental", True)):
             run_root = tempfile.mkdtemp(prefix="bench_rules_run_")
             shutil.rmtree(run_root)
@@ -533,6 +562,43 @@ def main() -> None:
     if replay:
         out["replay"] = replay
     print(json.dumps(out))
+    print(_compact_line(out))
+
+
+def _compact_line(out: dict) -> str:
+    """A final <=1,500-char JSON line that parses standalone.
+
+    The driver records only a ~2,000-char stdout TAIL; in round 5 the
+    one big JSON line put the headline total, per-query medians, and
+    calibration probes in the truncated prefix and the judge had to
+    re-measure the round's headline metric. Printing the full JSON
+    first and this compact summary LAST makes the tail always carry
+    the evidence: value + per-query medians + calibration + replay.
+    Optional blocks are dropped largest-first if the line would exceed
+    the budget."""
+    cal = out.get("calibration", {})
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "bench_trials": out.get("bench_trials"),
+        "queries": out.get("queries", {}),
+        "calibration": {
+            k: v.get("median") for k, v in cal.items() if isinstance(v, dict)
+        },
+        "replay": {
+            k: v for k, v in out.get("replay", {}).items()
+            if isinstance(v, (int, float))
+        },
+        "sf1_queries": (out.get("sf1") or {}).get("queries", {}),
+    }
+    for drop in ("sf1_queries", "replay", "queries"):
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1500:
+            return line
+        compact.pop(drop, None)
+    return json.dumps(compact, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -246,6 +246,18 @@ class DailyBatch:
         acc = self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
         persisted = []
         deferred: list[tuple[str, str, DataFrame]] = []
+        if not self.incremental:
+            # Faithful mode derives every rule from the SAME full-history
+            # fact scan and full mart (the reference's posture); each
+            # rule's per-stage job would otherwise re-run both scans, so
+            # a year of history gets read four times per day. Persisting
+            # them once is pure caching — zero semantic change to the
+            # reference-parity results — and turns the faithful mode's
+            # history cost from 4x scans into one scan + cache reads
+            # (MEMORY_AND_DISK: long histories spill instead of OOM).
+            tx = tx_day = tx_band = tx.persist()
+            stored = stored.persist()
+            persisted.extend([tx, stored])
 
         def settle(df, audit_name, short):
             """Materialize one rule's hits once (each result feeds the
