@@ -32,14 +32,30 @@ def interval_overlap_join(points: DataFrame, intervals: DataFrame,
     Columns from both inputs survive (bucket helpers are dropped);
     overlapping column names must be disambiguated by the caller
     beforehand. NULL timestamps/bounds never match (SQL semantics).
+
+    ``how``: ``inner`` (matching pairs only) or ``left`` (every point
+    survives; interval columns NULL where no interval contains it —
+    exactly once per unmatched point, because a point's ts lies in one
+    bucket). The BETWEEN predicate is part of the JOIN CONDITION, not a
+    post-join filter — a post-filter would silently collapse the outer
+    variant back to inner by dropping the NULL-bound unmatched rows.
+    A left-outer on the INTERVALS side is not offered: the interval
+    side is bucket-exploded, so its unmatched rows would surface once
+    per spanned bucket; reverse the arguments' roles instead.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_overlap_join: how={how!r} unsupported — 'inner' or "
+            "'left' (points-preserving); interval-preserving outer joins "
+            "would duplicate unmatched intervals per exploded bucket"
+        )
     # Integer `div` (never float `/` + floor): bucket ids must be
     # computed EXACTLY the same on both sides or a boundary pair can
     # land in different buckets and silently vanish from the join.
     us = int(bucket_seconds) * 1_000_000
-    p = points.withColumn("_b", F.expr(f"unix_micros({ts_col}) div {us}"))
+    p = points.withColumn("_pb", F.expr(f"unix_micros({ts_col}) div {us}"))
     iv = intervals.withColumn(
-        "_b",
+        "_ib",
         F.explode(
             F.sequence(
                 F.expr(f"unix_micros({start_col}) div {us}"),
@@ -47,8 +63,9 @@ def interval_overlap_join(points: DataFrame, intervals: DataFrame,
             )
         ),
     )
-    joined = p.join(iv, "_b", how).where(
-        (F.col(ts_col) >= F.col(start_col))
+    cond = (
+        (F.col("_pb") == F.col("_ib"))
+        & (F.col(ts_col) >= F.col(start_col))
         & (F.col(ts_col) <= F.col(end_col))
     )
-    return joined.drop("_b")
+    return p.join(iv, cond, how).drop("_pb", "_ib")

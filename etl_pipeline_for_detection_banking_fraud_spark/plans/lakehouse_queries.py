@@ -228,8 +228,14 @@ def window_count_distinct(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL-aware marker: COUNT(DISTINCT) ignores NULLs, but row_number
+    # over the NULL partition would still emit a first-occurrence
+    # marker — guard it so the rewrite matches the oracle's semantics
+    # unconditionally, not just on NULL-free data.
     marked = ev.withColumn(
-        "_first", (F.row_number().over(w_first) == 1).cast("long")
+        "_first",
+        ((F.row_number().over(w_first) == 1)
+         & F.col("event_type").isNotNull()).cast("long"),
     )
     return marked.select(
         "event_id", "user_id",

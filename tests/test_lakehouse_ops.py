@@ -149,6 +149,38 @@ class TestIntervalOverlapJoin:
             == 0
         )
 
+    def test_left_preserves_unmatched_points_once(self, spark):
+        """Round-5 advisor: `how` used to be applied before a post-join
+        BETWEEN filter, silently collapsing left to inner. The predicate
+        now lives in the join condition: unmatched points (including
+        NULL-ts ones) survive exactly once with NULL interval columns."""
+        points = spark.createDataFrame(
+            [
+                (1, _ts("2021-03-01 02:30:00")),  # inside interval 10
+                (2, _ts("2021-03-05 00:00:00")),  # matches nothing
+                (3, None),                        # NULL ts: unmatched
+            ],
+            "pid long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [(10, _ts("2021-03-01 00:00:00"), _ts("2021-03-01 05:00:00"))],
+            "ivid long, start_ts timestamp, end_ts timestamp",
+        )
+        rows = {
+            r["pid"]: r["ivid"]
+            for r in ranges.interval_overlap_join(
+                points, intervals, "ts", "start_ts", "end_ts", how="left"
+            ).collect()
+        }
+        assert rows == {1: 10, 2: None, 3: None}
+
+    def test_interval_preserving_outer_refused(self, spark):
+        points = spark.createDataFrame([(1, None)], "pid long, ts timestamp")
+        with pytest.raises(ValueError, match="unsupported"):
+            ranges.interval_overlap_join(
+                points, points, "ts", "ts", "ts", how="right"
+            )
+
 
 class TestPrefilterSemiJoin:
     def test_exact_even_with_forced_collisions(self, spark):

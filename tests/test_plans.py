@@ -120,3 +120,40 @@ def test_prefilter_semi_join_broadcasts_bucket_set(spark, sf01):
 def test_text_chunk_no_shuffle(spark, sf01):
     plan = _plan(QD["text_chunk"].spark(spark, sf01))
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_window_count_distinct_null_aware(spark, tmp_path):
+    """Round-5 advisor: the first-occurrence-marker rewrite must NOT
+    count a NULL event_type as a distinct value (COUNT(DISTINCT)
+    ignores NULLs). The driver's events table has no NULL types, so
+    this differential runs both sides over a synthetic table WITH
+    them."""
+    import datetime as dt
+
+    import duckdb
+
+    d = str(tmp_path)
+    rows = [
+        (1, 7, "A", dt.datetime(2021, 3, 1, 0, 0, 0)),
+        (2, 7, None, dt.datetime(2021, 3, 1, 0, 0, 1)),
+        (3, 7, "B", dt.datetime(2021, 3, 1, 0, 0, 2)),
+        (4, 7, None, dt.datetime(2021, 3, 1, 0, 0, 3)),
+        (5, 8, None, dt.datetime(2021, 3, 1, 0, 0, 0)),
+        (6, 8, "A", dt.datetime(2021, 3, 1, 0, 0, 1)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    got = {
+        r["event_id"]: r["n_types_seen"]
+        for r in QD["window_count_distinct"].spark(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    want = {
+        row[0]: row[2]
+        for row in con.execute(QD["window_count_distinct"].sql).fetchall()
+    }
+    assert got == want
+    assert got[2] == 1 and got[4] == 2 and got[5] == 0  # NULLs not counted
