@@ -463,6 +463,78 @@ def _index_maintenance_bench(spark, sf_dir: str, days: int = 90) -> dict:
     }
 
 
+def _fact_clustering_bench(spark, days: int = 30) -> dict:
+    """Read-side win of time-clustering the fact table (round-6 wiring
+    of manifest-stats skipping into the pipeline read path): the rules
+    3-4 midnight-straddle band read over `days` of history, first with
+    files clustered by an unrelated key (card_num — every file spans its
+    whole day, pruning can skip nothing), then after
+    optimize_facts-style transaction_date clustering (each file covers
+    a narrow time band, the lookback day contributes only its final
+    hour's files)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.csv_source import (
+        read_transactions as read_feed,
+    )
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    if not os.path.isdir(os.path.join(REF_DATA, "data")):
+        return {}
+    tx = read_feed(
+        spark, os.path.join(REF_DATA, "data", "transactions_01032021.txt")
+    )
+    rng = spark.range(days).select(F.col("id").cast("int").alias("shift"))
+    shifted = (
+        tx.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "transaction_date",
+            F.col("transaction_date") + F.make_dt_interval(days=F.col("shift")),
+        )
+        .withColumn("transaction_id", F.concat_ws("_", "transaction_id", "shift"))
+        .drop("shift")
+    )
+    root = tempfile.mkdtemp(prefix="bench_fact_cluster_")
+    wh = Warehouse(spark, root)
+    with wh.transaction():
+        wh.append_transactions(shifted)
+    fact = "dwh_fact_transactions"
+    last = datetime.date(2021, 3, 1) + datetime.timedelta(days=days - 1)
+    band_lo = datetime.datetime.combine(
+        last, datetime.time.min
+    ) - datetime.timedelta(seconds=3599)
+
+    def band_read():
+        return wh.read_transactions(
+            fact, since=last - datetime.timedelta(days=1), until=last,
+            prune={"transaction_date": (band_lo.isoformat(), None)},
+        ).where(F.col("transaction_date") >= F.lit(band_lo))
+
+    out: dict = {"days": days}
+    wh.cluster_table(fact, "card_num", n_files=days * 4)
+    df = band_read()
+    out["files_card_clustered"] = len(df.inputFiles())
+    t0 = time.perf_counter()
+    _noop(df)
+    out["read_card_clustered_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    wh.cluster_table(fact, "transaction_date", n_files=days * 4)
+    out["cluster_sec"] = round(time.perf_counter() - t0, 4)
+    df = band_read()
+    out["files_time_clustered"] = len(df.inputFiles())
+    t0 = time.perf_counter()
+    _noop(df)
+    out["read_time_clustered_sec"] = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -544,6 +616,10 @@ def main() -> None:
         index_maint = _index_maintenance_bench(spark, sf_dir)
     except Exception as e:
         index_maint = {"error": str(e)[:300]}
+    try:
+        fact_cluster = _fact_clustering_bench(spark)
+    except Exception as e:
+        fact_cluster = {"error": str(e)[:300]}
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -559,6 +635,8 @@ def main() -> None:
         out["sf1"] = sf1
     if index_maint:
         out["index_maintenance"] = index_maint
+    if fact_cluster:
+        out["fact_clustering"] = fact_cluster
     if replay:
         out["replay"] = replay
     print(json.dumps(out))

@@ -80,6 +80,21 @@ class DailyBatch:
         self.lookback_days = lookback_days
         self.atomic = atomic
 
+    # Widest pair window any rule needs from the previous day: rule 3's
+    # trailing 3599s frame (rule 4's decreasing triples span <1200s).
+    RULE_BAND_SECONDS = 3599
+
+    def optimize_facts(self) -> None:
+        """File maintenance for the fact table (atomic/tracked mode):
+        cluster files by ``transaction_date`` WITHIN each dt partition so
+        the manifest's per-file time stats become narrow bands. The
+        incremental rules 3-4 lookback read then file-skips everything in
+        yesterday's partition except the files covering the final
+        midnight-straddle hour — partition pruning and file skipping
+        compose (run after the day's commit; same optimistic-concurrency
+        replace contract as ``Warehouse.cluster_table``)."""
+        self.wh.cluster_table(FACT_TX, "transaction_date")
+
     @contextlib.contextmanager
     def _maybe_txn(self):
         """One commit-log transaction around the block when atomic mode
@@ -207,11 +222,26 @@ class DailyBatch:
             # Partition-pruned reads: rules 1-2 see exactly today's partition;
             # rules 3-4 see a lookback band for midnight-straddling pairs.
             tx_day = self.wh.read_transactions(FACT_TX, since=date_global, until=date_global)
+            # Rules 3-4 only pair within RULE_BAND_SECONDS (rule 3's
+            # 1-hour frame; rule 4's triples are narrower), so from the
+            # lookback partitions only rows after midnight-minus-band
+            # matter: earlier rows can neither pair with a current-day
+            # transaction nor produce a hit yesterday's run didn't
+            # already insert (the same daily-cadence assumption the
+            # lookback itself rests on). The row filter BELOW fixes the
+            # semantics independent of file layout; `prune` additionally
+            # skips whole lookback files whose manifest time stats end
+            # before the band — sharp after optimize_facts() clustering,
+            # a no-op on untracked/unclustered layouts.
+            band_lo = datetime.datetime.combine(
+                date_global, datetime.time.min
+            ) - datetime.timedelta(seconds=self.RULE_BAND_SECONDS)
             tx_band = self.wh.read_transactions(
                 FACT_TX,
                 since=date_global - datetime.timedelta(days=self.lookback_days),
                 until=date_global,
-            )
+                prune={"transaction_date": (band_lo.isoformat(), None)},
+            ).where(F.col("transaction_date") >= F.lit(band_lo))
         else:
             tx_day = tx_band = self.wh.read_transactions(FACT_TX)
         tx = tx_day

@@ -65,6 +65,13 @@ def get_spark(
         # -filter join pruning and parquet filter pushdown are already on
         # by default in Spark 4 — asserted in tests/test_session_scale.py.)
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # TIMESTAMP_MICROS over legacy INT96: INT96 pages carry NO
+        # parquet min/max statistics, which silently blinds both the
+        # engine's manifest-stats file skipping (warehouse read(prune=))
+        # and any other engine's row-group pruning on timestamp
+        # predicates. Micros is the modern cross-engine representation
+        # and lossless for Spark's internal microsecond timestamps.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

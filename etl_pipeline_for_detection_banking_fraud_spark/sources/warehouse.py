@@ -271,7 +271,27 @@ def _file_stats(path: str) -> dict:
                     dropped.add(name)
                     out.pop(name, None)
                     continue
-                lo, hi = st.min, st.max
+                try:
+                    # per-column guard: pyarrow raises
+                    # ArrowNotImplementedError extracting min/max for
+                    # some physical types (e.g. wide decimals) — that
+                    # must drop THIS column only, not (as it silently
+                    # did pre-round-6, via the outer except) every
+                    # stat of every column in the file
+                    lo, hi = st.min, st.max
+                except Exception:
+                    dropped.add(name)
+                    out.pop(name, None)
+                    continue
+                # timestamps/dates as ISO strings: JSON-safe, and
+                # lexicographic order == chronological order for a
+                # fixed format, so the string comparator in
+                # read(prune=...) prunes time bands correctly (callers
+                # pass datetime.isoformat() bounds)
+                if isinstance(lo, (datetime.datetime, datetime.date)):
+                    lo = lo.isoformat()
+                if isinstance(hi, (datetime.datetime, datetime.date)):
+                    hi = hi.isoformat()
                 if not all(isinstance(v, (int, float, str, bool)) for v in (lo, hi)):
                     dropped.add(name)
                     out.pop(name, None)
@@ -1023,16 +1043,28 @@ class Warehouse:
 
     def read_transactions(self, table: str = "dwh_fact_transactions",
                           since: "datetime.date | None" = None,
-                          until: "datetime.date | None" = None) -> DataFrame:
+                          until: "datetime.date | None" = None,
+                          prune: dict | None = None) -> DataFrame:
         """Fact read; `since`/`until` filter on the `dt` partition column
         BEFORE it is dropped, so Catalyst turns them into PartitionFilters
         and the scan only lists the matching day directories — the read
-        stays O(days requested), not O(history), at 100 TB."""
+        stays O(days requested), not O(history), at 100 TB.
+
+        ``prune`` forwards to ``read``'s manifest-stats file skipping
+        (commit-log-tracked tables only; a no-op elsewhere): after
+        ``cluster_table(..., 'transaction_date')`` each file covers a
+        narrow time band per day directory, so a band read like the
+        fraud rules' midnight-straddle lookback skips the ~23/24 of
+        yesterday's files that provably end before the band. Timestamp
+        bounds are passed as ``datetime.isoformat()`` strings (how the
+        manifest records them). Strict superset contract: pruning only
+        drops files proven irrelevant — callers still apply their row
+        filters."""
         from .. import schemas
 
         if not self.exists(table):
             return self.spark.createDataFrame([], schema=schemas.TRANSACTIONS)
-        df = self.read(table)
+        df = self.read(table, prune=prune)
         if since is not None:
             df = df.where(F.col("dt") >= F.lit(since))
         if until is not None:
