@@ -62,23 +62,52 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame, key: str,
     Output schema == snapshot schema. ``changes`` must contain
     ``key``, ``op_col`` and every ``payload_cols`` name (same names as
     the snapshot columns they replace).
+
+    VERSION-AWARE mode (out-of-order safety): when the snapshot schema
+    carries EVERY ``version_cols`` column, each key's stored version
+    guards the merge — a change whose version is not strictly newer
+    than the stored row's is ignored (stale updates AND stale deletes),
+    and an applied change also writes its version columns. This is the
+    ``MERGE ... WHEN MATCHED AND source.v > target.v`` CDC pattern: it
+    makes applying changelog batches COMMUTE, so late/out-of-order
+    microbatch delivery converges to the single-batch merge (pinned by
+    tests/test_cdc_property.py::test_batched_merge_order_independent).
+    A stored NULL version (or NULL-vs-NULL incomparability) lets the
+    change win — unknown version means "no basis to refuse". Without
+    the version columns in the snapshot there is nothing to compare:
+    last-merged-batch wins, as before.
     """
+    version_aware = all(c in snapshot.columns for c in version_cols)
+    extra = [
+        F.col(c).alias(f"_newv_{c}") for c in version_cols
+    ] if version_aware else []
     latest = latest_per_key(changes, key, version_cols).select(
         F.col(key).alias("_ck"), F.col(op_col).alias("_op"),
         *[F.col(c).alias(f"_new_{c}") for c in payload_cols],
+        *extra,
     )
-    joined = snapshot.join(
-        latest, snapshot[key] == latest["_ck"], "full_outer"
-    ).where(F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
+    joined = snapshot.join(latest, snapshot[key] == latest["_ck"], "full_outer")
+    if version_aware:
+        newer = F.coalesce(
+            F.struct(*[F.col(f"_newv_{c}") for c in version_cols])
+            > F.struct(*[snapshot[c] for c in version_cols]),
+            F.lit(True),  # incomparable (NULL stored version): change wins
+        )
+        applied = F.col("_op").isNotNull() & (snapshot[key].isNull() | newer)
+    else:
+        applied = F.col("_op").isNotNull()
+    joined = joined.where(~(applied & (F.col("_op") == F.lit("D"))))
     out_cols = []
     for c in snapshot.columns:
         if c == key:
             out_cols.append(F.coalesce(F.col(key), F.col("_ck")).alias(key))
         elif c in payload_cols:
             out_cols.append(
-                F.when(F.col("_op").isNotNull(), F.col(f"_new_{c}"))
-                .otherwise(F.col(c))
-                .alias(c)
+                F.when(applied, F.col(f"_new_{c}")).otherwise(F.col(c)).alias(c)
+            )
+        elif version_aware and c in version_cols:
+            out_cols.append(
+                F.when(applied, F.col(f"_newv_{c}")).otherwise(F.col(c)).alias(c)
             )
         else:
             out_cols.append(F.col(c))

@@ -428,6 +428,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # not just skew — which is why max_df pre-filters below, before any
     # array is collected. No persist barrier: nothing is scanned twice,
     # and the session excludes InferFiltersFromGenerate (session.py).
+    inter = _ngram_intersections(df, text_col, id_col, n, max_df)
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def _ngram_intersections(df: DataFrame, text_col: str, id_col: str, n: int,
+                         max_df: int | None) -> DataFrame:
+    """Exact pairwise shingle-intersection counts
+    (id_a, n_a, id_b, n_b, n_inter) via the join-free inverted-index
+    bucket shape — the shared core of the Jaccard and containment
+    operators."""
     inv = ngram_shingle_index(df, text_col, id_col, n)
     if max_df is not None:
         # Stop-shingles must be dropped BEFORE collect_list: this shape
@@ -470,18 +488,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             )
         ).alias("p")
     ).select("p.id_a", "p.n_a", "p.id_b", "p.n_b")
-    inter = (
+    return (
         pairs.groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.8,
+                      max_df: int | None = None) -> DataFrame:
+    """Doc pairs where the SMALLER shingle set is >= threshold contained
+    in the other: containment = |A ∩ B| / min(|A|, |B|).
+
+    Catches the truncation/quotation duplicates Jaccard structurally
+    misses: a 100-shingle excerpt fully contained in a 10,000-shingle
+    doc has Jaccard ~0.01 but containment 1.0 (the CCNet/Gopher-style
+    complement to `ngram_jaccard_pairs`; Broder's containment measure
+    from the original resemblance paper). Same inverted-index bucket
+    shape, same single data-sized shuffle, same `max_df` hot-shingle
+    guard (dropped shingles can only lower the score — document the
+    cutoff when curating)."""
+    inter = _ngram_intersections(df, text_col, id_col, n, max_df)
     return (
         inter.withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            "containment",
+            F.col("n_inter").cast("double") / F.least("n_a", "n_b"),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_inter", "jaccard")
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", "containment")
     )
 
 

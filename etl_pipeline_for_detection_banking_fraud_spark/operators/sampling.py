@@ -84,3 +84,35 @@ def weighted_mix(df: DataFrame, rates: dict[str, float],
     for s, b in bounds.items():
         expr = F.when(F.col(source_col) == s, F.lit(b)).otherwise(expr)
     return df.where(hash60(F.col(key_col), seed) < expr)
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    key_col: str = "doc_id",
+                    seed: str = "w0") -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of k rows
+    (Efraimidis–Vitter A-Res): each row draws u from its content hash
+    and ranks by u^(1/weight); the top-k ranks ARE a weighted sample
+    without replacement. Rows with non-positive/NULL weight are
+    excluded (they'd rank -inf anyway).
+
+    Same determinism contract as the other samplers: u comes from
+    md5(seed|key), so membership is partition-independent, re-run
+    stable, and bit-reproducible in any engine with md5 + pow — the
+    DuckDB oracle computes the identical keys. The selection executes
+    as a global TakeOrdered (orderBy + limit): no single-partition
+    window, each partition ships only its local top-k.
+
+    Curation use: size-balanced corpus draws (weight = doc length gives
+    token-proportional sampling; weight = 1/cluster_size flattens
+    near-dup clusters).
+    """
+    two60 = float(1 << HASH_BITS)
+    u = (hash60(F.col(key_col), seed).cast("double") + F.lit(0.5)) / F.lit(two60)
+    es_key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es", es_key)
+        .orderBy(F.desc("_es"), F.col(key_col))
+        .limit(k)
+        .drop("_es")
+    )

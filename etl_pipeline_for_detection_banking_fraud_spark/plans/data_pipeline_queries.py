@@ -1262,3 +1262,75 @@ def graph_pagerank(spark, sf_dir):
         F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
     )
     return graph.pagerank(edges, n_iter=3, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: containment dedup, weighted sampling, blocked fuzzy matching
+# ---------------------------------------------------------------------------
+
+from ..operators import linkage  # noqa: E402
+
+
+@_q(
+    "dedup_containment",
+    "dedup: shingle-containment pairs |A∩B|/min(|A|,|B|) — catches the "
+    "truncation/excerpt duplicates Jaccard structurally misses (Broder's "
+    "containment measure; CCNet/Gopher curation complement)",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES}
+    SELECT i.id_a, i.id_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    JOIN sized sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+_TWO60 = float(1 << sampling.HASH_BITS)
+_ES_KEY = (
+    "pow((CAST('0x' || substr(md5('w0|' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) + 0.5) / {_TWO60!r}, 1.0 / n_chars)"
+)
+
+
+@_q(
+    "sample_weighted",
+    "sampling: deterministic weighted sample without replacement "
+    "(Efraimidis–Vitter A-Res over content-hash uniforms — "
+    "length-proportional corpus draws, engine-reproducible)",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars > 0
+    ORDER BY {_ES_KEY} DESC, doc_id
+    LIMIT 300
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_sample(doc, 300, "n_chars", "doc_id", seed="w0")
+
+
+@_q(
+    "fuzzy_match_pairs",
+    "entity resolution: blocked Levenshtein pairs — equi-join blocking "
+    "keeps the edit-distance predicate O(block²), never O(n²); "
+    "F.levenshtein is JVM codegen and exists verbatim in DuckDB",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM part a JOIN part b USING (p_brand)
+    WHERE a.p_partkey < b.p_partkey
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_match_pairs(spark, sf_dir):
+    return linkage.fuzzy_match_pairs(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_name",
+        ["p_brand"], max_distance=2,
+    )

@@ -770,36 +770,41 @@ def sessionize(spark, sf_dir):
 # row plus the local parity suite (tests/test_oracle_parity.py runs every
 # catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
-    # new in r5 — never reported
-    "cdc_upsert", "interval_overlap_join", "semi_join_prefilter",
-    "range_frame_window", "text_chunk", "window_count_distinct",
-    "ratio_to_report", "histogram_equiwidth", "freq_items_bounds",
-    "text_decontaminate", "dedup_semantic", "multimodal_image", "dq_checks",
-    "text_tokens_bpe", "text_winnow", "embedding_quantize", "kmeans_iter2",
-    "graph_pagerank",
-    "approx_stats_bounds", "string_agg_ordered", "intersect_key",
-    "window_tumbling", "full_outer_join", "text_repetition",
-    "text_regex_scan", "embedding_centroids", "corpus_mix",
-    "pack_sequences",
-    # newest driver row is r03 (rotated out of the capped r04 report):
-    "scan_filter_project", "cast_project", "concat_coalesce", "date_arith",
-    "between_filter", "null_filters", "nullsafe_neq", "join_chain",
-    "left_join_count", "anti_join", "semi_join", "row_counts", "min_max_date",
-    "skew_salted_agg",
-    # rows-only by design: reports its declared no_oracle row each round
-    # (its sketch VALUES are now exact-oracle-covered via
-    # approx_stats_bounds above)
-    "approx_stats",
-]
-_REPORT_LAST = [
-    # green in r04 AND covered by the golden 3-day replay + planted-
-    # fixture unit tests — the strongest independent evidence in the
-    # repo, so these can afford to rotate out of a capped r05 report
+    # new in r6 — never reported
+    "dedup_containment", "sample_weighted", "fuzzy_match_pairs",
+    # r06 rotation: every entry whose newest driver evidence is r04
+    # (rotated out of the capped r05 report) goes first, so nothing
+    # stays two rounds without fresh oracle evidence
     "timeband_self_join", "timeband_window", "decreasing_triple",
     "asof_join", "scd2_apply", "first_per_group", "distinct_pairs",
     "groupby_agg", "topk_per_group", "union_except", "sessionize",
     "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "sim_cosine_topk",
+    "sim_cosine_pairs", "sim_cosine_pairs_lsh", "sim_ann_lsh",
+    "multimodal_features", "sample_hash", "sample_stratified_n",
+    "text_tfidf_topk", "sim_ann_ivf", "pivot_agg", "rollup_agg",
+    "distinct_count_agg", "string_funcs", "global_topk", "running_window",
+    "lead_lag_window", "rank_funcs", "date_parts", "scalar_subquery",
+    "case_when_bucketing", "json_extract", "tpch_q3_shape",
+    "quantiles_exact", "cube_agg",
+]
+_REPORT_LAST = [
+    # reported green in r05 — freshest evidence, can wait
+    "scan_filter_project", "cast_project", "concat_coalesce", "date_arith",
+    "between_filter", "null_filters", "nullsafe_neq", "join_chain",
+    "left_join_count", "anti_join", "semi_join", "row_counts",
+    "min_max_date", "dedup_minhash_incr", "array_funcs",
+    "dedup_clusters_star", "dedup_ngram_jaccard", "dedup_ngram_incr",
+    "dedup_simhash", "dedup_simhash_pairs", "text_repetition",
+    "text_regex_scan", "embedding_centroids", "corpus_mix", "pack_sequences",
+    "text_decontaminate", "dedup_semantic", "multimodal_image",
+    "text_tokens_bpe", "text_winnow", "embedding_quantize", "kmeans_iter2",
+    "graph_pagerank", "approx_stats", "approx_stats_bounds",
+    "skew_salted_agg", "string_agg_ordered", "intersect_key",
+    "window_tumbling", "full_outer_join", "dq_checks", "cdc_upsert",
+    "interval_overlap_join", "semi_join_prefilter", "range_frame_window",
+    "text_chunk", "window_count_distinct", "ratio_to_report",
+    "histogram_equiwidth", "freq_items_bounds",
 ]
 
 

@@ -299,12 +299,15 @@ def stream_merge_to_warehouse(changes_stream: DataFrame, wh, checkpoint_dir: str
     lands every key in the same state (an update overwrites with the
     same payload, a delete of an absent key no-ops, a re-insert
     overwrites the identical row), so a checkpoint replay after a crash
-    converges instead of double-appending. Cross-batch ordering is
-    irrelevant to correctness only if ``version_cols`` is a total order
-    carried in the data (the merge keeps the per-batch newest; a
-    late-arriving OLDER version in a later batch would win the later
-    merge) — feed batches in source order, as Spark's checkpoint
-    guarantees.
+    converges instead of double-appending. Late/out-of-order batches:
+    make the TABLE schema carry the ``version_cols`` — the merge then
+    runs version-aware (``apply_changelog``'s MERGE-guard mode: a
+    change not strictly newer than the stored row's version is
+    ignored), so batch application commutes and changelog versions
+    arriving across microbatch boundaries in any order converge to the
+    single-batch merge. Without stored versions, cross-batch ordering
+    falls back to last-merged-batch-wins — then feed batches in source
+    order, as Spark's checkpoint replay guarantees.
 
     Scale note: each merge rewrites the table's full file set (replace
     commit) — right for dimension-sized tables at mini-batch cadence;

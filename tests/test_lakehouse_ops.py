@@ -316,6 +316,71 @@ class TestStreamMerge:
         got = {r["k"]: r["bal"] for r in wh.read("accounts").collect()}
         assert got == {2: 99.0, 3: 33.0}
 
+    def test_late_batches_converge_to_batch_merge(self, spark, tmp_path):
+        """Round-5 verdict item #8: changelog versions arriving across
+        microbatch boundaries in REVERSE must converge to the one-shot
+        batch merge. The table schema carries the version column, so
+        each microbatch merge runs version-aware: the late batch's
+        older changes lose against the already-stored newer versions."""
+        from etl_pipeline_for_detection_banking_fraud_spark.operators import cdc
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming.ingest import (
+            stream_merge_to_warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        schema = "k long, v long, op string, bal double"
+        with wh.transaction():
+            wh.append(
+                spark.createDataFrame(
+                    [(1, 0, 10.0), (2, 0, 20.0), (4, 0, 40.0)],
+                    "k long, v long, bal double",
+                ).coalesce(1),
+                "accounts",
+            )
+        all_changes = [
+            # NEWER half — arrives FIRST (the out-of-order delivery)
+            (1, 2, "U", 111.0),   # newest update for 1
+            (3, 2, "I", 30.0),    # newest insert for 3
+            (4, 2, "D", None),    # newest: delete 4
+            # OLDER half — arrives LATE in a second microbatch
+            (1, 1, "U", 99.0),    # stale update: must lose
+            (2, 1, "U", 22.0),    # only change for 2: must apply
+        ]
+        inbox = tmp_path / "inbox2"
+        inbox.mkdir()
+        spark.createDataFrame(all_changes[:3], schema).coalesce(1).write.parquet(
+            str(inbox / "b1")
+        )
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(inbox / "*"))
+        q = stream_merge_to_warehouse(
+            stream, wh, str(tmp_path / "ckpt2"), "accounts",
+            key="k", version_cols=("v",), payload_cols=("bal",),
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(all_changes[3:], schema).coalesce(1)\
+                .write.parquet(str(inbox / "b2"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r["k"]: (r["bal"], r["v"]) for r in wh.read("accounts").collect()}
+        oneshot = cdc.apply_changelog(
+            spark.createDataFrame(
+                [(1, 0, 10.0), (2, 0, 20.0), (4, 0, 40.0)],
+                "k long, v long, bal double",
+            ),
+            spark.createDataFrame(all_changes, schema),
+            key="k", version_cols=("v",), payload_cols=("bal",),
+        )
+        want = {r["k"]: (r["bal"], r["v"]) for r in oneshot.collect()}
+        assert got == want == {1: (111.0, 2), 2: (22.0, 1), 3: (30.0, 2)}
+
 
 class TestFileSkipping:
     def test_cluster_then_prune_skips_files_and_loses_no_rows(
