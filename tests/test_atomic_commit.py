@@ -18,6 +18,8 @@ from decimal import Decimal
 
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 from etl_pipeline_for_detection_banking_fraud_spark import schemas
 from etl_pipeline_for_detection_banking_fraud_spark.pipeline import DailyBatch
 from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims

@@ -20,6 +20,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 from etl_pipeline_for_detection_banking_fraud_spark.pipeline import FACT_TX, DailyBatch
 from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims
 

@@ -3,6 +3,10 @@ reference's behavior); fixed mode (strict=False) is fully idempotent."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 import os
 
 from etl_pipeline_for_detection_banking_fraud_spark.pipeline import DailyBatch

@@ -11,6 +11,10 @@ partition-pruned read.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_for_detection_banking_fraud_spark.operators import dedup

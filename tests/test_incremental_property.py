@@ -23,6 +23,10 @@ level (fact appends + rules; file ingest is exercised elsewhere).
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 import datetime
 import shutil
 import tempfile

@@ -9,6 +9,10 @@ backdated blacklist entries; the set of distinct hits must be identical.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 import datetime
 import os
 from decimal import Decimal

@@ -12,6 +12,8 @@ from decimal import Decimal
 import duckdb
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -16,6 +16,8 @@ import shutil
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 from etl_pipeline_for_detection_banking_fraud_spark.pipeline import DailyBatch
 from etl_pipeline_for_detection_banking_fraud_spark.sources.csv_source import read_transactions
 from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import load_seed_dims

@@ -4,6 +4,10 @@ window formulation never has to do)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 import datetime
 
 from etl_pipeline_for_detection_banking_fraud_spark.streaming import ingest, stateful

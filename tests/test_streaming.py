@@ -3,6 +3,10 @@ synchronously with processAllAvailable."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 import datetime
 import os
 import shutil

@@ -13,6 +13,8 @@ import shutil
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 from etl_pipeline_for_detection_banking_fraud_spark import schemas
 from etl_pipeline_for_detection_banking_fraud_spark.sources.csv_source import read_transactions
 from etl_pipeline_for_detection_banking_fraud_spark.sources.xlsx import read_terminals
@@ -45,6 +47,18 @@ def _drain(q):
         q.stop()
 
 
+def _naive(ts):
+    """DuckDB reads the engine's TIMESTAMP_MICROS parquet columns
+    (isAdjustedToUTC=true since round 6) as TIMESTAMPTZ; normalize to
+    naive UTC wall time for comparison with Spark's naive collects
+    (session TZ is UTC throughout)."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime) and ts.tzinfo is not None:
+        return ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return ts
+
+
 def test_stream_rule3_matches_duckdb_oracle_on_replay(spark, ref_data, tmp_path,
                                                       replay_parquet):
     """File-per-day stream through the watermarked self-join == the batch
@@ -68,7 +82,7 @@ def test_stream_rule3_matches_duckdb_oracle_on_replay(spark, ref_data, tmp_path,
     )
 
     want = sorted(
-        (c, ts, c1, c2)
+        (c, _naive(ts), c1, c2)
         for c, ts, c1, c2 in duckdb.connect().execute(
             f"""
             WITH e AS (
@@ -152,7 +166,7 @@ def test_stateful_rule4_matches_duckdb_oracle_on_replay(spark, ref_data, tmp_pat
     )
 
     want = sorted(
-        (c, ts, a)
+        (c, _naive(ts), a)
         for c, ts, a in duckdb.connect().execute(
             f"""
             WITH tx AS (

@@ -17,6 +17,10 @@ not separately on synthetic feeds.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/streaming/property lane
+
 import datetime
 import os
 import shutil
