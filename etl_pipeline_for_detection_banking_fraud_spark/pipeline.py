@@ -48,7 +48,7 @@ class DailyBatch:
                  seed_dims: dict[str, DataFrame], archive_dir: str | None = None,
                  use_window_rules: bool = True, strict: bool = True,
                  incremental: bool = False, lookback_days: int = 1,
-                 atomic: bool = False):
+                 atomic: bool = False, cache_faithful_scans: bool = True):
         """`incremental=False` (default) is the parity mode: rules re-scan the
         full fact history every day, exactly like the reference
         (loading_rep_fraud.py:24,52 — no date filter, rules 1-2 re-insert all
@@ -79,6 +79,7 @@ class DailyBatch:
         self.incremental = incremental
         self.lookback_days = lookback_days
         self.atomic = atomic
+        self.cache_faithful_scans = cache_faithful_scans
 
     # Widest pair window any rule needs from the previous day: rule 3's
     # trailing 3599s frame (rule 4's decreasing triples span <1200s).
@@ -276,7 +277,7 @@ class DailyBatch:
         acc = self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
         persisted = []
         deferred: list[tuple[str, str, DataFrame]] = []
-        if not self.incremental:
+        if not self.incremental and self.cache_faithful_scans:
             # Faithful mode derives every rule from the SAME full-history
             # fact scan and full mart (the reference's posture); each
             # rule's per-stage job would otherwise re-run both scans, so
@@ -285,6 +286,11 @@ class DailyBatch:
             # reference-parity results — and turns the faithful mode's
             # history cost from 4x scans into one scan + cache reads
             # (MEMORY_AND_DISK: long histories spill instead of OOM).
+            # Trade-off knob: the cache materializes FULL rows, while
+            # the re-scans are column-pruned parquet reads — on a slow
+            # store the cache wins, on fast local parquet the pruned
+            # re-scans can; `cache_faithful_scans=False` keeps the
+            # re-scan behavior.
             tx = tx_day = tx_band = tx.persist()
             stored = stored.persist()
             persisted.extend([tx, stored])
