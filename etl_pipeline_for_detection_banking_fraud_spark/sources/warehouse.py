@@ -71,6 +71,15 @@ class CommitConflict(RuntimeError):
     wins contract as a Delta/Iceberg ConcurrentModificationException."""
 
 
+class SnapshotExpired(RuntimeError):
+    """``read_at`` asked for a snapshot whose commit-log entries were
+    removed by ``expire_log`` (the Iceberg expire_snapshots analog:
+    history older than the expire horizon is folded into a checkpoint
+    and its entry files deleted, bounding the log DIRECTORY the way
+    checkpoints bound entry parsing). State at or after the horizon
+    stays fully readable."""
+
+
 class SnapshotVacuumed(RuntimeError):
     """``read_at`` asked for a snapshot older than the retention
     boundary: a later ``compact()``/``cluster_table()`` deleted the data
@@ -205,6 +214,19 @@ class Transaction:
         (base_seq is None) always pass — they commute."""
         if not self.replace or self.base_seq is None:
             return
+        horizon = self.wh.expire_horizon()
+        if self.base_seq < horizon:
+            # entries in (base_seq, horizon] were expired: this replace
+            # cannot PROVE it didn't race one of them, so fail safe —
+            # the caller re-reads (getting a base at/after the horizon)
+            # and retries. Only possible when a replace somehow held a
+            # base snapshot across an expire_log maintenance window.
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"replace base snapshot {self.base_seq} predates the "
+                f"expire horizon {horizon}; conflict window unverifiable "
+                "— re-read and retry"
+            )
         for seq in range(self.base_seq + 1, next_seq):
             p = os.path.join(log_dir, f"{seq:09d}.json")
             try:
@@ -540,6 +562,63 @@ class Warehouse:
         entry_seqs, _ = self._list_log()
         return entry_seqs[-1] if entry_seqs else 0
 
+    def expire_horizon(self) -> int:
+        """Oldest sequence number still replayable: 0 for a never-
+        expired log, else the seq of the oldest surviving checkpoint
+        when every entry before it was removed by ``expire_log``."""
+        entry_seqs, ckpt_seqs = self._list_log()
+        if not ckpt_seqs:
+            return 0
+        oldest_entry = entry_seqs[0] if entry_seqs else None
+        oldest_ckpt = ckpt_seqs[0]
+        if oldest_entry is not None and oldest_entry <= oldest_ckpt:
+            return 0  # pre-checkpoint entries survive: full history intact
+        return oldest_ckpt
+
+    def expire_log(self, keep_entries: int = 256) -> int:
+        """Bound the commit-log DIRECTORY: fold everything older than
+        the newest ``keep_entries`` commits into one checkpoint and
+        delete those entry files (plus superseded older checkpoints).
+
+        Checkpointing already bounds the PARSING cost of a read; the
+        per-read ``os.listdir`` is still O(total commits ever), which at
+        one commit per streaming microbatch grows without bound — the
+        same reason Iceberg has expire_snapshots. After expiring:
+
+        - head reads and time travel at/after the horizon are unchanged
+          (the horizon checkpoint carries the full folded state);
+        - ``read_at`` below the horizon raises ``SnapshotExpired``;
+        - ``snapshots()`` lists only the retained entries;
+        - a ``replace`` whose base snapshot predates the horizon can no
+          longer prove it didn't race an expired commit, so it raises
+          ``CommitConflict`` conservatively (re-read and retry).
+
+        Crash-safe ordering: the checkpoint is written (tmp + fsync +
+        rename) BEFORE any entry is unlinked, so a crash mid-expire
+        leaves a log that replays identically. Returns the number of
+        entry files removed. Single-maintainer operation, same posture
+        as ``compact``/``vacuum_orphans``."""
+        entry_seqs, ckpt_seqs = self._list_log()
+        if len(entry_seqs) <= keep_entries:
+            return 0
+        horizon = entry_seqs[-keep_entries - 1]  # newest expired seq
+        self.write_checkpoint(horizon)
+        d = self._manifest_dir()
+        removed = 0
+        for seq in entry_seqs:
+            if seq > horizon:
+                break
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(d, f"{seq:09d}.json"))
+                removed += 1
+        for cseq in ckpt_seqs:
+            if cseq < horizon:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(d, f"{cseq:09d}.checkpoint.json"))
+        self._invalidate_state()
+        self._entry_cache.clear()
+        return removed
+
     def _manifest_files(self, table: str,
                         at: int | None = None) -> list[str] | None:
         """Committed file relpaths for a TRACKED table; None if the
@@ -593,6 +672,13 @@ class Warehouse:
         ``SnapshotVacuumed`` for snapshots behind the retention boundary
         a later compact/cluster established by deleting files."""
         p = self._path(table)
+        horizon = self.expire_horizon()
+        if seq < horizon:
+            raise SnapshotExpired(
+                f"snapshot {seq} predates the expire horizon {horizon}: "
+                f"expire_log removed its commit entries; oldest replayable "
+                f"snapshot is {horizon}"
+            )
         boundary = self.min_readable_seq(table)
         if seq < boundary:
             raise SnapshotVacuumed(

@@ -327,3 +327,88 @@ class TestPruneEmptyFallback:
         schema = T.StructType([T.StructField("id", T.IntegerType())])
         assert wh.read("ev", schema=schema).count() == 0
         assert wh.read("ev", schema=schema, prune={"id": (0, 5)}).count() == 0
+
+
+class TestExpireLog:
+    def test_expire_bounds_directory_same_state(self, tmp_path):
+        """1,200 microbatch commits, keep 100: the directory shrinks to
+        100 entries + 1 horizon checkpoint, the head state replays
+        identically, and snapshots() lists only the retained window."""
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 1200)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        before = wh._manifest_files("events")
+        stats_before = wh._manifest_stats("events")
+
+        removed = wh.expire_log(keep_entries=100)
+        assert removed == 1100
+        log_dir = os.path.join(root, "_commitlog")
+        names = sorted(os.listdir(log_dir))
+        entries = [n for n in names if n.endswith(".json")
+                   and not n.endswith(".checkpoint.json")]
+        ckpts = [n for n in names if n.endswith(".checkpoint.json")]
+        assert len(entries) == 100 and ckpts == ["000001100.checkpoint.json"]
+
+        cold = Warehouse(None, root)
+        assert cold._manifest_files("events") == before
+        assert cold._manifest_stats("events") == stats_before
+        assert cold.last_replay_parsed == 100
+        assert cold.expire_horizon() == 1100
+        assert [s["seq"] for s in cold.snapshots()] == list(range(1101, 1201))
+        # idempotent below threshold
+        assert cold.expire_log(keep_entries=100) == 0
+
+    def test_expire_twice_and_time_travel_boundaries(self, tmp_path):
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 300)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        wh.expire_log(keep_entries=200)  # horizon 100
+        wh.expire_log(keep_entries=50)   # horizon 250
+        cold = Warehouse(None, root)
+        assert cold.expire_horizon() == 250
+        # at the horizon: full folded state; after: checkpoint + suffix
+        assert len(cold._manifest_files("events", at=250)) == 250
+        assert len(cold._manifest_files("events", at=275)) == 275
+        # superseded checkpoint at 100 was removed
+        assert not os.path.exists(
+            os.path.join(root, "_commitlog", "000000100.checkpoint.json"))
+
+    def test_read_at_below_horizon_typed_error(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            SnapshotExpired,
+        )
+
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root, checkpoint_interval=0)
+        for day in (1, 2, 3, 4):
+            with wh.transaction():
+                wh.append_transactions(_tx_rows(spark, 2, day=day))
+        wh.expire_log(keep_entries=2)  # horizon 2
+        assert wh.read_transactions().count() == 8  # head unchanged
+        assert wh.read_at("dwh_fact_transactions", 2).count() == 4  # horizon ok
+        assert wh.read_at("dwh_fact_transactions", 3).count() == 6
+        with pytest.raises(SnapshotExpired, match="oldest replayable"):
+            wh.read_at("dwh_fact_transactions", 1)
+
+    def test_replace_with_pre_horizon_base_conflicts(self, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            CommitConflict,
+        )
+
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 50)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        wh.expire_log(keep_entries=10)  # horizon 40
+        txn = Transaction(wh)
+        txn.replace = True
+        txn.base_seq = 20  # below horizon: unverifiable conflict window
+        txn.pending = {"events": ["x.parquet"]}
+        with pytest.raises(CommitConflict, match="expire horizon"):
+            txn.commit()
+        # a fresh base at/after the horizon commits fine
+        txn2 = Transaction(wh)
+        txn2.replace = True
+        txn2.base_seq = wh._latest_seq()
+        txn2.pending = {"events": ["y.parquet"]}
+        txn2.commit()
+        assert wh._manifest_files("events") == ["y.parquet"]
