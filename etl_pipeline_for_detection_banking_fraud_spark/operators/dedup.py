@@ -880,3 +880,26 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a", id_b: str = 
             F.coalesce("label", "node").alias("cluster_id"),
         )
     )
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The curation step the pair/cluster operators exist FOR: drop
+    every near-duplicate except one canonical survivor per cluster.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair frame (minhash, ngram,
+    simhash, containment, semantic); clusters come from connected
+    components with min-id labels, so a cluster's label IS its
+    canonical member — survivors are unpaired docs plus each cluster's
+    minimum id. One anti-join against the (small) loser set; docs never
+    seen in a pair pass through untouched.
+
+    Deterministic by construction (min-id policy); to prefer e.g. the
+    longest doc instead, re-label clusters by the preferred key before
+    calling (the join shape is policy-free).
+    """
+    cc = connected_components(pairs)
+    losers = cc.where(F.col("node_id") != F.col("cluster_id")).select(
+        F.col("node_id").alias(id_col)
+    )
+    return df.join(losers, [id_col], "left_anti")

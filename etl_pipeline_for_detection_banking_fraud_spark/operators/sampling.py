@@ -116,3 +116,39 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
         .limit(k)
         .drop("_es")
     )
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       train_frac: float = 0.8, val_frac: float = 0.1,
+                       seed: str = "split0") -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: every member of a near-dup cluster (connected
+    components over ``pairs``, min-id labels) hashes by its CLUSTER id,
+    so the whole cluster lands in one split. An eval set contaminated
+    by paraphrases of training docs silently inflates benchmarks — the
+    within-corpus sibling of `decontam`'s corpus-vs-benchmark check.
+
+    Same determinism contract as the other samplers (content-hash
+    thresholds, integer literals, engine-reproducible). Returns the
+    input columns plus ``split`` ('train' | 'val' | 'test').
+    """
+    from .dedup import connected_components
+
+    cc = connected_components(pairs).select(
+        F.col("node_id").alias(id_col), "cluster_id"
+    )
+    b_train = sample_bound(train_frac)
+    b_val = sample_bound(train_frac + val_frac)
+    g = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    h = hash60(g, seed)
+    return (
+        df.join(cc, [id_col], "left")
+        .withColumn(
+            "split",
+            F.when(h < F.lit(b_train), F.lit("train"))
+            .when(h < F.lit(b_val), F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("cluster_id")
+    )

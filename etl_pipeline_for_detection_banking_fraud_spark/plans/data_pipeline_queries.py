@@ -1334,3 +1334,62 @@ def fuzzy_match_pairs(spark, sf_dir):
         _t(spark, sf_dir, "part"), "p_partkey", "p_name",
         ["p_brand"], max_distance=2,
     )
+
+
+_CLUSTERS_CTES = f"""{_MH_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+    ),
+    clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)"""
+
+
+@_q(
+    "dedup_keep_canonical",
+    "dedup: final survivor selection — one canonical doc per near-dup "
+    "cluster (min-id), unpaired docs pass through; the step the pair/"
+    "cluster operators exist for",
+    f"""
+    WITH RECURSIVE {_CLUSTERS_CTES}
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    WHERE c.node IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.keep_canonical(
+        docs.select("doc_id", "lang", "n_chars"), pairs
+    )
+
+
+@_q(
+    "split_leakage_safe",
+    "curation: leakage-safe train/val/test split — every member of a "
+    "near-dup cluster hashes by its CLUSTER id, so paraphrase pairs "
+    "can never straddle train and eval (the within-corpus sibling of "
+    "text_decontaminate)",
+    f"""
+    WITH RECURSIVE {_CLUSTERS_CTES}
+    SELECT d.doc_id,
+           CASE WHEN {_H60.format(seed='split0',
+                                  key='coalesce(c.cluster_id, d.doc_id)')}
+                     < {sampling.sample_bound(0.8)} THEN 'train'
+                WHEN {_H60.format(seed='split0',
+                                  key='coalesce(c.cluster_id, d.doc_id)')}
+                     < {sampling.sample_bound(0.9)} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    """,
+)
+def split_leakage_safe(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return sampling.leakage_safe_split(docs.select("doc_id"), pairs)

@@ -772,6 +772,7 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r6 — never reported
     "dedup_containment", "sample_weighted", "fuzzy_match_pairs",
+    "dedup_keep_canonical", "split_leakage_safe",
     # r06 rotation: every entry whose newest driver evidence is r04
     # (rotated out of the capped r05 report) goes first, so nothing
     # stays two rounds without fresh oracle evidence

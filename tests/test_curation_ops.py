@@ -97,3 +97,48 @@ class TestFuzzyMatchPairs:
         assert (
             linkage.fuzzy_match_pairs(df, "id", "name", ["brand"], 5).count() == 0
         )
+
+
+class TestKeepCanonical:
+    def test_one_survivor_per_cluster(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"d{i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string"
+        )
+        # clusters {1,2,3} (transitively) and {7,9}; min-id canonical
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+        )
+        got = sorted(r["doc_id"] for r in
+                     dedup.keep_canonical(df, pairs).collect())
+        assert got == [1, 7]
+
+    def test_unpaired_docs_untouched(self, spark):
+        df = spark.createDataFrame([(i, "x") for i in range(10)],
+                                   "doc_id long, text string")
+        pairs = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+        got = sorted(r["doc_id"] for r in
+                     dedup.keep_canonical(df, pairs).collect())
+        assert got == [0, 1, 2, 3, 5, 6, 7, 8, 9]  # only 4 dropped
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_members_share_split_and_partition_invariance(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        # chain 10-11-12 plus pair 100-250: all constrained
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (100, 250)], "id_a long, id_b long"
+        )
+        out = {r["doc_id"]: r["split"] for r in
+               sampling.leakage_safe_split(df, pairs).collect()}
+        assert len(out) == 300
+        assert out[10] == out[11] == out[12]
+        assert out[100] == out[250]
+        # every split non-empty at n=300 and fractions roughly honored
+        from collections import Counter
+        c = Counter(out.values())
+        assert set(c) == {"train", "val", "test"}
+        assert c["train"] > c["val"] and c["train"] > c["test"]
+        # partition-independent determinism
+        out2 = {r["doc_id"]: r["split"] for r in
+                sampling.leakage_safe_split(df.repartition(17), pairs).collect()}
+        assert out == out2
