@@ -45,8 +45,12 @@ def _col_index(cell_ref: str) -> int:
     return idx - 1
 
 
-def read_xlsx_rows(path: str, sheet: str = "xl/worksheets/sheet1.xml") -> list[list]:
-    """Parse one worksheet into a list of row value-lists (ragged-padded)."""
+def read_xlsx_rows(path, sheet: str = "xl/worksheets/sheet1.xml") -> list[list]:
+    """Parse one worksheet into a list of row value-lists (ragged-padded).
+
+    ``path`` is a filesystem path OR any seekable binary file-like
+    (``zipfile.ZipFile`` accepts both) — the latter is how the
+    distributed readers hand executor-side ``binaryFile`` content in."""
     with zipfile.ZipFile(path) as zf:
         shared: list[str] = []
         try:
@@ -125,3 +129,72 @@ def read_passport_blacklist(spark: SparkSession, path: str) -> DataFrame:
             d = _EXCEL_EPOCH + datetime.timedelta(days=int(d))
         data.append((d, str(r["passport"]) if r["passport"] is not None else None))
     return spark.createDataFrame(data, schema=schemas.PASSPORT_BLACKLIST)
+
+
+# ---------------------------------------------------------------------------
+# Distributed many-file ingest (round 6; closes the r5 "driver-side xlsx"
+# scale note). One workbook is one unsplittable blob, so the distribution
+# unit is the FILE: Spark's binaryFile source ships each workbook's bytes
+# to an executor and the same stdlib parser runs inside mapInPandas —
+# a backlog of thousands of daily snapshots ingests with cluster
+# parallelism and zero driver memory, while the per-file parse stays the
+# single battle-tested code path used by the driver-side readers.
+# ---------------------------------------------------------------------------
+
+def _records_bytes(content: bytes, expected_cols: list[str]) -> list[dict]:
+    import io
+
+    return _records(io.BytesIO(content), expected_cols)
+
+
+def read_terminals_many(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed terminals ingest: every workbook matching
+    ``path_glob`` parsed executor-side; output carries ``src_file`` so
+    per-day snapshots stay attributable."""
+    import pandas as pd
+
+    cols = ["terminal_id", "terminal_type", "terminal_city", "terminal_address"]
+    bin_df = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for r in _records_bytes(bytes(content), cols):
+                    rows.append([path] + [r[c] for c in cols])
+            yield pd.DataFrame(rows, columns=["src_file"] + cols)
+
+    return bin_df.mapInPandas(
+        parse,
+        schema=("src_file string, terminal_id string, terminal_type string, "
+                "terminal_city string, terminal_address string"),
+    )
+
+
+def read_passport_blacklist_many(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed blacklist ingest (Excel serial dates converted
+    in-executor, same semantics as the driver-side reader)."""
+    import pandas as pd
+
+    cols = ["date", "passport"]
+    bin_df = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for r in _records_bytes(bytes(content), cols):
+                    d = r["date"]
+                    if isinstance(d, (int, float)):
+                        d = _EXCEL_EPOCH + datetime.timedelta(days=int(d))
+                    p = str(r["passport"]) if r["passport"] is not None else None
+                    rows.append((path, d, p))
+            yield pd.DataFrame(rows, columns=["src_file", "date", "passport"])
+
+    return bin_df.mapInPandas(
+        parse, schema="src_file string, date date, passport string"
+    )

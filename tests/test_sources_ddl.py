@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime
+import os
 
 from etl_pipeline_for_detection_banking_fraud_spark.sources.ddl import (
     run_ddl_script,
@@ -53,3 +54,48 @@ def test_blacklist_serial_dates_and_null_rows(spark, ref_data):
     rows = bl.collect()
     assert len(rows) == 7  # 17 trailing all-NULL sheet rows dropped
     assert all(r.date == datetime.date(2021, 3, 1) for r in rows)
+
+
+class TestDistributedXlsx:
+    """Round-6 distributed many-file ingest: binaryFile + mapInPandas
+    over the same stdlib parser — parity with the driver-side readers
+    on the real reference feeds."""
+
+    def test_terminals_many_matches_per_file_union(self, spark, ref_data):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources import xlsx
+
+        many = xlsx.read_terminals_many(
+            spark, os.path.join(ref_data, "terminals_*.xlsx")
+        )
+        plan = many._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # parse runs executor-side
+        got = sorted(
+            map(tuple, many.drop("src_file").collect())
+        )
+        want = []
+        for d in ("01032021", "02032021", "03032021"):
+            want.extend(
+                map(tuple, xlsx.read_terminals(
+                    spark, os.path.join(ref_data, f"terminals_{d}.xlsx")
+                ).collect())
+            )
+        assert got == sorted(want)
+        # src_file attribution: one distinct path per day file
+        assert many.select("src_file").distinct().count() == 3
+
+    def test_blacklist_many_serial_dates(self, spark, ref_data):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources import xlsx
+
+        many = xlsx.read_passport_blacklist_many(
+            spark, os.path.join(ref_data, "passport_blacklist_*.xlsx")
+        )
+        got = sorted(map(tuple, many.drop("src_file").collect()))
+        want = []
+        for d in ("01032021", "02032021", "03032021"):
+            want.extend(
+                map(tuple, xlsx.read_passport_blacklist(
+                    spark, os.path.join(ref_data, f"passport_blacklist_{d}.xlsx")
+                ).collect())
+            )
+        assert got == sorted(want)
+        assert len(got) > 0
