@@ -284,3 +284,129 @@ def regex_scan(df: DataFrame, patterns: dict[str, str],
         for name, pat in patterns.items()
     ]
     return df.select(F.col(id_col), *cols)
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate signal (near-zero entropy = repeated filler,
+    very high = random noise/base64 blobs; quality-filter heuristic in
+    the Gopher/C4 lineage).
+
+    Whitespace is normalized first so formatting doesn't move the
+    score. The whole computation is scan-local higher-order Column
+    algebra: chars -> sorted distinct alphabet -> order-pinned fold of
+    -p*log2(p). Cost is O(|alphabet| * len) per row with no shuffle,
+    the right trade at 100 TB vs an explode+groupBy that would shuffle
+    one row per character. The fold order (sorted alphabet) is pinned
+    so the DuckDB oracle sums in the identical sequence.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), norm.alias("_norm"))
+    n = F.length("_norm")
+    chars = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.col("_norm").substr(i + 1, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    withc = base.select(
+        F.col(id_col), F.col("_norm"), chars.alias("_ch"),
+        F.array_sort(F.array_distinct(chars)).alias("_alpha"),
+    )
+    total = F.size("_ch").cast("double")
+    ent = F.aggregate(
+        F.col("_alpha"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (F.size(F.filter(F.col("_ch"), lambda x: x == c)) / total)
+        * F.log2(F.size(F.filter(F.col("_ch"), lambda x: x == c)) / total),
+    )
+    return withc.select(
+        F.col(id_col),
+        F.size("_ch").alias("n_chars_norm"),
+        F.size("_alpha").alias("n_distinct_chars"),
+        F.when(F.size("_ch") > 0, ent).otherwise(0.0).alias("char_entropy"),
+    )
+
+
+# PII surface patterns, restricted to the regex subset Java and
+# RE2-class engines match identically (no backrefs/lookaround; explicit
+# classes; greedy quantifiers agree under leftmost-longest-prefix for
+# these shapes). Redaction order is part of the contract: emails first
+# (they contain digit runs a phone pattern could claim), then IPv4,
+# then phone-shaped digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()., -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing for training corpora: replace email / IPv4 /
+    phone-shaped spans with typed placeholder tokens and count each
+    replacement class. The sibling of ``regex_scan`` that actually
+    rewrites the text (scan counts, this one scrubs).
+
+    Counts are taken on the intermediate text right before that
+    pattern's own replacement (so an email's digits are never
+    double-counted as a phone), making the (count, output) pair a
+    deterministic function of the pattern order above. All JVM-side
+    regexp_count/regexp_replace — scan-local, zero shuffle, no UDFs.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(F.col(id_col), *counts, cur.alias("redacted"))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 relevance ranking of documents against a pinned
+    query-term set (Robertson & Spärck Jones) — the retrieval/quality
+    scoring step a curation pipeline uses to up-weight documents that
+    look like a reference corpus.
+
+    Scale shape: per-document term frequencies are scan-local
+    ``size(filter(tokens, t == q))`` per query term (the query set is
+    tiny by nature — no explode, no per-token shuffle); document
+    frequencies and average length ride ONE global aggregate broadcast
+    back as a 1-row crossJoin; the final top-k is a
+    TakeOrderedAndProject (heap per partition + driver merge of k),
+    never a full sort. ln is IEEE-identical across engines.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_tok"))
+    tf_cols = [
+        F.size(F.filter(F.col("_tok"), lambda t: t == F.lit(q))).alias(f"_tf_{i}")
+        for i, q in enumerate(query_terms)
+    ]
+    scored0 = base.select(F.col(id_col), F.size("_tok").alias("dl"), *tf_cols)
+    stats = scored0.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg("dl").alias("_avg_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("bigint")).alias(f"_df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = scored0.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        dfq = F.col(f"_df_{i}").cast("double")
+        ndocs = F.col("_n_docs").cast("double")
+        idf = F.log((ndocs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+        part = idf * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("_avg_dl")))
+        )
+        score = part if score is None else score + part
+    out = joined.select(F.col(id_col), F.col("dl"), score.alias("bm25"))
+    return out.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

@@ -1393,3 +1393,123 @@ def split_leakage_safe(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs)
     return sampling.leakage_safe_split(docs.select("doc_id"), pairs)
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): char entropy, PII redaction, BM25 relevance
+# ---------------------------------------------------------------------------
+
+@_q(
+    "text_char_entropy",
+    "text: character-level Shannon entropy (gibberish/boilerplate "
+    "signal, Gopher/C4-lineage quality heuristic) — scan-local "
+    "higher-order fold, order pinned to the sorted alphabet",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    withc AS (
+        SELECT doc_id,
+               list_transform(range(0, length(norm)),
+                              i -> substr(norm, CAST(i + 1 AS BIGINT), 1)) AS ch
+        FROM base
+    ),
+    alpha AS (
+        SELECT doc_id, ch, list_sort(list_distinct(ch)) AS alpha FROM withc
+    )
+    SELECT doc_id,
+           len(ch) AS n_chars_norm,
+           len(alpha) AS n_distinct_chars,
+           CASE WHEN len(ch) > 0 THEN list_sum(list_transform(alpha, c ->
+               -(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE)
+                 / CAST(len(ch) AS DOUBLE))
+               * log2(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE)
+                      / CAST(len(ch) AS DOUBLE))))
+           ELSE 0.0 END AS char_entropy
+    FROM alpha
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    return text.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+_PII_COUNT_AND_REDACT_SQL = """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{email}')) AS n_email,
+           len(regexp_extract_all(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                                  '{ipv4}')) AS n_ipv4,
+           len(regexp_extract_all(
+                   regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                                  '{ipv4}', '<IP>', 'g'),
+                   '{phone}')) AS n_phone,
+           regexp_replace(
+               regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                              '{ipv4}', '<IP>', 'g'),
+               '{phone}', '<PHONE>', 'g') AS redacted
+    FROM documents
+"""
+
+
+@_q(
+    "text_pii_redact",
+    "text: PII scrubbing — typed placeholder redaction of email/IPv4/"
+    "phone spans with per-class counts (the rewrite sibling of "
+    "text_regex_scan); order-pinned sequential replacement",
+    _PII_COUNT_AND_REDACT_SQL.format(
+        email="[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+",
+        ipv4="[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+        phone="\\+?[0-9][0-9()., -]{7,}[0-9]",
+    ),
+)
+def text_pii_redact(spark, sf_dir):
+    return text.pii_redact(_t(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ["spark", "vector", "merge"]
+_BM25_TF = ",\n           ".join(
+    f"len(list_filter(tok, t -> t = '{q}')) AS tf_{i}"
+    for i, q in enumerate(_BM25_TERMS)
+)
+_BM25_DF = ",\n           ".join(
+    f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE = " + ".join(
+    f"""(ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)
+             / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)
+         * (CAST(tf_{i} AS DOUBLE) * 2.2
+            / (CAST(tf_{i} AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * dl / avg_dl))))"""
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@_q(
+    "bm25_topk",
+    "text: Okapi BM25 top-k relevance against a pinned query set — "
+    "scan-local per-term tf, ONE broadcast stats aggregate, "
+    "TakeOrderedAndProject top-k (never a full sort)",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    scored0 AS (
+        SELECT doc_id, len(tok) AS dl,
+           {_BM25_TF}
+        FROM base
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avg_dl,
+           {_BM25_DF}
+        FROM scored0
+    )
+    SELECT doc_id, dl, {_BM25_SCORE} AS bm25
+    FROM scored0, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=20, k1=1.2, b=0.75
+    )

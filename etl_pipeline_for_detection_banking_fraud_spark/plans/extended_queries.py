@@ -671,3 +671,89 @@ def dq_checks(spark, sf_dir):
         ],
     )
     return dq.union_all(per_table, orphans)
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): skewed join, robust stats, anomaly scoring
+# ---------------------------------------------------------------------------
+
+@_q(
+    "skew_salted_join",
+    "scale: salted equi-join (hot probe key scattered over salt "
+    "replicas of the build side; exact-identical to the plain join)",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority, o.o_custkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F' AND l.l_linenumber <= 2
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    # The salt scatters lineitem's repeated l_orderkey groups across
+    # salt_buckets reducers while orders is replicated once per salt —
+    # the standard rescue when one join key dominates a reducer. The
+    # result must match the unsalted oracle join row-for-row.
+    from ..operators import scale
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2).select(
+        F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_custkey"
+    )
+    return scale.salted_join(li, o, "l_orderkey", salt_buckets=8)
+
+
+@_q(
+    "zscore_outliers",
+    "stats: per-key z-score anomaly flags (one window pass — the "
+    "statistical sibling of the rule-based fraud flags)",
+    """
+    WITH scored AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               count(*) OVER w AS n_in_group,
+               (o_totalprice - avg(o_totalprice) OVER w)
+                   / stddev_samp(o_totalprice) OVER w AS zscore
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT * FROM scored WHERE n_in_group >= 5 AND abs(zscore) > 2.0
+    """,
+)
+def zscore_outliers(spark, sf_dir):
+    from ..operators import stats
+
+    return stats.zscore_outliers(
+        _t(spark, sf_dir, "orders"),
+        key_col="o_custkey", value_col="o_totalprice",
+        id_col="o_orderkey", threshold=2.0, min_n=5,
+    )
+
+
+@_q(
+    "group_median_mad",
+    "stats: exact per-group median + MAD (robust location/scale for "
+    "heavy-tailed value columns; F.median == quantile_cont(0.5))",
+    """
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS med
+        FROM orders GROUP BY o_orderpriority
+    ),
+    mad AS (
+        SELECT o.o_orderpriority,
+               median(abs(o.o_totalprice - m.med)) AS mad
+        FROM orders o JOIN med m USING (o_orderpriority)
+        GROUP BY o.o_orderpriority
+    )
+    SELECT m.o_orderpriority, c.n, m.med, d.mad
+    FROM med m
+    JOIN mad d USING (o_orderpriority)
+    JOIN (SELECT o_orderpriority, count(*) AS n FROM orders
+          GROUP BY o_orderpriority) c USING (o_orderpriority)
+    """,
+)
+def group_median_mad(spark, sf_dir):
+    from ..operators import stats
+
+    return stats.group_median_mad(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )

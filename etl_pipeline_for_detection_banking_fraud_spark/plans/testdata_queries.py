@@ -773,6 +773,8 @@ _REPORT_FIRST = [
     # new in r6 — never reported
     "dedup_containment", "sample_weighted", "fuzzy_match_pairs",
     "dedup_keep_canonical", "split_leakage_safe",
+    "text_char_entropy", "text_pii_redact", "bm25_topk",
+    "skew_salted_join", "zscore_outliers", "group_median_mad",
     # r06 rotation: every entry whose newest driver evidence is r04
     # (rotated out of the capped r05 report) goes first, so nothing
     # stays two rounds without fresh oracle evidence
