@@ -338,3 +338,68 @@ def freq_items_bounds(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "snapshot_diff",
+    "change-data-feed derivation between two keyed snapshots "
+    "(row-level diff behind Warehouse.table_diff's manifest pruning)",
+    """
+    WITH old AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+    ), new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+                    ELSE c_acctbal END AS c_acctbal
+        FROM old WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT s_suppkey + 500000, s_name, s_acctbal FROM supplier
+    ), removed AS (
+        SELECT * FROM old EXCEPT ALL SELECT * FROM new
+    ), added AS (
+        SELECT * FROM new EXCEPT ALL SELECT * FROM old
+    ), upd AS (
+        SELECT c_custkey FROM removed
+        INTERSECT
+        SELECT c_custkey FROM added
+    )
+    SELECT r.c_custkey, r.c_name, r.c_acctbal,
+           CASE WHEN u.c_custkey IS NULL THEN 'delete'
+                ELSE 'update_preimage' END AS change_type
+    FROM removed r LEFT JOIN upd u ON r.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT a.c_custkey, a.c_name, a.c_acctbal,
+           CASE WHEN u.c_custkey IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS change_type
+    FROM added a LEFT JOIN upd u ON a.c_custkey = u.c_custkey
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Synthetic snapshot pair over customer: every 97th key deleted,
+    every 5th key's balance doubled (the %97 deletes win — those rows
+    are gone from ``new`` regardless), supplier rows key-shifted in as
+    inserts; everything else is identical and must NOT be reported.
+    The oracle states the textbook 2x EXCEPT ALL + key-INTERSECT form;
+    the engine runs the one-aggregate signed-multiplicity form
+    (operators/cdc.py snapshot_diff) — same rows."""
+    from ..operators import cdc
+
+    old = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = (
+        old.where(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") * 2)
+            .otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            _t(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey") + 500000).alias("c_custkey"),
+                F.col("s_name").alias("c_name"),
+                F.col("s_acctbal").alias("c_acctbal"),
+            )
+        )
+    )
+    return cdc.snapshot_diff(old, new, ["c_custkey"])

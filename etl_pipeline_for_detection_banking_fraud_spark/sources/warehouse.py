@@ -746,12 +746,13 @@ class Warehouse:
 
         Scale shape: snapshots share almost all their files day-over-day,
         and ``_diff_file_sets`` cancels the common ones BEFORE any read —
-        the scan, the ``exceptAll`` shuffles, and the key joins are all
+        the scan and every stage of the row diff (``operators.cdc.
+        snapshot_diff``: one full-row aggregate + one key window) are
         O(changed files), never O(table). (A full compact between the
         two snapshots degrades gracefully: every file differs, the diff
         is still correct, just table-sized.) Rows that merely moved
         between files (partial rewrites, clustering) cancel in the
-        ``exceptAll`` pass and are not reported as changes.
+        full-row aggregate and are not reported as changes.
         """
         if seq_b < seq_a:
             raise ValueError(f"seq_b ({seq_b}) must be >= seq_a ({seq_a})")
@@ -787,29 +788,11 @@ class Warehouse:
                 *[os.path.join(p, rel) for rel in rels]
             ).select(*probe.columns)
 
-        side_a, side_b = _side(only_a), _side(only_b)
-        removed = side_a.exceptAll(side_b)
-        added = side_b.exceptAll(side_a)
-        upd_keys = (
-            removed.select(*key_cols).distinct()
-            .join(added.select(*key_cols).distinct(), key_cols)
-        )
-        ct = F.lit
-        return (
-            removed.join(upd_keys, key_cols, "left_anti")
-            .withColumn("_change_type", ct("delete"))
-            .unionByName(
-                added.join(upd_keys, key_cols, "left_anti")
-                .withColumn("_change_type", ct("insert"))
-            )
-            .unionByName(
-                removed.join(upd_keys, key_cols, "left_semi")
-                .withColumn("_change_type", ct("update_preimage"))
-            )
-            .unionByName(
-                added.join(upd_keys, key_cols, "left_semi")
-                .withColumn("_change_type", ct("update_postimage"))
-            )
+        from ..operators.cdc import snapshot_diff
+
+        return snapshot_diff(
+            _side(only_a), _side(only_b), key_cols,
+            change_col="_change_type",
         )
 
     def _pending_files(self, table: str) -> list[str]:

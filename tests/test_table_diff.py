@@ -103,6 +103,58 @@ class TestTableDiff:
             wh.table_diff("untracked", 0, seq1, key_cols=["k"])
 
 
+class TestSnapshotDiffOperator:
+    """The pure-DataFrame row diff (operators.cdc.snapshot_diff) that
+    table_diff delegates to, on its subtle corners."""
+
+    def test_bag_multiplicity(self, spark):
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.cdc import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "y"), (2, "y"), (2, "y")],
+            "k long, v string",
+        )
+        new = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (1, "x"), (2, "y")], "k long, v string"
+        )
+        got = sorted(
+            (r["k"], r["v"], r["change_type"])
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        )
+        # 2->3 copies of (1,x): ONE insert; 3->1 copies of (2,y): TWO
+        # deletes — same-key same-value rows never pair as updates
+        assert got == [
+            (1, "x", "insert"),
+            (2, "y", "delete"),
+            (2, "y", "delete"),
+        ]
+
+    def test_null_key_never_pairs_as_update(self, spark):
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.cdc import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame([(None, "a"), (7, "p")], "k long, v string")
+        new = spark.createDataFrame([(None, "b"), (7, "q")], "k long, v string")
+        got = sorted(
+            (
+                (r["k"], r["v"], r["change_type"])
+                for r in snapshot_diff(old, new, ["k"]).collect()
+            ),
+            key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+        )
+        # NULL keys classify insert/delete (SQL key-join semantics);
+        # the non-null key pairs as an update
+        assert got == [
+            (None, "a", "delete"),
+            (None, "b", "insert"),
+            (7, "p", "update_preimage"),
+            (7, "q", "update_postimage"),
+        ]
+
+
 class TestHiddenPartitionGuard:
     def test_txn_append_rejects_underscore_partition_col(self, spark, tmp_path):
         wh = Warehouse(spark, str(tmp_path / "wh"))
