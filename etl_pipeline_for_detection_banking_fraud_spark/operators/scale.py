@@ -130,3 +130,41 @@ def prefilter_semi_join(probe: DataFrame, build: DataFrame,
     return pruned.join(
         keys, F.col(probe_key) == F.col("_bk"), "left_semi"
     )
+
+
+def zorder_key(scaled_cols: "list", bits: int = 8):
+    """Interleave the low ``bits`` bits of already-scaled integer
+    columns (each in ``[0, 2**bits)``) into one Morton/Z-order key:
+    ``z = sum_i sum_j bit_i(col_j) << (i*m + j)``. Rows close in EVERY
+    dimension get close z-values, so range-partitioning by z yields
+    files whose min/max stats are narrow in ALL the interleaved
+    columns at once — multi-dimensional file skipping from
+    one-dimensional clustering (the Delta ``OPTIMIZE ZORDER BY``
+    curve). Pure Column bit algebra: codegen, scan-local, no UDFs.
+    """
+    m = len(scaled_cols)
+    if m == 0:
+        raise ValueError("zorder_key needs at least one column")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(scaled_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * m + j))
+    return z
+
+
+def zorder_scale(col, lo, hi, bits: int = 8):
+    """Min-max scale a numeric column into ``[0, 2**bits)`` for
+    ``zorder_key``. ``lo``/``hi`` are the column's global min/max (one
+    control-plane aggregate row, broadcast into the expression as
+    literals). NULLs and degenerate ranges map to 0 — NULL rows
+    cluster together at the curve's origin, which is exactly where a
+    min/max-stats pruner can never skip them incorrectly."""
+    top = (1 << bits) - 1
+    if lo is None or hi is None or hi <= lo:
+        return F.lit(0)
+    scaled = F.floor(
+        (col.cast("double") - float(lo)) * top / (float(hi) - float(lo))
+    ).cast("long")
+    return F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)),
+                      F.lit(0))

@@ -403,3 +403,43 @@ def snapshot_diff(spark, sf_dir):
         )
     )
     return cdc.snapshot_diff(old, new, ["c_custkey"])
+
+
+@_q(
+    "dedup_chunk_level",
+    "corpus-wide chunk-level (paragraph) dedup: keep each distinct "
+    "chunk's first global occurrence, reassemble documents "
+    "(Gopher/CCNet boilerplate removal at sub-document granularity)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    chunks AS (
+        SELECT doc_id, s // 4 AS chunk_no,
+               array_to_string(list_slice(t, s + 1, s + 4), ' ') AS chunk
+        FROM (
+            SELECT doc_id, t,
+                   CAST(unnest(range(0, len(t), 4)) AS BIGINT) AS s
+            FROM toks WHERE len(t) > 0
+        )
+    ),
+    marked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY chunk ORDER BY doc_id, chunk_no) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY chunk_no), '') AS text_clean
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_chunk_level(spark, sf_dir):
+    """4-token chunks over the small-vocab synthetic docs so repeated
+    chunks genuinely occur across documents; the oracle states the
+    same first-occurrence-window + ordered-string_agg computation."""
+    from ..operators import chunking
+
+    return chunking.dedup_chunks(
+        _t(spark, sf_dir, "documents"), size=4
+    )

@@ -1057,33 +1057,77 @@ class Warehouse:
         conflict/retry contract as ``compact``); old files are deleted
         — clustering is file maintenance, so it advances the time-travel
         retention horizon exactly like compaction does."""
+        self._cluster_rewrite(table, n_files, lambda df: [F.col(col)],
+                              op="cluster_table")
+
+    def zorder_table(self, table: str, cols: list[str],
+                     n_files: int = 8, bits: int = 8) -> None:
+        """Multi-column OPTIMIZE ZORDER: rewrite a tracked table
+        range-partitioned along the Morton curve over ``cols`` so each
+        file's manifest min/max stats are narrow in EVERY interleaved
+        column — ``read(..., prune={c: (lo, hi)})`` then skips files
+        for a selective band on ANY of them, where single-column
+        ``cluster_table`` sharpens only its one key.
+
+        Numeric (or date/timestamp) columns only: each is min-max
+        scaled into ``bits`` bits via ONE control-plane stats row, then
+        bit-interleaved (``operators.scale.zorder_key``) — scan-local
+        codegen, no extra shuffle beyond the rewrite's range partition.
+        Same replace-commit / conflict-retry / vacuum-horizon contract
+        as ``cluster_table``; dt-hive layout is preserved (curve within
+        each dt directory)."""
+        if len(cols) < 2:
+            raise ValueError("zorder_table needs >= 2 columns; use "
+                             "cluster_table for one")
+
+        def _zcol(df: DataFrame):
+            stats = df.agg(*[
+                f(c).alias(f"{w}_{c}")
+                for c in cols for w, f in (("lo", F.min), ("hi", F.max))
+            ]).collect()[0]
+            from ..operators.scale import zorder_key, zorder_scale
+            scaled = [
+                zorder_scale(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"],
+                             bits)
+                for c in cols
+            ]
+            return [zorder_key(scaled, bits)]
+
+        self._cluster_rewrite(table, n_files, _zcol, op="zorder_table")
+
+    def _cluster_rewrite(self, table: str, n_files: int, key_cols_fn,
+                         op: str = "cluster_table") -> None:
+        """Shared replace-rewrite loop for file-clustering maintenance:
+        ``key_cols_fn(df)`` returns the ordering expression(s); rows are
+        range-partitioned and sorted by (dt?, *keys), committed as one
+        optimistic-concurrency vacuum replace, superseded files deleted,
+        checkpoint refreshed."""
         if self._manifest_files(table) is None:
-            raise ValueError(
-                f"cluster_table: {table} is not commit-log tracked"
-            )
+            raise ValueError(f"{op}: {table} is not commit-log tracked")
         for attempt in range(3):
             self._invalidate_state()
             base_seq = self._latest_seq()
             old = list(self._manifest_files(table) or [])
             df = self.read(table)
+            keys = key_cols_fn(df)
             part_cols = [c for c in df.columns if c == "dt"]
             txn = Transaction(self)
             txn.replace = True
             txn.base_seq = base_seq
             txn.vacuum = True
             if part_cols:
-                # n_files ranges over (dt, col); partitionBy then peels
-                # dt into directories, so each written file covers a
-                # narrow col band inside its dt dir
+                # n_files ranges over (dt, *keys); partitionBy then
+                # peels dt into directories, so each written file covers
+                # a narrow key band inside its dt dir
                 clustered = df.repartitionByRange(
-                    max(n_files, 1), *part_cols, col
-                ).sortWithinPartitions(*part_cols, col)
+                    max(n_files, 1), *part_cols, *keys
+                ).sortWithinPartitions(*part_cols, *keys)
                 txn.append(clustered, table, partition_by=part_cols)
             else:
-                txn.append(
-                    df.repartitionByRange(n_files, col).sortWithinPartitions(col),
-                    table,
-                )
+                clustered = df.repartitionByRange(
+                    n_files, *keys
+                ).sortWithinPartitions(*keys)
+                txn.append(clustered, table)
             try:
                 txn.commit()
             except CommitConflict:

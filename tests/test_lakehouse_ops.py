@@ -94,6 +94,40 @@ class TestChunkTokens:
         assert rows[0]["chunk_md5"] == hashlib.md5(b"a b c").hexdigest()
 
 
+class TestDedupChunks:
+    def _run(self, spark, docs, size=2):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_clean"])
+            for r in chunking.dedup_chunks(df, size=size).collect()
+        }
+
+    def test_first_occurrence_survives_later_repeats_drop(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a b c d"), (2, "a b x y"), (3, "c d a b")],
+            size=2,
+        )
+        # chunks: doc1 ["a b","c d"], doc2 ["a b","x y"], doc3 ["c d","a b"]
+        # "a b" first at (1,0); "c d" first at (1,1)
+        assert got[1] == (2, 2, "a b c d")
+        assert got[2] == (2, 1, "x y")
+        assert got[3] == (2, 0, "")
+
+    def test_within_doc_repeat_also_dedups(self, spark):
+        got = self._run(spark, [(7, "p q p q")], size=2)
+        assert got[7] == (2, 1, "p q")
+
+    def test_clipped_tail_chunk_is_distinct(self, spark):
+        # "a b" (full) vs trailing "a" (clipped) are different chunks
+        got = self._run(spark, [(1, "a b a")], size=2)
+        assert got[1] == (2, 2, "a b a")
+
+    def test_empty_doc_absent_from_output(self, spark):
+        got = self._run(spark, [(1, "   "), (2, "z z")], size=2)
+        assert 1 not in got and got[2] == (1, 1, "z z")
+
+
 class TestIntervalOverlapJoin:
     def test_matches_naive_cross_filter(self, spark):
         # Intervals spanning multiple 1h buckets + boundary-equal points
@@ -427,6 +461,64 @@ class TestFileSkipping:
             r["k"] for r in pruned.where(F.col("k").between(100, 150)).collect()
         )
         assert got == list(range(100, 151))
+
+    def test_zorder_prunes_on_both_dimensions(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        # a full 64x64 grid: x the fast coordinate, y the slow one —
+        # genuinely independent dimensions
+        df = spark.range(0, 4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        ).repartition(8)
+        with wh.transaction():
+            wh.append(df, "t")
+
+        def files(prune):
+            return (
+                wh.read("t", prune=prune)
+                .select(F.input_file_name()).distinct().count()
+            )
+
+        assert files({"x": (0, 7)}) == 8  # round-robin: nothing skips
+
+        # single-column clustering sharpens x but leaves y unprunable
+        wh.cluster_table("t", "x", n_files=16)
+        total_1d = wh.read("t").select(F.input_file_name()).distinct().count()
+        assert files({"x": (0, 7)}) <= total_1d // 2
+        assert files({"y": (0, 7)}) == total_1d
+
+        # z-order sharpens BOTH: a 1/8-wide band on either axis hits
+        # only the grid cells that overlap it
+        wh.zorder_table("t", ["x", "y"], n_files=16)
+        total = wh.read("t").select(F.input_file_name()).distinct().count()
+        nx, ny = files({"x": (0, 7)}), files({"y": (0, 7)})
+        assert nx <= total // 2 and ny <= total // 2
+        # rewrites lose nothing and pruned reads stay supersets
+        assert wh.read("t").count() == 4096
+        band = wh.read("t", prune={"y": (0, 7)}).where(
+            F.col("y").between(0, 7)
+        )
+        assert band.count() == 4096 // 8
+
+    def test_zorder_requires_two_columns_and_tracked_table(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with pytest.raises(ValueError, match=">= 2 columns"):
+            wh.zorder_table("t", ["x"])
+        with pytest.raises(ValueError, match="not commit-log tracked"):
+            wh.zorder_table("missing", ["x", "y"])
 
     def test_prune_with_no_stats_keeps_everything(self, spark, tmp_path):
         from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
