@@ -81,6 +81,20 @@ EXTENDED = [
     "ratio_to_report",
     "histogram_equiwidth",
     "freq_items_bounds",
+    # round-6 additions
+    "dedup_keep_canonical",
+    "split_leakage_safe",
+    "dedup_containment",
+    "sample_weighted",
+    "fuzzy_match_pairs",
+    "text_char_entropy",
+    "text_pii_redact",
+    "bm25_topk",
+    "skew_salted_join",
+    "zscore_outliers",
+    "group_median_mad",
+    "snapshot_diff",
+    "dedup_chunk_level",
 ]
 
 REF_DATA = "/root/reference/data"
@@ -602,6 +616,58 @@ def _fact_clustering_bench(spark, days: int = 30) -> dict:
     return out
 
 
+def _zorder_bench(spark, side: int = 1024, n_files: int = 64) -> dict:
+    """Multi-dimensional file-skipping win of OPTIMIZE ZORDER
+    (round 6): a full side×side grid of two independent keys. After
+    single-column clustering by x, a selective y band must read every
+    file; after zorder_table(["x","y"]) the same band reads only the
+    curve cells that overlap it — the manifest min/max stats are narrow
+    in BOTH dimensions at once."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    df = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_zorder_")
+    wh = Warehouse(spark, root)
+    with wh.transaction():
+        wh.append(df.repartition(8), "t")
+    band_hi = side // 16 - 1  # 1/16-wide band on either axis
+
+    def band(col):
+        return wh.read("t", prune={col: (0, band_hi)}).where(
+            F.col(col) <= band_hi
+        )
+
+    out: dict = {"rows": side * side, "n_files": n_files}
+    wh.cluster_table("t", "x", n_files=n_files)
+    out["files_total_x_clustered"] = len(wh.read("t").inputFiles())
+    out["files_y_band_x_clustered"] = len(band("y").inputFiles())
+    t0 = time.perf_counter()
+    _noop(band("y"))
+    out["read_y_band_x_clustered_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    wh.zorder_table("t", ["x", "y"], n_files=n_files)
+    out["zorder_sec"] = round(time.perf_counter() - t0, 4)
+    out["files_total_zordered"] = len(wh.read("t").inputFiles())
+    out["files_x_band_zordered"] = len(band("x").inputFiles())
+    out["files_y_band_zordered"] = len(band("y").inputFiles())
+    t0 = time.perf_counter()
+    _noop(band("y"))
+    out["read_y_band_zordered_sec"] = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -691,6 +757,10 @@ def main() -> None:
         commitlog = _commitlog_checkpoint_bench()
     except Exception as e:
         commitlog = {"error": str(e)[:300]}
+    try:
+        zorder = _zorder_bench(spark)
+    except Exception as e:
+        zorder = {"error": str(e)[:300]}
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -710,6 +780,8 @@ def main() -> None:
         out["fact_clustering"] = fact_cluster
     if commitlog:
         out["commitlog_checkpoint"] = commitlog
+    if zorder:
+        out["zorder"] = zorder
     if replay:
         out["replay"] = replay
     print(json.dumps(out))

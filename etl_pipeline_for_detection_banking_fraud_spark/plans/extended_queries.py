@@ -757,3 +757,59 @@ def group_median_mad(spark, sf_dir):
     return stats.group_median_mad(
         _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
     )
+
+
+@_q(
+    "grouping_sets_agg",
+    "GROUPING SETS: arbitrary non-hierarchical grouping combinations "
+    "(the general form behind the rollup/cube entries)",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """Three explicit sets — (flag, status), (status), () — NOT a
+    rollup prefix chain, so only GROUPING SETS expresses it. One
+    expand+aggregate pass (Spark's Expand node), same single-shuffle
+    shape as rollup/cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
+        F.count("*").alias("n"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@_q(
+    "unpivot_melt",
+    "UNPIVOT / melt: wide measure columns to long (metric, value) rows",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """Spark's native unpivot (one Expand pass over the scan — the
+    oracle's 4x UNION ALL rescans; the engine reads once). Zero
+    shuffles: Expand is scan-local."""
+    return _t(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "val",
+    )

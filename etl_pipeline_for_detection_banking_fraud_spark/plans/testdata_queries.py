@@ -775,7 +775,8 @@ _REPORT_FIRST = [
     "dedup_keep_canonical", "split_leakage_safe",
     "text_char_entropy", "text_pii_redact", "bm25_topk",
     "skew_salted_join", "zscore_outliers", "group_median_mad",
-    "snapshot_diff", "dedup_chunk_level",
+    "snapshot_diff", "dedup_chunk_level", "grouping_sets_agg",
+    "unpivot_melt",
     # r06 rotation: every entry whose newest driver evidence is r04
     # (rotated out of the capped r05 report) goes first, so nothing
     # stays two rounds without fresh oracle evidence
