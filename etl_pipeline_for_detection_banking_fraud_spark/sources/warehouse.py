@@ -1069,28 +1069,90 @@ class Warehouse:
         for a selective band on ANY of them, where single-column
         ``cluster_table`` sharpens only its one key.
 
-        Numeric (or date/timestamp) columns only: each is min-max
-        scaled into ``bits`` bits via ONE control-plane stats row, then
-        bit-interleaved (``operators.scale.zorder_key``) — scan-local
-        codegen, no extra shuffle beyond the rewrite's range partition.
-        Same replace-commit / conflict-retry / vacuum-horizon contract
-        as ``cluster_table``; dt-hive layout is preserved (curve within
+        Each column maps to an ORDER-PRESERVING numeric curve position
+        by type — numerics as-is, date/timestamp via epoch arithmetic,
+        strings by stripping the table-wide common prefix (known from
+        the same stats row) and reading the next 8 bytes as a
+        big-endian integer (the Iceberg truncate-transform analog;
+        lexicographic byte order == numeric order on the fixed-width
+        slice, so lex-adjacent strings get adjacent curve positions and
+        each file's RAW-string manifest min/max stays narrow — a hash
+        would scatter neighbors and leave every file's stats spanning
+        the whole domain) — then min-max scaled into ``bits`` bits via
+        ONE control-plane stats row and bit-interleaved
+        (``operators.scale.zorder_key``): scan-local codegen, no extra
+        shuffle beyond the rewrite's range partition. Same
+        replace-commit / conflict-retry / vacuum-horizon contract as
+        ``cluster_table``; dt-hive layout is preserved (curve within
         each dt directory)."""
         if len(cols) < 2:
             raise ValueError("zorder_table needs >= 2 columns; use "
                              "cluster_table for one")
 
+        def _base_expr(field: T.StructField):
+            """Stats-pass expression: the curve position for non-string
+            types (order-preserving by construction), the RAW column
+            for strings (min/max strings are needed to pick the common
+            prefix before the byte-slice transform exists)."""
+            c = F.col(field.name)
+            dt = field.dataType
+            if isinstance(dt, T.DateType):
+                return F.datediff(c, F.lit("1970-01-01")), False
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return F.unix_timestamp(c), False
+            if isinstance(dt, T.StringType):
+                return c, True
+            if isinstance(dt, (T.NumericType, T.BooleanType)):
+                return c.cast("double"), False
+            raise ValueError(
+                f"zorder_table: column {field.name!r} has unsupported "
+                f"type {dt.simpleString()}"
+            )
+
+        def _str_curve(name: str, lo_s, hi_s):
+            """(lo, hi, expr) for a string column: drop the longest
+            common byte-prefix of the table's min/max, then the next 8
+            utf-8 bytes as a big-endian integer. Fixed-width slice →
+            lex order == numeric order (utf-8 preserves codepoint order
+            byte-wise); right-padding the hex with '0' pads the bytes
+            with 0x00, keeping shorter strings ordered first. The same
+            transform runs driver-side on the min/max strings to get
+            the scale bounds — one stats pass total."""
+            if lo_s is None or hi_s is None:
+                return None, None, F.lit(0)
+            blo, bhi = lo_s.encode("utf-8"), hi_s.encode("utf-8")
+            p = 0
+            while p < min(len(blo), len(bhi)) and blo[p] == bhi[p]:
+                p += 1
+
+            def pos(b: bytes) -> float:
+                return float(int.from_bytes(
+                    b[p:p + 8].ljust(8, b"\0"), "big"))
+
+            expr = F.conv(
+                F.rpad(F.hex(F.substring(F.encode(F.col(name), "utf-8"),
+                                         p + 1, 8)), 16, "0"),
+                16, 10).cast("double")
+            return pos(blo), pos(bhi), expr
+
         def _zcol(df: DataFrame):
+            by_name = {f.name: f for f in df.schema.fields}
+            missing = [c for c in cols if c not in by_name]
+            if missing:
+                raise ValueError(f"zorder_table: missing columns {missing}")
+            base = [_base_expr(by_name[c]) for c in cols]
             stats = df.agg(*[
-                f(c).alias(f"{w}_{c}")
-                for c in cols for w, f in (("lo", F.min), ("hi", F.max))
+                f(b).alias(f"{w}_{i}")
+                for i, (b, _) in enumerate(base)
+                for w, f in (("lo", F.min), ("hi", F.max))
             ]).collect()[0]
             from ..operators.scale import zorder_key, zorder_scale
-            scaled = [
-                zorder_scale(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"],
-                             bits)
-                for c in cols
-            ]
+            scaled = []
+            for i, (c, (b, is_str)) in enumerate(zip(cols, base)):
+                lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
+                if is_str:
+                    lo, hi, b = _str_curve(c, lo, hi)
+                scaled.append(zorder_scale(b, lo, hi, bits))
             return [zorder_key(scaled, bits)]
 
         self._cluster_rewrite(table, n_files, _zcol, op="zorder_table")

@@ -505,6 +505,60 @@ class TestFileSkipping:
         )
         assert band.count() == 4096 // 8
 
+    def test_zorder_timestamp_and_string_dimensions(self, spark, tmp_path):
+        # the production combo: cluster facts by (event time, card id) —
+        # time scales via epoch, the string via a stable hash (identical
+        # cards co-locate, so raw-string manifest stats stay narrow and
+        # string-range prunes still skip files)
+        import datetime
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        base = datetime.datetime(2021, 3, 1)
+        df = spark.range(0, 4096).select(
+            (F.lit(base) + F.make_dt_interval(
+                mins=(F.col("id") % 64).cast("int"))).alias("ts"),
+            F.concat(F.lit("card"),
+                     F.lpad((F.col("id") / 64).cast("long").cast("string"),
+                            3, "0")).alias("card"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        ).repartition(8)
+        with wh.transaction():
+            wh.append(df, "t")
+        wh.zorder_table("t", ["ts", "card"], n_files=16)
+        assert wh.read("t").count() == 4096
+        total = wh.read("t").select(F.input_file_name()).distinct().count()
+        t_band = wh.read("t", prune={
+            "ts": ("2021-03-01T00:00:00", "2021-03-01T00:07:00")
+        }).select(F.input_file_name()).distinct().count()
+        c_band = wh.read("t", prune={
+            "card": ("card000", "card007")
+        }).select(F.input_file_name()).distinct().count()
+        assert t_band <= total // 2 and c_band <= total // 2
+
+    def test_zorder_rejects_unsupported_type_and_missing_column(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        df = spark.createDataFrame(
+            [(1, 2, ["x"])], "a long, b long, arr array<string>"
+        )
+        with wh.transaction():
+            wh.append(df, "t")
+        with pytest.raises(ValueError, match="unsupported type"):
+            wh.zorder_table("t", ["a", "arr"])
+        with pytest.raises(ValueError, match="missing columns"):
+            wh.zorder_table("t", ["a", "nope"])
+
     def test_zorder_requires_two_columns_and_tracked_table(
         self, spark, tmp_path
     ):

@@ -131,6 +131,35 @@ class TestSnapshotDiffOperator:
             (2, "y", "delete"),
         ]
 
+    def test_diff_reconstructs_new_from_old(self, spark):
+        """The CDF invariant: old ∖ (deletes ∪ preimages) ⊎ (inserts ∪
+        postimages) == new, as multisets — on messy multiplicities."""
+        from collections import Counter
+
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.cdc import (
+            snapshot_diff,
+        )
+
+        old_rows = [(1, "a"), (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+                    (4, "e")]
+        new_rows = [(1, "a"), (2, "B"), (3, "c"), (3, "c"), (5, "z"),
+                    (4, "e"), (4, "e")]
+        old = spark.createDataFrame(old_rows, "k long, v string")
+        new = spark.createDataFrame(new_rows, "k long, v string")
+        diff = snapshot_diff(old, new, ["k"]).collect()
+        removed = Counter(
+            (r["k"], r["v"]) for r in diff
+            if r["change_type"] in ("delete", "update_preimage")
+        )
+        added = Counter(
+            (r["k"], r["v"]) for r in diff
+            if r["change_type"] in ("insert", "update_postimage")
+        )
+        rebuilt = Counter(old_rows) - removed + added
+        assert rebuilt == Counter(new_rows)
+        # and removals never exceed what old actually held
+        assert not (removed - Counter(old_rows))
+
     def test_null_key_never_pairs_as_update(self, spark):
         from etl_pipeline_for_detection_banking_fraud_spark.operators.cdc import (
             snapshot_diff,
