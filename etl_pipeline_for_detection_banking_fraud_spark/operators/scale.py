@@ -168,3 +168,46 @@ def zorder_scale(col, lo, hi, bits: int = 8):
     ).cast("long")
     return F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)),
                       F.lit(0))
+
+
+def str_curve(col, lo_s: "str | None", hi_s: "str | None"):
+    """Order-preserving string → curve position for ``zorder_scale``:
+    ``(lo, hi, expr)``.
+
+    Drops the longest common byte-prefix of the column's min/max
+    strings (one control-plane stats row — the whole table shares it by
+    definition of min/max), then reads the next 8 utf-8 bytes as a
+    big-endian integer. The slice is fixed-width, so lexicographic byte
+    order equals numeric order (utf-8 preserves codepoint order
+    byte-wise); right-padding the HEX with '0' pads the BYTES with
+    0x00, keeping shorter strings ordered first. The same transform
+    runs driver-side on the min/max strings for the scale bounds.
+
+    Monotone by construction: a <= b (as strings) ⇒ pos(a) <= pos(b) —
+    the property file skipping needs, and exactly what a hash mapping
+    destroys (lex-adjacent values scatter, so every file's raw-string
+    min/max spans the whole domain and nothing prunes). The Iceberg
+    truncate-transform analog. NULLs propagate to NULL and
+    ``zorder_scale`` sends them to the curve origin.
+    """
+    if lo_s is None or hi_s is None:
+        return None, None, F.lit(0)
+    blo, bhi = lo_s.encode("utf-8"), hi_s.encode("utf-8")
+    p = 0
+    while p < min(len(blo), len(bhi)) and blo[p] == bhi[p]:
+        p += 1
+
+    expr = F.conv(
+        F.rpad(F.hex(F.substring(F.encode(col, "utf-8"), p + 1, 8)),
+               16, "0"),
+        16, 10).cast("double")
+    return str_curve_pos(lo_s, p), str_curve_pos(hi_s, p), expr
+
+
+def str_curve_pos(s: str, prefix_len: int) -> float:
+    """Driver-side twin of ``str_curve``'s column expression: the
+    big-endian integer of utf-8 bytes ``[prefix_len, prefix_len+8)``,
+    zero-padded to 8. Exposed separately so the order-preservation
+    property is unit-testable without a SparkSession."""
+    b = s.encode("utf-8")[prefix_len:prefix_len + 8]
+    return float(int.from_bytes(b.ljust(8, b"\0"), "big"))

@@ -1109,32 +1109,6 @@ class Warehouse:
                 f"type {dt.simpleString()}"
             )
 
-        def _str_curve(name: str, lo_s, hi_s):
-            """(lo, hi, expr) for a string column: drop the longest
-            common byte-prefix of the table's min/max, then the next 8
-            utf-8 bytes as a big-endian integer. Fixed-width slice →
-            lex order == numeric order (utf-8 preserves codepoint order
-            byte-wise); right-padding the hex with '0' pads the bytes
-            with 0x00, keeping shorter strings ordered first. The same
-            transform runs driver-side on the min/max strings to get
-            the scale bounds — one stats pass total."""
-            if lo_s is None or hi_s is None:
-                return None, None, F.lit(0)
-            blo, bhi = lo_s.encode("utf-8"), hi_s.encode("utf-8")
-            p = 0
-            while p < min(len(blo), len(bhi)) and blo[p] == bhi[p]:
-                p += 1
-
-            def pos(b: bytes) -> float:
-                return float(int.from_bytes(
-                    b[p:p + 8].ljust(8, b"\0"), "big"))
-
-            expr = F.conv(
-                F.rpad(F.hex(F.substring(F.encode(F.col(name), "utf-8"),
-                                         p + 1, 8)), 16, "0"),
-                16, 10).cast("double")
-            return pos(blo), pos(bhi), expr
-
         def _zcol(df: DataFrame):
             by_name = {f.name: f for f in df.schema.fields}
             missing = [c for c in cols if c not in by_name]
@@ -1146,12 +1120,12 @@ class Warehouse:
                 for i, (b, _) in enumerate(base)
                 for w, f in (("lo", F.min), ("hi", F.max))
             ]).collect()[0]
-            from ..operators.scale import zorder_key, zorder_scale
+            from ..operators.scale import str_curve, zorder_key, zorder_scale
             scaled = []
             for i, (c, (b, is_str)) in enumerate(zip(cols, base)):
                 lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
                 if is_str:
-                    lo, hi, b = _str_curve(c, lo, hi)
+                    lo, hi, b = str_curve(F.col(c), lo, hi)
                 scaled.append(zorder_scale(b, lo, hi, bits))
             return [zorder_key(scaled, bits)]
 

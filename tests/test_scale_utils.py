@@ -44,3 +44,63 @@ def test_salted_join_matches_plain_join(spark, sf01):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+class TestStrCurve:
+    """Order preservation of the z-order string transform — the exact
+    property raw-string file skipping depends on."""
+
+    def test_monotone_over_random_strings(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.scale import (
+            str_curve_pos,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(st.text(max_size=24), min_size=2, max_size=12),
+               st.text(max_size=6))
+        def check(vals, prefix):
+            vals = [prefix + v for v in vals]
+            lo, hi = min(vals), max(vals)
+            blo, bhi = lo.encode("utf-8"), hi.encode("utf-8")
+            p = 0
+            while p < min(len(blo), len(bhi)) and blo[p] == bhi[p]:
+                p += 1
+            ranked = sorted(vals)
+            pos = [str_curve_pos(v, p) for v in ranked]
+            # a <= b (lex) => pos(a) <= pos(b); ties only allowed, never
+            # inversions
+            assert all(a <= b for a, b in zip(pos, pos[1:]))
+
+        check()
+
+    def test_spark_expr_matches_driver_pos(self, spark):
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.scale import (
+            str_curve,
+            str_curve_pos,
+        )
+
+        vals = ["card000", "card063", "cab", "car", "cards999x",
+                "card", "cardZ", "caré", "cardé中"]
+        lo, hi = min(vals), max(vals)
+        blo, bhi = lo.encode("utf-8"), hi.encode("utf-8")
+        p = 0
+        while p < min(len(blo), len(bhi)) and blo[p] == bhi[p]:
+            p += 1
+        plo, phi, expr = str_curve(F.col("s"), lo, hi)
+        assert (plo, phi) == (str_curve_pos(lo, p), str_curve_pos(hi, p))
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {r["s"]: r["pos"] for r in
+               df.select("s", expr.alias("pos")).collect()}
+        for v in vals:
+            assert got[v] == str_curve_pos(v, p), v
+
+    def test_null_bounds_degenerate(self):
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.scale import (
+            str_curve,
+        )
+
+        lo, hi, _ = str_curve(F.col("s"), None, None)
+        assert lo is None and hi is None
