@@ -598,12 +598,23 @@ def _fact_clustering_bench(spark, days: int = 30) -> dict:
         ).where(F.col("transaction_date") >= F.lit(band_lo))
 
     out: dict = {"days": days}
+    cards = [r[0] for r in wh.read_transactions(fact)
+             .select("card_num").distinct().orderBy("card_num")
+             .limit(200).collect()]
+    c_lo, c_hi = cards[0], cards[max(0, len(cards) // 8 - 1)]
+
+    def card_read():
+        return wh.read_transactions(
+            fact, prune={"card_num": (c_lo, c_hi)},
+        ).where(F.col("card_num").between(c_lo, c_hi))
+
     wh.cluster_table(fact, "card_num", n_files=days * 4)
     df = band_read()
     out["files_card_clustered"] = len(df.inputFiles())
     t0 = time.perf_counter()
     _noop(df)
     out["read_card_clustered_sec"] = round(time.perf_counter() - t0, 4)
+    out["files_card_band_card_clustered"] = len(card_read().inputFiles())
     t0 = time.perf_counter()
     wh.cluster_table(fact, "transaction_date", n_files=days * 4)
     out["cluster_sec"] = round(time.perf_counter() - t0, 4)
@@ -612,6 +623,24 @@ def _fact_clustering_bench(spark, days: int = 30) -> dict:
     t0 = time.perf_counter()
     _noop(df)
     out["read_time_clustered_sec"] = round(time.perf_counter() - t0, 4)
+
+    # single-key clustering serves ONE predicate: a full-history card
+    # lookup under time clustering can skip nothing (every file spans
+    # all cards). ZORDER (transaction_date, card_num) serves BOTH bands
+    # from one layout — each prune skips most files, at a modest cost
+    # vs its dedicated single-key clustering.
+    df = card_read()
+    out["files_card_band_time_clustered"] = len(df.inputFiles())
+    t0 = time.perf_counter()
+    wh.zorder_table(fact, ["transaction_date", "card_num"],
+                    n_files=days * 4)
+    out["zorder_sec"] = round(time.perf_counter() - t0, 4)
+    for tag, rd in (("time_band", band_read), ("card_band", card_read)):
+        df = rd()
+        out[f"files_{tag}_zordered"] = len(df.inputFiles())
+        t0 = time.perf_counter()
+        _noop(df)
+        out[f"read_{tag}_zordered_sec"] = round(time.perf_counter() - t0, 4)
     shutil.rmtree(root, ignore_errors=True)
     return out
 
