@@ -104,3 +104,35 @@ class TestStrCurve:
 
         lo, hi, _ = str_curve(F.col("s"), None, None)
         assert lo is None and hi is None
+
+
+class TestZorderKey:
+    def test_matches_reference_morton_interleave(self, spark):
+        """zorder_key == the textbook Morton code: bit i of column j
+        lands at curve bit i*m + j. Cross-checked against an
+        independent pure-Python interleave over random coordinates."""
+        import random
+
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.scale import (
+            zorder_key,
+        )
+
+        rnd = random.Random(7)
+        bits, m = 8, 3
+        rows = [tuple(rnd.randrange(1 << bits) for _ in range(m))
+                for _ in range(64)]
+
+        def morton(coords):
+            z = 0
+            for i in range(bits):
+                for j, c in enumerate(coords):
+                    z |= ((c >> i) & 1) << (i * m + j)
+            return z
+
+        df = spark.createDataFrame(rows, "x long, y long, z long")
+        got = [r["zk"] for r in df.select(zorder_key(
+            [F.col("x"), F.col("y"), F.col("z")], bits).alias("zk"),
+            "x", "y", "z").orderBy("x", "y", "z").collect()]
+        want = [morton(c) for c in sorted(rows)]
+        assert got == want
+
