@@ -85,7 +85,7 @@ class DailyBatch:
     # trailing 3599s frame (rule 4's decreasing triples span <1200s).
     RULE_BAND_SECONDS = 3599
 
-    def optimize_facts(self) -> None:
+    def optimize_facts(self, zorder_cards: bool = False) -> None:
         """File maintenance for the fact table (atomic/tracked mode):
         cluster files by ``transaction_date`` WITHIN each dt partition so
         the manifest's per-file time stats become narrow bands. The
@@ -93,8 +93,19 @@ class DailyBatch:
         yesterday's partition except the files covering the final
         midnight-straddle hour — partition pruning and file skipping
         compose (run after the day's commit; same optimistic-concurrency
-        replace contract as ``Warehouse.cluster_table``)."""
-        self.wh.cluster_table(FACT_TX, "transaction_date")
+        replace contract as ``Warehouse.cluster_table``).
+
+        ``zorder_cards=True`` z-orders on ``(transaction_date,
+        card_num)`` instead: the time-band read keeps most of its
+        skipping (each file spans ~sqrt instead of 1/n of the day) and a
+        full-history single-card scan — the fraud-analyst drill-down
+        that dt pruning can't help — also skips most files. Pick it when
+        the deployment serves card lookups too; the default stays the
+        sharpest layout for the rules' own read."""
+        if zorder_cards:
+            self.wh.zorder_table(FACT_TX, ["transaction_date", "card_num"])
+        else:
+            self.wh.cluster_table(FACT_TX, "transaction_date")
 
     @contextlib.contextmanager
     def _maybe_txn(self):

@@ -104,3 +104,51 @@ def test_optimize_facts_prunes_band_read_same_mart(spark, tmp_path):
         subject.wh.read_transactions().count()
         == control.wh.read_transactions().count()
     )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DATA), reason="reference data absent"
+)
+def test_optimize_facts_zorder_serves_both_predicates(spark, tmp_path):
+    """zorder_cards=True: the time-band read still prunes AND a
+    full-history card scan (dt pruning can't help it) skips files —
+    with the mart byte-identical to an unclustered control."""
+    dims = load_seed_dims(spark, DDL_DML)
+    control = DailyBatch(spark, str(tmp_path / "control"), dims,
+                         incremental=True, atomic=True)
+    subject = DailyBatch(spark, str(tmp_path / "subject"), dims,
+                         incremental=True, atomic=True)
+    for d in DAYS[:2]:
+        _run_day(control, d)
+        _run_day(subject, d)
+
+    day3 = datetime.date(2021, 3, 3)
+    # worst-case baseline layout: files span each whole day time-wise
+    # and the whole card space (hash-ish order), nothing prunable
+    subject.wh.cluster_table(FACT_TX, "amount", n_files=12)
+
+    cards = sorted(
+        r[0] for r in subject.wh.read_transactions(FACT_TX)
+        .select("card_num").distinct().collect()
+    )
+    c_lo, c_hi = cards[0], cards[max(0, len(cards) // 10 - 1)]
+
+    def card_scan():
+        return subject.wh.read_transactions(
+            FACT_TX, prune={"card_num": (c_lo, c_hi)}
+        )
+
+    band_before = len(_band_read(subject, day3).inputFiles())
+    cards_before = len(card_scan().inputFiles())
+    subject.optimize_facts(zorder_cards=True)
+    band_after = len(_band_read(subject, day3).inputFiles())
+    cards_after = len(card_scan().inputFiles())
+    assert band_after < band_before
+    assert cards_after < cards_before
+
+    _run_day(control, DAYS[2])
+    _run_day(subject, DAYS[2])
+    cols = sorted(control.wh.read("rep_fraud").columns)
+    got = sorted(map(tuple, subject.wh.read("rep_fraud").select(*cols).collect()))
+    want = sorted(map(tuple, control.wh.read("rep_fraud").select(*cols).collect()))
+    assert got == want
