@@ -215,3 +215,33 @@ def str_curve_pos(s: str, prefix_len: int) -> float:
     property is unit-testable without a SparkSession."""
     b = s.encode("utf-8")[prefix_len:prefix_len + 8]
     return float(int.from_bytes(b.ljust(8, b"\0"), "big"))
+
+
+def zorder_scale_col(col, lo, hi, bits: int = 8):
+    """``zorder_scale`` with per-GROUP Column bounds (e.g. per-dt-
+    partition ``min/max ... over (partition by dt)``) instead of driver
+    literals.
+
+    Why it exists: a hive-partitioned table's z-order curve is laid out
+    WITHIN each dt directory, so only the within-partition ordering
+    matters — but global min-max scaling spends the curve's ``bits``
+    across the whole table's history. At 365 days × 8 bits a timestamp
+    dimension gets ~0.7 buckets per day: every row in a day scales to
+    the same value, intra-day ordering vanishes, and the midnight-band
+    file skip stops working. Per-partition bounds give every partition
+    the full ``2**bits`` resolution regardless of table history — the
+    property that keeps z-order useful at years of retention.
+
+    NULL bounds or degenerate ranges (all-NULL / single-value
+    partitions) map to 0, matching ``zorder_scale``.
+    """
+    top = (1 << bits) - 1
+    lo_d, hi_d = lo.cast("double"), hi.cast("double")
+    rng = hi_d - lo_d
+    scaled = F.floor((col.cast("double") - lo_d) * top / rng).cast("long")
+    ok = lo_d.isNotNull() & hi_d.isNotNull() & (rng > 0)
+    return F.when(
+        ok,
+        F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)),
+                   F.lit(0)),
+    ).otherwise(F.lit(0))

@@ -1120,13 +1120,37 @@ class Warehouse:
                 for i, (b, _) in enumerate(base)
                 for w, f in (("lo", F.min), ("hi", F.max))
             ]).collect()[0]
-            from ..operators.scale import str_curve, zorder_key, zorder_scale
+            from ..operators.scale import (
+                str_curve,
+                zorder_key,
+                zorder_scale,
+                zorder_scale_col,
+            )
+            # dt-partitioned tables scale each dimension against its
+            # PER-PARTITION min/max (window bounds): the curve is laid
+            # out within each dt dir, and global scaling would spread
+            # the 2**bits resolution across the whole history — at 365
+            # days a timestamp dimension gets <1 bucket/day and the
+            # midnight-band skip dies. Costs one extra exchange (by dt)
+            # during the maintenance rewrite only.
+            per_dt = "dt" in df.columns
+            if per_dt:
+                from pyspark.sql.window import Window
+                w = Window.partitionBy("dt")
             scaled = []
             for i, (c, (b, is_str)) in enumerate(zip(cols, base)):
                 lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
                 if is_str:
+                    # global stats still pick the prefix (common to all
+                    # partitions by definition of global min/max); the
+                    # numeric expr is order-preserving, so window
+                    # min/max of it == transform of per-dt min/max
                     lo, hi, b = str_curve(F.col(c), lo, hi)
-                scaled.append(zorder_scale(b, lo, hi, bits))
+                if per_dt:
+                    scaled.append(zorder_scale_col(
+                        b, F.min(b).over(w), F.max(b).over(w), bits))
+                else:
+                    scaled.append(zorder_scale(b, lo, hi, bits))
             return [zorder_key(scaled, bits)]
 
         self._cluster_rewrite(table, n_files, _zcol, op="zorder_table")
@@ -1147,6 +1171,15 @@ class Warehouse:
             df = self.read(table)
             keys = key_cols_fn(df)
             part_cols = [c for c in df.columns if c == "dt"]
+            # materialize the ordering expressions once: evaluated a
+            # single time instead of once in repartitionByRange and
+            # again in the sort, and window-backed keys (per-partition
+            # z-order bounds) are legal as columns where they are
+            # rejected as raw repartition expressions
+            kc = [f"_ck_{i}" for i in range(len(keys))]
+            aug = df.select(
+                "*", *[k.alias(n) for n, k in zip(kc, keys)]
+            )
             txn = Transaction(self)
             txn.replace = True
             txn.base_seq = base_seq
@@ -1155,14 +1188,14 @@ class Warehouse:
                 # n_files ranges over (dt, *keys); partitionBy then
                 # peels dt into directories, so each written file covers
                 # a narrow key band inside its dt dir
-                clustered = df.repartitionByRange(
-                    max(n_files, 1), *part_cols, *keys
-                ).sortWithinPartitions(*part_cols, *keys)
+                clustered = aug.repartitionByRange(
+                    max(n_files, 1), *part_cols, *kc
+                ).sortWithinPartitions(*part_cols, *kc).drop(*kc)
                 txn.append(clustered, table, partition_by=part_cols)
             else:
-                clustered = df.repartitionByRange(
-                    n_files, *keys
-                ).sortWithinPartitions(*keys)
+                clustered = aug.repartitionByRange(
+                    n_files, *kc
+                ).sortWithinPartitions(*kc).drop(*kc)
                 txn.append(clustered, table)
             try:
                 txn.commit()

@@ -598,3 +598,51 @@ class TestFileSkipping:
         out = wh.read("t", prune={"k": (1000, 2000)})
         assert out.count() == 0
         assert out.columns == ["k"]
+
+
+class TestZorderPerPartitionBounds:
+    def test_intraday_resolution_survives_long_history(self, spark, tmp_path):
+        """dt-partitioned z-order scales each dimension against its
+        PER-PARTITION min/max. With global scaling, bits=4 over 16 days
+        gives the time dimension <=1 bucket per day — intra-day
+        ordering vanishes and a morning-band read hits every file of
+        the day. Per-partition bounds keep the full 16-bucket intra-day
+        resolution no matter how long the history grows."""
+        import datetime
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        days, per_day = 16, 256
+        base = datetime.datetime(2021, 3, 1)
+        df = spark.range(days * per_day).select(
+            (F.lit(base)
+             + F.make_dt_interval(days=(F.col("id") / per_day).cast("int"),
+                                  mins=((F.col("id") % per_day)
+                                        * (1440 / per_day)).cast("int"))
+             ).alias("ts"),
+            F.pmod(F.col("id") * 37, F.lit(997)).alias("k"),
+        ).withColumn("dt", F.to_date("ts")).repartition(8)
+        with wh.transaction():
+            wh.append(df, "t", partition_by=["dt"])
+        wh.zorder_table("t", ["ts", "k"], n_files=days * 4, bits=4)
+        assert wh.read("t").count() == days * per_day
+
+        last = base + datetime.timedelta(days=days - 1)
+        lo, hi = last.isoformat(), (last
+                                    + datetime.timedelta(hours=3)).isoformat()
+        got = wh.read("t", prune={"ts": (lo, hi)})
+        day_files = [f for f in got.select(F.input_file_name())
+                     .distinct().toPandas()["input_file_name()"]
+                     if f"dt={last.date()}" in f]
+        # the last day holds ~4 files; a 3h/24h band must skip at least
+        # half of them — impossible under global bits=4 scaling, where
+        # every row of the day shares one time bucket
+        assert len(day_files) <= 2, day_files
+        # correctness: pruning is a superset, the row filter still holds
+        n = got.where(F.col("ts").between(lo, hi)).count()
+        want = sum(1 for j in range(per_day)
+                   if int(j * (1440 / per_day)) <= 180)
+        assert n == want
