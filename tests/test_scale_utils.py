@@ -136,3 +136,36 @@ class TestZorderKey:
         want = [morton(c) for c in sorted(rows)]
         assert got == want
 
+
+
+class TestZorderScaleCol:
+    def test_per_group_bounds_and_degenerate_groups(self, spark):
+        """Per-group scaling uses each group's own min/max; all-NULL and
+        single-value groups (NULL or zero range) map to the curve
+        origin, mirroring zorder_scale's literal-bounds contract."""
+        from pyspark.sql.window import Window
+
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.scale import (
+            zorder_scale_col,
+        )
+
+        rows = [
+            ("a", 0.0), ("a", 50.0), ("a", 100.0),   # full range
+            ("b", 7.0), ("b", 7.0),                  # degenerate: rng 0
+            ("c", None), ("c", None),                # degenerate: NULL
+            ("d", -10.0), ("d", 10.0),               # shifted range
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        w = Window.partitionBy("g")
+        out = df.select(
+            "g", "v",
+            zorder_scale_col(F.col("v"), F.min("v").over(w),
+                             F.max("v").over(w), bits=8).alias("s"),
+        ).collect()
+        got = {(r["g"], r["v"]): r["s"] for r in out}
+        assert got[("a", 0.0)] == 0
+        assert got[("a", 50.0)] == 127   # floor(50/100 * 255)
+        assert got[("a", 100.0)] == 255
+        assert got[("b", 7.0)] == 0
+        assert got[("c", None)] == 0
+        assert got[("d", -10.0)] == 0 and got[("d", 10.0)] == 255
