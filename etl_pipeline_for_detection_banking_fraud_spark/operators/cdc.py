@@ -14,6 +14,8 @@ ride an existing bucketing of the snapshot. No collect, no UDFs.
 
 from __future__ import annotations
 
+import functools
+import operator
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -163,11 +165,20 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame, key: str,
     )
     joined = snapshot.join(latest, snapshot[key] == latest["_ck"], "full_outer")
     if version_aware:
-        newer = F.coalesce(
-            F.struct(*[F.col(f"_newv_{c}") for c in version_cols])
-            > F.struct(*[snapshot[c] for c in version_cols]),
-            F.lit(True),  # incomparable (NULL stored version): change wins
+        # struct comparison is TOTAL (structs themselves are never
+        # NULL; NULL fields order first), so `>` alone would silently
+        # IGNORE a NULL-vs-NULL version pair. The documented contract
+        # is "unknown version means no basis to refuse": an all-NULL
+        # vs all-NULL comparison lets the change win explicitly.
+        both_null = functools.reduce(
+            operator.and_,
+            [F.col(f"_newv_{c}").isNull() & snapshot[c].isNull()
+             for c in version_cols],
         )
+        newer = (
+            F.struct(*[F.col(f"_newv_{c}") for c in version_cols])
+            > F.struct(*[snapshot[c] for c in version_cols])
+        ) | both_null
         applied = F.col("_op").isNotNull() & (snapshot[key].isNull() | newer)
     else:
         applied = F.col("_op").isNotNull()

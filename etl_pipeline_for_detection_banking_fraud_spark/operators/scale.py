@@ -149,6 +149,13 @@ def zorder_key(scaled_cols: "list", bits: int = 8):
     m = len(scaled_cols)
     if m == 0:
         raise ValueError("zorder_key needs at least one column")
+    if bits * m > 63:
+        # the top interleaved bit would land in the long's sign bit,
+        # making high-end keys negative and breaking the curve's order
+        raise ValueError(
+            f"bits*len(scaled_cols) = {bits}*{m} = {bits * m} exceeds the "
+            "63 value bits of a signed long; lower bits or drop columns"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(scaled_cols):

@@ -354,11 +354,21 @@ def _data_files(table_dir: str) -> list[str]:
 
 
 def _next_seq(log_dir: str) -> int:
-    seqs = [
-        int(fn[:-5])
-        for fn in os.listdir(log_dir)
-        if fn.endswith(".json") and fn[:-5].isdigit()
-    ]
+    """Next unclaimed sequence number. Checkpoint files count too:
+    after ``expire_log`` folds old entries into a checkpoint and
+    deletes them, the checkpoint seq is the floor — reusing an expired
+    seq would commit BELOW the surviving checkpoint, and replay (which
+    starts at the newest checkpoint) would silently skip it."""
+    seqs = []
+    for fn in os.listdir(log_dir):
+        if fn.endswith(".checkpoint.json"):
+            s = fn[: -len(".checkpoint.json")]
+        elif fn.endswith(".json"):
+            s = fn[:-5]
+        else:
+            continue
+        if s.isdigit():
+            seqs.append(int(s))
     return (max(seqs) + 1) if seqs else 1
 
 
@@ -499,40 +509,57 @@ class Warehouse:
         SUFFIX after it — O(checkpoint_interval) parses instead of
         O(total commits). A torn/unreadable checkpoint falls back to the
         next older one, then to full replay (checkpoints are an
-        optimization, never a correctness dependency)."""
-        entry_seqs, ckpt_seqs = self._list_log()
-        if at is not None:
-            entry_seqs = [s for s in entry_seqs if s <= at]
-            ckpt_seqs = [s for s in ckpt_seqs if s <= at]
-        head = entry_seqs[-1] if entry_seqs else 0
-        if at is None and self._state_cache is not None and \
-                self._state_cache[0] == head:
-            return self._state_cache[1]
-        state: dict = {"tables": {}, "stats": {}, "retention": {}}
-        start = 0
-        for cseq in reversed(ckpt_seqs):
-            ck = self._load_checkpoint(cseq)
-            if ck is not None:
-                state = {
-                    "tables": {t: list(v) for t, v in ck.get("tables", {}).items()},
-                    "stats": {t: dict(v) for t, v in ck.get("stats", {}).items()},
-                    "retention": dict(ck.get("retention", {})),
-                }
-                start = cseq
-                break
-        parsed = 0
-        for seq in entry_seqs:
-            if seq <= start:
-                continue
-            entry = self._load_entry(seq)
-            if entry is None:
-                continue
-            parsed += 1
-            self._apply_entry(state, seq, entry)
-        self.last_replay_parsed = parsed
-        if at is None:
-            self._state_cache = (head, state)
-        return state
+        optimization, never a correctness dependency).
+
+        An entry LISTED but then missing at parse time means a
+        concurrent ``expire_log`` folded it into a checkpoint between
+        our listing and the open — silently skipping it would drop its
+        files from the replayed state. One fresh re-listing makes the
+        new checkpoint visible; a second miss is real log corruption
+        and raises rather than returning wrong table contents."""
+        for attempt in (0, 1):
+            entry_seqs, ckpt_seqs = self._list_log()
+            if at is not None:
+                entry_seqs = [s for s in entry_seqs if s <= at]
+                ckpt_seqs = [s for s in ckpt_seqs if s <= at]
+            head = entry_seqs[-1] if entry_seqs else 0
+            if at is None and self._state_cache is not None and \
+                    self._state_cache[0] == head:
+                return self._state_cache[1]
+            state: dict = {"tables": {}, "stats": {}, "retention": {}}
+            start = 0
+            for cseq in reversed(ckpt_seqs):
+                ck = self._load_checkpoint(cseq)
+                if ck is not None:
+                    state = {
+                        "tables": {t: list(v) for t, v in ck.get("tables", {}).items()},
+                        "stats": {t: dict(v) for t, v in ck.get("stats", {}).items()},
+                        "retention": dict(ck.get("retention", {})),
+                    }
+                    start = cseq
+                    break
+            parsed = 0
+            missing = None
+            for seq in entry_seqs:
+                if seq <= start:
+                    continue
+                entry = self._load_entry(seq)
+                if entry is None:
+                    missing = seq  # raced an expire_log: re-list
+                    break
+                parsed += 1
+                self._apply_entry(state, seq, entry)
+            if missing is None:
+                self.last_replay_parsed = parsed
+                if at is None:
+                    self._state_cache = (head, state)
+                return state
+            if attempt:
+                raise RuntimeError(
+                    f"commit log inconsistent: entry {missing:09d} was "
+                    "listed but is unreadable and no checkpoint covers "
+                    "it — replayed state would silently lose its files"
+                )
 
     def _maybe_checkpoint(self, seq: int) -> None:
         """Called after every commit link: fold state into a checkpoint
@@ -607,6 +634,12 @@ class Warehouse:
         leaves a log that replays identically. Returns the number of
         entry files removed. Single-maintainer operation, same posture
         as ``compact``/``vacuum_orphans``."""
+        if keep_entries < 1:
+            # 0 would delete EVERY entry file; with nothing but the
+            # checkpoint left, a naive next-seq scan could reuse an
+            # expired sequence number (committing invisibly below the
+            # checkpoint) and expire_horizon would collapse to 0.
+            raise ValueError("expire_log requires keep_entries >= 1")
         entry_seqs, ckpt_seqs = self._list_log()
         if len(entry_seqs) <= keep_entries:
             return 0

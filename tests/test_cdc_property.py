@@ -190,3 +190,38 @@ def test_stale_update_and_delete_ignored(spark):
     )
     got2 = {r["k"]: (r["bal"], r["v"]) for r in out2.collect()}
     assert got2 == {1: (99.0, 6)}
+
+
+def test_null_version_cases(spark):
+    """The version guard's NULL ladder (round-7 advisor item): a stored
+    NULL version loses to any non-NULL change (NULL orders first in the
+    struct comparison); a NULL-change vs non-NULL-stored is stale and
+    ignored; NULL-vs-NULL is incomparable and the change WINS — unknown
+    version means no basis to refuse (the documented contract, now an
+    explicit disjunct rather than dead coalesce code)."""
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0, None), (2, "b", 20.0, 5), (3, "c", 30.0, None)],
+        "k long, name string, bal double, v long",
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, 2, "U", 91.0),       # non-NULL beats stored NULL
+            (2, None, "U", 92.0),    # NULL change vs stored 5: ignored
+            (3, None, "U", 93.0),    # NULL-vs-NULL: change wins
+        ],
+        "k long, v long, op string, bal double",
+    )
+    out = cdc.apply_changelog(
+        snap, chg, key="k", version_cols=("v",), payload_cols=("bal",)
+    )
+    got = {r["k"]: (r["bal"], r["v"]) for r in out.collect()}
+    assert got == {1: (91.0, 2), 2: (20.0, 5), 3: (93.0, None)}
+
+    # NULL-vs-NULL delete also wins
+    d = spark.createDataFrame(
+        [(3, None, "D", None)], "k long, v long, op string, bal double"
+    )
+    out2 = cdc.apply_changelog(
+        snap, d, key="k", version_cols=("v",), payload_cols=("bal",)
+    )
+    assert sorted(r["k"] for r in out2.collect()) == [1, 2]

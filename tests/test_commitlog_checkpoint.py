@@ -412,3 +412,83 @@ class TestExpireLog:
         txn2.pending = {"events": ["y.parquet"]}
         txn2.commit()
         assert wh._manifest_files("events") == ["y.parquet"]
+
+
+class TestExpireLogSafety:
+    """Round-7 advisor items: sequence-number reuse after expire, and
+    the silent-skip window when a read races ``expire_log``."""
+
+    def test_keep_entries_zero_rejected(self, tmp_path):
+        """keep_entries=0 would delete EVERY entry file; the next
+        commit's sequence scan could then reuse an expired seq (landing
+        invisibly below the surviving checkpoint)."""
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 5)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        with pytest.raises(ValueError, match="keep_entries >= 1"):
+            wh.expire_log(keep_entries=0)
+        with pytest.raises(ValueError, match="keep_entries >= 1"):
+            wh.expire_log(keep_entries=-3)
+        # nothing was removed by the rejected calls
+        assert len(wh._list_log()[0]) == 5
+
+    def test_next_seq_never_reused_below_checkpoint(self, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            _next_seq,
+        )
+
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 10)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        wh.expire_log(keep_entries=1)  # ckpt@9, entry 10 survives
+        log_dir = os.path.join(root, "_commitlog")
+        assert _next_seq(log_dir) == 11
+        # even if every entry file vanished (crash between expire and a
+        # later commit, manual cleanup), the checkpoint seq is a floor:
+        os.remove(os.path.join(log_dir, "000000010.json"))
+        assert _next_seq(log_dir) == 10  # NOT 1 — no reuse below ckpt@9
+
+    def test_commit_lands_above_checkpoint_and_is_visible(self, tmp_path):
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 10)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        wh.expire_log(keep_entries=1)
+        txn = Transaction(wh)
+        txn.pending = {"events": ["post-expire.parquet"]}
+        txn.commit()
+        cold = Warehouse(None, root)
+        files = cold._manifest_files("events")
+        assert "post-expire.parquet" in files and len(files) == 11
+
+    def test_read_racing_expire_relists_and_recovers(self, tmp_path):
+        """A reader that listed the log BEFORE a concurrent expire_log
+        deleted the folded entries must re-list (the new checkpoint is
+        then visible) rather than silently dropping those files."""
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 10)
+        Warehouse(None, root, checkpoint_interval=0).expire_log(keep_entries=2)
+
+        reader = Warehouse(None, root, checkpoint_interval=0)
+        real_list = reader._list_log
+        calls = {"n": 0}
+
+        def stale_then_real():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return list(range(1, 11)), []  # pre-expire listing
+            return real_list()
+
+        reader._list_log = stale_then_real
+        files = reader._manifest_files("events")
+        assert calls["n"] >= 2 and len(files) == 10  # full state, no loss
+
+    def test_truly_missing_entry_raises_not_silent(self, tmp_path):
+        """An entry listed but unreadable with NO covering checkpoint is
+        corruption: raising beats returning wrong table contents."""
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 10)
+        reader = Warehouse(None, root, checkpoint_interval=0)
+        reader._list_log = lambda: (list(range(1, 11)), [])
+        os.remove(os.path.join(root, "_commitlog", "000000005.json"))
+        with pytest.raises(RuntimeError, match="commit log inconsistent"):
+            reader._manifest_files("events")

@@ -169,3 +169,20 @@ class TestZorderScaleCol:
         assert got[("b", 7.0)] == 0
         assert got[("c", None)] == 0
         assert got[("d", -10.0)] == 0 and got[("d", 10.0)] == 255
+
+
+class TestZorderKeyOverflow:
+    def test_sign_bit_guard(self):
+        """bits*m > 63 would land the top interleaved bit in the long's
+        sign bit — negative keys break the curve's ordering silently, so
+        the construction refuses (round-7 advisor item)."""
+        from etl_pipeline_for_detection_banking_fraud_spark.operators.scale import (
+            zorder_key,
+        )
+
+        cols8 = [F.col(f"c{i}") for i in range(8)]
+        with pytest.raises(ValueError, match="63"):
+            zorder_key(cols8, bits=8)  # 64 bits: one too many
+        zorder_key(cols8[:7], bits=9)  # 63: exactly fits
+        with pytest.raises(ValueError, match="63"):
+            zorder_key(cols8[:2], bits=32)
