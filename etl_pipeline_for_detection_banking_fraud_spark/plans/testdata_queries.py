@@ -770,16 +770,38 @@ def sessionize(spark, sf_dir):
 # row plus the local parity suite (tests/test_oracle_parity.py runs every
 # catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
-    # new in r6 — never reported
+    # new in r7 — never reported: add new catalog entries HERE, above
+    # the rotation block, so they get driver-oracle evidence this round
+    # r07 rotation: the 7 entries whose newest evidence is r04 lead
+    # (nothing may go >2 rounds stale), then everything whose newest
+    # evidence is r05 — the ~50-entry report cap takes what fits
+    "date_parts", "scalar_subquery", "case_when_bucketing",
+    "json_extract", "tpch_q3_shape", "quantiles_exact", "cube_agg",
+    "anti_join", "approx_stats_bounds", "array_funcs",
+    "between_filter", "cast_project", "cdc_upsert", "concat_coalesce",
+    "corpus_mix", "date_arith", "dedup_clusters_star",
+    "dedup_minhash_incr", "dedup_ngram_incr", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs",
+    "dq_checks", "embedding_centroids", "embedding_quantize",
+    "freq_items_bounds", "full_outer_join", "graph_pagerank",
+    "histogram_equiwidth", "intersect_key", "interval_overlap_join",
+    "join_chain", "kmeans_iter2", "left_join_count", "min_max_date",
+    "multimodal_image", "null_filters", "nullsafe_neq",
+    "pack_sequences", "range_frame_window", "ratio_to_report",
+    "row_counts", "scan_filter_project", "semi_join",
+    "semi_join_prefilter", "skew_salted_agg", "string_agg_ordered",
+    "text_chunk", "text_decontaminate", "text_regex_scan",
+    "text_repetition", "text_tokens_bpe", "text_winnow",
+    "window_count_distinct", "window_tumbling", "approx_stats",
+]
+_REPORT_LAST = [
+    # reported green in r06 — freshest evidence, can wait
     "dedup_containment", "sample_weighted", "fuzzy_match_pairs",
     "dedup_keep_canonical", "split_leakage_safe",
     "text_char_entropy", "text_pii_redact", "bm25_topk",
     "skew_salted_join", "zscore_outliers", "group_median_mad",
     "snapshot_diff", "dedup_chunk_level", "grouping_sets_agg",
     "unpivot_melt",
-    # r06 rotation: every entry whose newest driver evidence is r04
-    # (rotated out of the capped r05 report) goes first, so nothing
-    # stays two rounds without fresh oracle evidence
     "timeband_self_join", "timeband_window", "decreasing_triple",
     "asof_join", "scd2_apply", "first_per_group", "distinct_pairs",
     "groupby_agg", "topk_per_group", "union_except", "sessionize",
@@ -789,27 +811,7 @@ _REPORT_FIRST = [
     "multimodal_features", "sample_hash", "sample_stratified_n",
     "text_tfidf_topk", "sim_ann_ivf", "pivot_agg", "rollup_agg",
     "distinct_count_agg", "string_funcs", "global_topk", "running_window",
-    "lead_lag_window", "rank_funcs", "date_parts", "scalar_subquery",
-    "case_when_bucketing", "json_extract", "tpch_q3_shape",
-    "quantiles_exact", "cube_agg",
-]
-_REPORT_LAST = [
-    # reported green in r05 — freshest evidence, can wait
-    "scan_filter_project", "cast_project", "concat_coalesce", "date_arith",
-    "between_filter", "null_filters", "nullsafe_neq", "join_chain",
-    "left_join_count", "anti_join", "semi_join", "row_counts",
-    "min_max_date", "dedup_minhash_incr", "array_funcs",
-    "dedup_clusters_star", "dedup_ngram_jaccard", "dedup_ngram_incr",
-    "dedup_simhash", "dedup_simhash_pairs", "text_repetition",
-    "text_regex_scan", "embedding_centroids", "corpus_mix", "pack_sequences",
-    "text_decontaminate", "dedup_semantic", "multimodal_image",
-    "text_tokens_bpe", "text_winnow", "embedding_quantize", "kmeans_iter2",
-    "graph_pagerank", "approx_stats", "approx_stats_bounds",
-    "skew_salted_agg", "string_agg_ordered", "intersect_key",
-    "window_tumbling", "full_outer_join", "dq_checks", "cdc_upsert",
-    "interval_overlap_join", "semi_join_prefilter", "range_frame_window",
-    "text_chunk", "window_count_distinct", "ratio_to_report",
-    "histogram_equiwidth", "freq_items_bounds",
+    "lead_lag_window", "rank_funcs",
 ]
 
 
