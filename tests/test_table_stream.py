@@ -1,0 +1,174 @@
+"""Warehouse table-as-a-stream source (streaming/table_stream.py).
+
+Pins the Delta-shape contract: offsets are commit seqs; the first
+microbatch is the existing snapshot; each later commit arrives as the
+file-set diff between offsets; restarts resume from the query
+checkpoint exactly-once; replaces fail by default / re-emit on opt-in;
+a stream behind the expire horizon raises SnapshotExpired.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+
+from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+    SnapshotExpired,
+    Warehouse,
+)
+from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+    table_stream as ts,
+)
+
+pytestmark = pytest.mark.slow
+
+
+def _rows(spark, ids, day=1):
+    return spark.createDataFrame(
+        [(i, f"n{i}", Decimal("1.50") * i,
+          datetime.datetime(2021, 3, day, 10, 0, i % 60),
+          datetime.date(2021, 3, day)) for i in ids],
+        "id long, name string, amt decimal(12,2), ts timestamp, dt date",
+    )
+
+
+def _run_available(spark, sdf, name, ckpt):
+    """Drain the stream once (availableNow) through a checkpointed
+    foreachBatch sink (the memory sink cannot recover from a
+    checkpoint) and return the collected rows."""
+    rows = []
+    q = (sdf.writeStream
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return rows
+
+
+class TestSnapshotThenTail:
+    def test_snapshot_restart_tail_exactly_once(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(_rows(spark, [1, 2], day=1), "events",
+                      partition_by=["dt"])
+        with wh.transaction():
+            wh.append(_rows(spark, [3], day=1), "events",
+                      partition_by=["dt"])
+
+        sdf = ts.stream_table(spark, root, "events")
+        assert sdf.schema["dt"].dataType.simpleString() == "date"
+        out = _run_available(spark, sdf, "tbl_snap", ckpt)
+        assert sorted(r["id"] for r in out) == [1, 2, 3]
+        # snapshot parity with the batch reader, partition column included
+        batch = wh.read("events")
+        assert sorted(sdf.columns) == sorted(batch.columns)
+        assert {(r["id"], r["amt"], r["dt"]) for r in out} == \
+               {(r["id"], r["amt"], r["dt"]) for r in batch.collect()}
+
+        # two more commits, restart from the SAME checkpoint: only the
+        # new files arrive (exactly-once tail, no re-snapshot)
+        with wh.transaction():
+            wh.append(_rows(spark, [4, 5], day=2), "events",
+                      partition_by=["dt"])
+        with wh.transaction():
+            wh.append(_rows(spark, [6], day=2), "events",
+                      partition_by=["dt"])
+        out2 = _run_available(spark, ts.stream_table(spark, root, "events"),
+                              "tbl_tail", ckpt)
+        assert sorted(r["id"] for r in out2) == [4, 5, 6]
+        assert {r["dt"] for r in out2} == {datetime.date(2021, 3, 2)}
+
+        # nothing new: an availableNow restart emits zero rows
+        out3 = _run_available(spark, ts.stream_table(spark, root, "events"),
+                              "tbl_idle", ckpt)
+        assert out3 == []
+
+    def test_tail_only_skips_existing(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(_rows(spark, [1, 2]), "events", partition_by=["dt"])
+        sdf = ts.stream_table(spark, root, "events", tail_only=True)
+        out = _run_available(spark, sdf, "tbl_tailonly",
+                             str(tmp_path / "c2"))
+        assert out == []
+        with wh.transaction():
+            wh.append(_rows(spark, [7]), "events", partition_by=["dt"])
+        out2 = _run_available(spark,
+                              ts.stream_table(spark, root, "events",
+                                              tail_only=True),
+                              "tbl_tailonly2", str(tmp_path / "c2"))
+        assert [r["id"] for r in out2] == [7]
+
+    def test_untracked_table_has_no_schema(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        Warehouse(spark, root)  # creates root, commits nothing
+        with pytest.raises(Exception, match="no committed files"):
+            ts.stream_table(spark, root, "ghost").schema
+
+
+class TestReplaceAndExpiry:
+    def test_mid_stream_replace_fails_by_default(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(_rows(spark, [1, 2]), "events", partition_by=["dt"])
+        _run_available(spark, ts.stream_table(spark, root, "events"),
+                       "tbl_rf0", ckpt)
+        wh.compact("events")  # replace entry after the consumed offset
+        with pytest.raises(Exception, match="REPLACED table"):
+            q = (ts.stream_table(spark, root, "events")
+                 .writeStream.foreachBatch(lambda df, _id: None)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+
+    def test_reemit_opt_in_delivers_rewritten_files(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(_rows(spark, [1, 2]), "events", partition_by=["dt"])
+        _run_available(spark,
+                       ts.stream_table(spark, root, "events",
+                                       on_replace="reemit"),
+                       "tbl_re0", ckpt)
+        wh.compact("events")
+        out = _run_available(spark,
+                             ts.stream_table(spark, root, "events",
+                                             on_replace="reemit"),
+                             "tbl_re1", ckpt)
+        # ignoreChanges contract: the rewritten file set re-arrives
+        assert sorted(r["id"] for r in out) == [1, 2]
+
+    def test_offset_behind_expire_horizon_raises(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root, checkpoint_interval=0)
+        for i in range(6):
+            with wh.transaction():
+                wh.append(_rows(spark, [i]), "events", partition_by=["dt"])
+        wh.expire_log(keep_entries=2)  # horizon 4
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events"},
+            *_schema_pair(root),
+        )
+        with pytest.raises(SnapshotExpired, match="expire horizon"):
+            reader.partitions({"seq": 2}, {"seq": 6})
+        # at/after the horizon: fine (snapshot diff over checkpointed state)
+        parts = reader.partitions({"seq": 4}, {"seq": 6})
+        assert len(parts) == 2
+        # and a fresh snapshot (seq 0) over the expired log still works
+        parts0 = reader.partitions({"seq": 0}, {"seq": 6})
+        assert len(parts0) == 6
+
+
+def _schema_pair(root):
+    schema, parts = ts._resolve_schema({"root": root, "table": "events"})
+    return schema, parts
