@@ -1,0 +1,114 @@
+"""Incremental rollup maintenance (streaming/rollup.py): the rollup
+table equals the batch group-by after every maintained commit, survives
+checkpoint restarts exactly-once, and a re-delivered microbatch no-ops
+(the batch-id watermark commits atomically WITH the rollup state).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+    Warehouse,
+)
+from etl_pipeline_for_detection_banking_fraud_spark.streaming import rollup
+
+pytestmark = pytest.mark.slow
+
+AGGS = {"value": ["sum", "count", "max"]}
+
+
+def _events(spark, ids, etype="view"):
+    return spark.createDataFrame(
+        [(i, etype, float(i), datetime.date(2021, 3, 1 + i % 2))
+         for i in ids],
+        "event_id long, event_type string, value double, dt date",
+    )
+
+
+def _expected(wh):
+    return {
+        r["event_type"]: (r["s"], r["c"], r["m"])
+        for r in wh.read("events")
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("value").alias("c"),
+             F.max("value").alias("m"))
+        .collect()
+    }
+
+
+def _got(wh):
+    return {
+        r["event_type"]: (r["value_sum"], r["value_count"], r["value_max"])
+        for r in wh.read("agg_events").collect()
+    }
+
+
+class TestRollupMaintenance:
+    def test_parity_restart_and_redelivery(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(_events(spark, [1, 2, 3], "view"), "events",
+                      partition_by=["dt"])
+        with wh.transaction():
+            wh.append(_events(spark, [4, 5], "click"), "events",
+                      partition_by=["dt"])
+
+        q = rollup.maintain_rollup(
+            spark, root, "events", "agg_events", ["event_type"], AGGS,
+            ckpt, available_now=True)
+        q.awaitTermination(180)
+        assert _got(wh) == _expected(wh)
+
+        # more facts, restart from the same checkpoint: only the new
+        # commits fold in, totals stay exact
+        with wh.transaction():
+            wh.append(_events(spark, [6, 7], "view"), "events",
+                      partition_by=["dt"])
+        q2 = rollup.maintain_rollup(
+            spark, root, "events", "agg_events", ["event_type"], AGGS,
+            ckpt, available_now=True)
+        q2.awaitTermination(180)
+        assert _got(wh) == _expected(wh)
+
+        # idle restart: nothing double-applies
+        q3 = rollup.maintain_rollup(
+            spark, root, "events", "agg_events", ["event_type"], AGGS,
+            ckpt, available_now=True)
+        q3.awaitTermination(180)
+        assert _got(wh) == _expected(wh)
+
+    def test_redelivered_batch_noops(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(_events(spark, [1, 2], "view"), "events",
+                      partition_by=["dt"])
+        batch = wh.read("events")
+        assert rollup.apply_rollup_batch(
+            wh, "agg_events", ["event_type"], AGGS, batch, 0) is True
+        before = _got(wh)
+        # at-least-once redelivery of the SAME batch id: watermark holds
+        assert rollup.apply_rollup_batch(
+            wh, "agg_events", ["event_type"], AGGS, batch, 0) is False
+        assert _got(wh) == before
+        # the next id folds in
+        assert rollup.apply_rollup_batch(
+            wh, "agg_events", ["event_type"], AGGS, batch, 1) is True
+        after = _got(wh)
+        assert after["view"][1] == before["view"][1] * 2  # count doubled
+
+    def test_non_decomposable_rejected(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(_events(spark, [1]), "events", partition_by=["dt"])
+        with pytest.raises(ValueError, match="not decomposable"):
+            rollup.apply_rollup_batch(
+                wh, "agg_events", ["event_type"], {"value": ["median"]},
+                wh.read("events"), 0)
