@@ -697,6 +697,93 @@ def _zorder_bench(spark, side: int = 1024, n_files: int = 64) -> dict:
     return out
 
 
+def _table_stream_bench(spark, sf_dir: str, tail_commits: int = 16) -> dict:
+    """Warehouse table-as-a-stream (round 7): snapshot drain throughput,
+    tail drain over N small commits, and the control-plane offset
+    resolution cost on a 1,000-commit log — the number the checkpointed
+    replay keeps flat (partitions() is driver-side JSON only)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from etl_pipeline_for_detection_banking_fraud_spark.streaming.table_stream import (
+        _WarehouseStreamReader,
+        stream_table,
+    )
+
+    out: dict = {}
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    try:
+        wh = Warehouse(spark, root)
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        with wh.transaction():
+            wh.append(ev, "events")
+        counts: list[int] = []
+
+        def drain() -> None:
+            q = (
+                stream_table(spark, root, "events").writeStream
+                .foreachBatch(lambda df, _i: counts.append(df.count()))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(300)
+
+        t0 = time.perf_counter()
+        drain()
+        out["snapshot_drain_sec"] = round(time.perf_counter() - t0, 4)
+        out["snapshot_rows"] = sum(counts)
+        small = ev.limit(500)
+        for _ in range(tail_commits):
+            with wh.transaction():
+                wh.append(small, "events")
+        n_before = len(counts)
+        t0 = time.perf_counter()
+        drain()
+        out["tail_commits"] = tail_commits
+        out["tail_drain_sec"] = round(time.perf_counter() - t0, 4)
+        out["tail_rows"] = sum(counts[n_before:])
+
+        # offset resolution at microbatch commit scale: fabricated
+        # 1,000-commit log with the default checkpoint cadence; time
+        # partitions() for a 32-commit tail and for the full snapshot
+        log_root = tempfile.mkdtemp(prefix="bench_stream_log_")
+        log_dir = os.path.join(log_root, "_commitlog")
+        os.makedirs(log_dir)
+        import json as _json
+        for seq in range(1, 1001):
+            entry = {"txn": f"s{seq:06d}", "op": "add",
+                     "tables": {"facts": [f"txn-s{seq:06d}-0.parquet"]}}
+            with open(os.path.join(log_dir, f"{seq:09d}.json"), "w") as f:
+                _json.dump(entry, f)
+        writer = Warehouse(None, log_root, checkpoint_interval=32)
+        for seq in range(32, 1001, 32):
+            writer._maybe_checkpoint(seq)
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        reader = _WarehouseStreamReader(
+            {"root": log_root, "table": "facts"}, schema, [])
+        t0 = time.perf_counter()
+        parts = reader.partitions({"seq": 968}, {"seq": 1000})
+        out["offset_tail32_sec"] = round(time.perf_counter() - t0, 4)
+        out["offset_tail32_files"] = len(parts)
+        reader2 = _WarehouseStreamReader(
+            {"root": log_root, "table": "facts"}, schema, [])
+        t0 = time.perf_counter()
+        parts0 = reader2.partitions({"seq": 0}, {"seq": 1000})
+        out["offset_snapshot_sec"] = round(time.perf_counter() - t0, 4)
+        out["offset_snapshot_files"] = len(parts0)
+        shutil.rmtree(log_root, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -790,6 +877,10 @@ def main() -> None:
         zorder = _zorder_bench(spark)
     except Exception as e:
         zorder = {"error": str(e)[:300]}
+    try:
+        table_stream = _table_stream_bench(spark, sf_dir)
+    except Exception as e:
+        table_stream = {"error": str(e)[:300]}
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -811,6 +902,8 @@ def main() -> None:
         out["commitlog_checkpoint"] = commitlog
     if zorder:
         out["zorder"] = zorder
+    if table_stream:
+        out["table_stream"] = table_stream
     if replay:
         out["replay"] = replay
     print(json.dumps(out))
