@@ -813,3 +813,78 @@ def unpivot_melt(spark, sf_dir):
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "metric", "val",
     )
+
+
+@_q(
+    "events_funnel",
+    "behavioral analytics: ordered window funnel (view->click->purchase)",
+    """
+    WITH s0 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+        FROM events
+    ), s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t0
+                            AND epoch_us(ts) - epoch_us(t0)
+                                <= 604800000000::BIGINT
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM s0
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t1
+                            AND epoch_us(ts) - epoch_us(t0)
+                                <= 604800000000::BIGINT
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ), lv AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN t2 IS NOT NULL THEN 3
+                    WHEN t1 IS NOT NULL THEN 2
+                    WHEN t0 IS NOT NULL THEN 1
+                    ELSE 0 END AS level
+        FROM s2
+    )
+    SELECT level, count(*) AS n_users FROM lv GROUP BY level
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Greedy-earliest ordered funnel (ClickHouse windowFunnel shape):
+    k chained window passes on ONE user-key exchange, no self-joins —
+    an O(n^k)-worst-case k-way join re-expressed as O(n log n) sort +
+    k linear passes (operators/analytics.py)."""
+    from ..operators.analytics import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        steps=("view", "click", "purchase"),
+        window_us=7 * 24 * 3600 * 1_000_000,
+    )
+
+
+@_q(
+    "events_retention",
+    "behavioral analytics: weekly cohort retention triangle",
+    """
+    WITH x AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                   AS cohort_date
+        FROM events
+    )
+    SELECT cohort_date,
+           CAST(date_diff('day', cohort_date, d) // 7 AS BIGINT)
+               AS bucket_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM x
+    GROUP BY cohort_date, bucket_offset
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly retention triangle: cohort_date via min-over-user window
+    on the same exchange the distinct-count needs — one shuffle total,
+    never a firsts-table self-join (operators/analytics.py)."""
+    from ..operators.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), bucket_days=7)

@@ -772,6 +772,7 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r7 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
+    "events_funnel", "events_retention",
     # r07 rotation: the 7 entries whose newest evidence is r04 lead
     # (nothing may go >2 rounds stale), then everything whose newest
     # evidence is r05 — the ~50-entry report cap takes what fits
