@@ -185,11 +185,20 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                     val = _coerce(part_map[field.name], sf)
                     cols.append(pa.array([val] * batch.num_rows,
                                          type=field.type))
-                else:
-                    col = batch.column(batch.schema.get_field_index(field.name))
-                    if col.type != field.type:
-                        col = pc.cast(col, field.type)
-                    cols.append(col)
+                    continue
+                idx = batch.schema.get_field_index(field.name)
+                if idx < 0:
+                    # additive schema evolution: a file written before
+                    # the column existed reads as NULLs (mergeSchema
+                    # semantics). Without this guard, pyarrow's -1
+                    # would NEGATIVE-INDEX the last column — silently
+                    # wrong data, not an error.
+                    cols.append(pa.nulls(batch.num_rows, type=field.type))
+                    continue
+                col = batch.column(idx)
+                if col.type != field.type:
+                    col = pc.cast(col, field.type)
+                cols.append(col)
             yield pa.RecordBatch.from_arrays(cols, schema=self.arrow_schema)
 
 

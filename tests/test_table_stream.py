@@ -172,3 +172,27 @@ class TestReplaceAndExpiry:
 def _schema_pair(root):
     schema, parts = ts._resolve_schema({"root": root, "table": "events"})
     return schema, parts
+
+
+class TestSchemaEvolution:
+    def test_pre_evolution_files_read_as_nulls(self, spark, tmp_path):
+        """Additive evolution: the stream schema comes from the FIRST
+        committed file; a column present there but absent from another
+        file's footer reads as typed NULLs (mergeSchema semantics) —
+        never as pyarrow's silent negative-index of the last column."""
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        wh = Warehouse(spark, root)
+        wide = spark.createDataFrame(
+            [(1, "a", 10.0)], "id long, name string, score double")
+        narrow = spark.createDataFrame([(2, "b")], "id long, name string")
+        with wh.transaction():
+            wh.append(wide, "docs")
+        with wh.transaction():
+            wh.append(narrow, "docs")
+        out = _run_available(spark, ts.stream_table(spark, root, "docs"),
+                             "tbl_evo", ckpt)
+        got = {r["id"]: r["score"] for r in out}
+        assert got == {1: 10.0, 2: None}
+        names = {r["id"]: r["name"] for r in out}
+        assert names == {1: "a", 2: "b"}  # not shifted/negative-indexed
