@@ -888,3 +888,72 @@ def events_retention(spark, sf_dir):
     from ..operators.analytics import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"), bucket_days=7)
+
+
+@_q(
+    "events_pathing",
+    "behavioral analytics: next-event transition counts (Markov pathing "
+    "— completes the funnel/retention family)",
+    """
+    WITH nxt AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )
+    SELECT src, dst, count(*) AS n
+    FROM nxt WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def events_pathing(spark, sf_dir):
+    """Transition matrix via ONE lead window on the user-key exchange
+    (ts, event_id total order — no ties); last event per user has no
+    successor and is dropped on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "window_hopping",
+    "event-time HOPPING (sliding) window: 2h windows every 1h — each "
+    "event lands in 2 overlapping buckets (the streaming "
+    "window(ts, '2 hours', '1 hour') aggregation, batch form)",
+    """
+    WITH hops AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+               event_type, value FROM events
+        UNION ALL
+        SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP),
+               event_type, value FROM events
+    )
+    SELECT win_start, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM hops GROUP BY 1, 2
+    """,
+)
+def window_hopping(spark, sf_dir):
+    """Spark's native hopping window (ONE Expand pass over the scan —
+    the oracle's 2x UNION ALL rescans; the engine reads once, then one
+    partial-agg shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                   "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                "total")
+    )

@@ -772,7 +772,8 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r7 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "events_pathing",
+    "window_hopping",
     # r07 rotation: the 7 entries whose newest evidence is r04 lead
     # (nothing may go >2 rounds stale), then everything whose newest
     # evidence is r05 — the ~50-entry report cap takes what fits
