@@ -113,6 +113,12 @@ class Transaction:
         # raw missing-file error. merge_table keeps old files readable
         # and leaves this False.
         self.vacuum = False
+        # tables that stay APPENDS inside a replace entry (e.g. a CDC
+        # merge's change-feed sidecar: the merged table is replaced,
+        # the feed is append-only — one atomic entry, two ops). Appends
+        # commute, so these tables are excluded from replace conflict
+        # detection. Ignored when ``replace`` is False.
+        self.append_only: set[str] = set()
         self._n = 0
         self._stage_root = os.path.join(wh.root, "_stage", self.txnid)
         self._done = False
@@ -144,7 +150,9 @@ class Transaction:
         w.parquet(stage)
         table_dir = self.wh._path(table)
         files = self.pending.setdefault(table, [])
-        if not files and not self.replace and self.wh._manifest_files(table) is None:
+        if not files and self.wh._manifest_files(table) is None and (
+            not self.replace or table in self.append_only
+        ):
             # first transactional write to a legacy table: adopt its
             # current files so they stay visible once the table flips to
             # commit-log reads
@@ -184,6 +192,10 @@ class Transaction:
                 "op": "replace" if self.replace else "add",
                 "tables": self.pending,
             }
+            if self.replace:
+                appends = sorted(self.append_only & set(self.pending))
+                if appends:
+                    entry["append_tables"] = appends
             if self.stats:
                 entry["stats"] = self.stats
             if self.vacuum:
@@ -243,7 +255,10 @@ class Transaction:
                     other = json.load(f)
             except FileNotFoundError:
                 continue
-            clash = set(other.get("tables", {})) & set(self.pending)
+            # append-only tables commute and never conflict
+            clash = set(other.get("tables", {})) & (
+                set(self.pending) - self.append_only
+            )
             if clash:
                 os.unlink(tmp)
                 raise CommitConflict(
@@ -491,9 +506,10 @@ class Warehouse:
 
     @staticmethod
     def _apply_entry(state: dict, seq: int, entry: dict) -> None:
+        appends = set(entry.get("append_tables", []))
         for table, files in entry.get("tables", {}).items():
             s = entry.get("stats", {}).get(table, {})
-            if entry.get("op") == "replace":
+            if entry.get("op") == "replace" and table not in appends:
                 state["tables"][table] = list(files)
                 state["stats"][table] = dict(s)
                 if entry.get("vacuum"):
@@ -1246,7 +1262,8 @@ class Warehouse:
             return
 
     def merge_table(self, table: str, changes: DataFrame, key: str,
-                    version_cols, payload_cols, op_col: str = "op") -> None:
+                    version_cols, payload_cols, op_col: str = "op",
+                    cdf: bool = False, cdf_table: str | None = None) -> None:
         """MERGE a CDC changelog into a table as ONE atomic commit.
 
         Applies ``operators.cdc.apply_changelog`` (latest-change-per-key
@@ -1260,11 +1277,24 @@ class Warehouse:
         readable via ``read_at`` (old files are NOT deleted — merge is a
         logical change, not file maintenance; ``compact()`` remains the
         reclaim path).
+
+        ``cdf=True`` is CDF-ON-WRITE (the Delta Change Data Feed shape):
+        the merge ALSO appends the row-level changes it causes —
+        ``operators.cdc.snapshot_diff(current, merged)``: insert /
+        delete / update_preimage / update_postimage rows, tagged with
+        the merge's transaction id — to an append-only sidecar table
+        (default ``<table>__cdf``) in the SAME transaction, so the
+        table state and its change feed can never disagree. Because the
+        sidecar is append-only, ``streaming.table_stream.stream_table``
+        tails it directly: downstream consumers get a row-level change
+        STREAM without ever diffing snapshots (table_diff remains the
+        derive-after-the-fact path for tables that didn't opt in).
         """
         from ..operators import cdc
 
         if not self.exists(table):
             raise ValueError(f"merge_table: unknown table {table}")
+        sidecar = (cdf_table or f"{table}__cdf").lower() if cdf else None
         for attempt in range(3):
             self._invalidate_state()
             base_seq = self._latest_seq()
@@ -1278,6 +1308,12 @@ class Warehouse:
             txn.replace = True
             txn.base_seq = base_seq
             txn.append(merged, table, partition_by=part_cols or None)
+            if sidecar:
+                txn.append_only.add(sidecar)  # the feed stays append-only
+                feed = cdc.snapshot_diff(current, merged, [key]).withColumn(
+                    "_txn", F.lit(txn.txnid)
+                )
+                txn.append(feed, sidecar)
             try:
                 txn.commit()
                 return
@@ -1285,6 +1321,8 @@ class Warehouse:
                 if attempt == 2:
                     raise
                 self.vacuum_orphans(table)
+                if sidecar:
+                    self.vacuum_orphans(sidecar)
 
     # -- transactions fact convenience ---------------------------------------
 

@@ -152,7 +152,11 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                 if s < seq <= e:
                     entry = wh._load_entry(seq)
                     if entry and entry.get("op") == "replace" and \
-                            self.table in entry.get("tables", {}):
+                            self.table in entry.get("tables", {}) and \
+                            self.table not in entry.get("append_tables", []):
+                        # append_tables: this table rode a replace entry
+                        # as an APPEND (e.g. a CDC merge's change-feed
+                        # sidecar) — appends tail cleanly
                         raise RuntimeError(
                             f"commit {seq} REPLACED table {self.table} "
                             "(merge/compaction rewrite) mid-stream; "

@@ -646,3 +646,117 @@ class TestZorderPerPartitionBounds:
         want = sum(1 for j in range(per_day)
                    if int(j * (1440 / per_day)) <= 180)
         assert n == want
+
+
+class TestCdfOnWrite:
+    """merge_table(cdf=True): the row-level change feed publishes to an
+    append-only <table>__cdf sidecar in the SAME commit as the merged
+    state (Delta Change Data Feed shape) — one atomic entry, two ops
+    (replace the table, append the feed)."""
+
+    def _wh(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, bal double",
+        )
+        with wh.transaction():
+            wh.append(snap.coalesce(1), "accounts")
+        return wh
+
+    def _merge(self, wh, spark, rows):
+        changes = spark.createDataFrame(
+            rows, "k long, v long, op string, bal double")
+        wh.merge_table("accounts", changes, key="k", version_cols=("v",),
+                       payload_cols=("bal",), cdf=True)
+
+    def test_feed_rows_match_snapshot_diff_semantics(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path)
+        self._merge(wh, spark, [(2, 1, "U", 99.0), (3, 1, "D", None),
+                                (4, 1, "I", 40.0)])
+        feed = wh.read("accounts__cdf").collect()
+        by_type = {}
+        for r in feed:
+            by_type.setdefault(r["change_type"], []).append((r["k"], r["bal"]))
+        assert sorted(by_type["insert"]) == [(4, 40.0)]
+        assert sorted(by_type["delete"]) == [(3, 30.0)]
+        assert by_type["update_preimage"] == [(2, 20.0)]
+        assert by_type["update_postimage"] == [(2, 99.0)]
+        assert len({r["_txn"] for r in feed}) == 1
+
+    def test_feed_is_append_only_across_merges(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path)
+        self._merge(wh, spark, [(4, 1, "I", 40.0)])
+        self._merge(wh, spark, [(4, 2, "U", 44.0)])
+        feed = wh.read("accounts__cdf").collect()
+        # both merges' changes survive (second replace did NOT reset the
+        # sidecar), each under its own txn id
+        assert len({r["_txn"] for r in feed}) == 2
+        types = sorted(r["change_type"] for r in feed)
+        assert types == ["insert", "update_postimage", "update_preimage"]
+
+    def test_feed_and_state_commit_atomically(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path)
+        self._merge(wh, spark, [(4, 1, "I", 40.0)])
+        # ONE commit entry covers both tables, op=replace with the feed
+        # marked append-only
+        snap = wh.snapshots()[-1]
+        assert snap["op"] == "replace"
+        assert set(snap["tables"]) == {"accounts", "accounts__cdf"}
+
+    def test_feed_streams_to_consumers(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            table_stream as ts,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        self._merge(wh, spark, [(4, 1, "I", 40.0)])
+        self._merge(wh, spark, [(1, 1, "D", None)])
+        rows = []
+        q = (ts.stream_table(spark, str(tmp_path / "wh"), "accounts__cdf")
+             .writeStream.foreachBatch(lambda df, _i: rows.extend(df.collect()))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert sorted(r["change_type"] for r in rows) == ["delete", "insert"]
+
+    def test_without_cdf_no_sidecar(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path)
+        changes = spark.createDataFrame(
+            [(4, 1, "I", 40.0)], "k long, v long, op string, bal double")
+        wh.merge_table("accounts", changes, key="k", version_cols=("v",),
+                       payload_cols=("bal",))
+        assert not wh.exists("accounts__cdf")
+
+    def test_feed_tails_across_merges(self, spark, tmp_path):
+        """A checkpointed consumer tailing the change feed receives each
+        later merge's rows: the feed rides REPLACE entries (marked
+        append_tables), which must not trip the stream's
+        mid-stream-replace guard."""
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            table_stream as ts,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        self._merge(wh, spark, [(4, 1, "I", 40.0)])
+        rows = []
+
+        def drain():
+            q = (ts.stream_table(spark, str(tmp_path / "wh"),
+                                 "accounts__cdf")
+                 .writeStream
+                 .foreachBatch(lambda df, _i: rows.extend(df.collect()))
+                 .option("checkpointLocation", str(tmp_path / "ckpt2"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        drain()
+        assert sorted(r["change_type"] for r in rows) == ["insert"]
+        self._merge(wh, spark, [(4, 2, "D", None)])
+        rows.clear()
+        drain()  # tail from checkpoint: only the delete's feed rows
+        assert sorted(r["change_type"] for r in rows) == ["delete"]
