@@ -33,6 +33,8 @@ fine — they arrive as later microbatches.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -115,6 +117,130 @@ def maintain_rollup(spark: SparkSession, root: str, src_table: str,
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         apply_rollup_batch(wh, rollup_table, keys, aggs, batch_df, batch_id)
+
+    w = (
+        sdf.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+# -- CDF-driven maintenance (updates/deletes, not just appends) -----------
+
+_SIGNED = {"count", "sum"}  # aggregates with an inverse (group can shrink)
+
+
+def bootstrap_rollup(wh: Warehouse, rollup_table: str, keys: list,
+                     aggs: dict, snapshot: DataFrame) -> bool:
+    """Seed a CDF-maintained rollup with the table state that PRECEDES
+    the change feed (the feed only records changes since its first
+    merge; pre-feed rows never appear in it). Seeds at batch_id -1 so
+    the stream's batch 0 still applies. Call with the table's state
+    from before the first ``cdf=True`` merge — the live table works if
+    no merge has happened yet, else ``read_at`` the pre-feed snapshot
+    (seeding from a LATER state would double-count the merges the
+    stream is about to deliver)."""
+    return apply_rollup_batch(wh, rollup_table, keys, aggs, snapshot, -1)
+
+
+def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
+                           keys: list, aggs: dict, feed: DataFrame,
+                           batch_id: int,
+                           change_col: str = "change_type") -> bool:
+    """Fold one CDF microbatch (``merge_table(cdf=True)``'s sidecar
+    rows: insert / delete / update_preimage / update_postimage) into a
+    rollup that stays exact under UPDATES and DELETES — not just
+    appends.
+
+    Only SIGNED aggregates (count, sum) are supported: inserts and
+    update-postimages contribute +1/+value, deletes and
+    update-preimages contribute -1/-value, so the delta aggregate is
+    the exact group adjustment. min/max have no inverse — a delete can
+    reveal a smaller max that the rollup no longer knows — so they are
+    rejected here (re-aggregate those from the table, or accept the
+    append-only ``apply_rollup_batch`` semantics).
+
+    Same exactly-once shape as ``apply_rollup_batch``: rollup state and
+    the batch-id watermark commit as ONE multi-table replace
+    transaction. Groups whose count reaches zero are dropped (a fully
+    deleted group disappears, matching the batch group-by).
+    """
+    for col, funcs in aggs.items():
+        bad = [fn for fn in funcs if fn not in _SIGNED]
+        if bad:
+            raise ValueError(
+                f"{bad} have no inverse; CDF rollups support only "
+                f"{sorted(_SIGNED)} (min/max need the append-only path "
+                "or a table re-aggregate)"
+            )
+    meta_table = f"{rollup_table}__meta"
+    if wh.exists(meta_table):
+        last = wh.read(meta_table).agg(F.max("batch_id")).first()[0]
+        if last is not None and batch_id <= last:
+            return False
+    if feed.isEmpty():
+        return False
+    sign = F.when(
+        F.col(change_col).isin("insert", "update_postimage"), F.lit(1)
+    ).when(
+        F.col(change_col).isin("delete", "update_preimage"), F.lit(-1)
+    )
+    signed = feed.withColumn("_sign", sign).where(F.col("_sign").isNotNull())
+    delta_exprs = []
+    for col, funcs in aggs.items():
+        for fn in funcs:
+            if fn == "count":
+                e = F.sum(F.when(F.col(col).isNotNull(), F.col("_sign"))
+                          .otherwise(F.lit(0)))
+            else:
+                e = F.sum(F.col(col) * F.col("_sign"))
+            delta_exprs.append(e.alias(f"{col}_{fn}"))
+    delta = signed.groupBy(*keys).agg(*delta_exprs)
+    if wh.exists(rollup_table):
+        stored = wh.read(rollup_table)
+        combined = (
+            stored.unionByName(delta)
+            .groupBy(*keys)
+            .agg(*_combine_exprs(aggs))
+        )
+    else:
+        combined = delta
+    # drop fully-deleted groups: any count column at zero removes the
+    # row (all-signed aggregates of an empty group are zero)
+    count_cols = [f"{c}_count" for c, fns in aggs.items() if "count" in fns]
+    if count_cols:
+        keep = functools.reduce(
+            lambda a, b: a | b, [F.col(c) > 0 for c in count_cols]
+        )
+        combined = combined.where(keep)
+    meta = wh.spark.createDataFrame([(int(batch_id),)], "batch_id long")
+    txn = Transaction(wh)
+    txn.replace = True
+    txn.append(combined, rollup_table)
+    txn.append(meta, meta_table)
+    txn.commit()
+    return True
+
+
+def maintain_rollup_cdf(spark: SparkSession, root: str, table: str,
+                        rollup_table: str, keys: list, aggs: dict,
+                        checkpoint_dir: str, *,
+                        cdf_table: str | None = None,
+                        available_now: bool = False):
+    """Maintain an exact rollup of a table that receives CDC MERGES:
+    tail the table's ``merge_table(cdf=True)`` change feed and apply
+    signed adjustments — updates and deletes land in the aggregate
+    without ever rescanning the table. ``aggs``: column -> subset of
+    {count, sum}. Rows that predate the feed need ``bootstrap_rollup``
+    once, with the pre-feed snapshot."""
+    wh = Warehouse(spark, root)
+    sdf = stream_table(spark, root, cdf_table or f"{table}__cdf")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        apply_rollup_cdf_batch(wh, rollup_table, keys, aggs, batch_df,
+                               batch_id)
 
     w = (
         sdf.writeStream.foreachBatch(_fold)

@@ -112,3 +112,105 @@ class TestRollupMaintenance:
             rollup.apply_rollup_batch(
                 wh, "agg_events", ["event_type"], {"value": ["median"]},
                 wh.read("events"), 0)
+
+
+class TestCdfRollup:
+    """CDF-driven rollup: exact under updates and deletes via signed
+    adjustments from merge_table(cdf=True)'s change feed."""
+
+    AGGS = {"bal": ["sum", "count"]}
+
+    def _wh(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        snap = spark.createDataFrame(
+            [(1, "x", 10.0, 0), (2, "x", 20.0, 0), (3, "y", 30.0, 0)],
+            "k long, grp string, bal double, v long",
+        )
+        with wh.transaction():
+            wh.append(snap.coalesce(1), "accounts")
+        return wh
+
+    def _expected(self, wh):
+        from pyspark.sql import functions as F
+        return {
+            r["grp"]: (r["bal_sum"], r["bal_count"])
+            for r in wh.read("accounts").groupBy("grp").agg(
+                F.sum("bal").alias("bal_sum"),
+                F.count("bal").alias("bal_count")).collect()
+        }
+
+    def _got(self, wh):
+        return {
+            r["grp"]: (r["bal_sum"], r["bal_count"])
+            for r in wh.read("agg_acc").collect()
+        }
+
+    def test_updates_deletes_and_group_disappearance(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+
+        def merge(rows):
+            wh.merge_table(
+                "accounts",
+                spark.createDataFrame(
+                    rows, "k long, v long, op string, bal double, grp string"),
+                key="k", version_cols=("v",),
+                payload_cols=("bal", "grp"), cdf=True)
+
+        def drain():
+            q = rollup.maintain_rollup_cdf(
+                spark, root, "accounts", "agg_acc", ["grp"], self.AGGS,
+                ckpt, available_now=True)
+            q.awaitTermination(180)
+
+        # pre-feed rows never appear in the change feed: seed once
+        assert rollup.bootstrap_rollup(
+            wh, "agg_acc", ["grp"], self.AGGS, wh.read("accounts"))
+
+        merge([(4, 1, "I", 40.0, "y")])           # insert
+        drain()
+        assert self._got(wh) == self._expected(wh)
+
+        merge([(1, 1, "U", 15.0, "x"),            # update value
+               (2, 1, "D", None, None)])          # delete
+        drain()
+        assert self._got(wh) == self._expected(wh)
+
+        merge([(1, 2, "D", None, None)])          # group x fully deleted
+        drain()
+        got = self._got(wh)
+        assert got == self._expected(wh) and "x" not in got
+
+    def test_redelivery_noops_and_minmax_rejected(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        rollup.bootstrap_rollup(
+            wh, "agg_acc", ["grp"], self.AGGS, wh.read("accounts"))
+        wh.merge_table(
+            "accounts",
+            spark.createDataFrame([(4, 1, "I", 40.0, "y")],
+                                  "k long, v long, op string, bal double, grp string"),
+            key="k", version_cols=("v",), payload_cols=("bal", "grp"),
+            cdf=True)
+        feed = wh.read("accounts__cdf")
+        assert rollup.apply_rollup_cdf_batch(
+            wh, "agg_acc", ["grp"], self.AGGS, feed, 0) is True
+        before = self._got(wh)
+        assert rollup.apply_rollup_cdf_batch(
+            wh, "agg_acc", ["grp"], self.AGGS, feed, 0) is False
+        assert self._got(wh) == before
+        with pytest.raises(ValueError, match="no inverse"):
+            rollup.apply_rollup_cdf_batch(
+                wh, "agg2", ["grp"], {"bal": ["max"]}, feed, 1)
