@@ -289,7 +289,8 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
 
 def stream_merge_to_warehouse(changes_stream: DataFrame, wh, checkpoint_dir: str,
                               table: str, key: str, version_cols,
-                              payload_cols, op_col: str = "op"):
+                              payload_cols, op_col: str = "op",
+                              cdf: bool = False):
     """Streaming CDC upsert sink: each microbatch of changelog rows is
     MERGED into ``table`` through ``Warehouse.merge_table`` (one atomic
     replace commit per microbatch).
@@ -312,7 +313,12 @@ def stream_merge_to_warehouse(changes_stream: DataFrame, wh, checkpoint_dir: str
     Scale note: each merge rewrites the table's full file set (replace
     commit) — right for dimension-sized tables at mini-batch cadence;
     for fact-sized tables use ``stream_to_warehouse`` (append) and
-    reconcile with a periodic batch merge instead.
+    reconcile with a periodic batch merge instead. ``cdf=True``
+    publishes each microbatch merge's row-level changes to the
+    append-only ``<table>__cdf`` sidecar in the same commit
+    (``merge_table``'s CDF-on-write) — downstream consumers tail it
+    with ``table_stream.stream_table`` and can maintain exact rollups
+    under updates/deletes (``rollup.maintain_rollup_cdf``).
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -320,7 +326,7 @@ def stream_merge_to_warehouse(changes_stream: DataFrame, wh, checkpoint_dir: str
             return
         wh.merge_table(
             table, batch_df, key=key, version_cols=version_cols,
-            payload_cols=payload_cols, op_col=op_col,
+            payload_cols=payload_cols, op_col=op_col, cdf=cdf,
         )
 
     return (
