@@ -1261,6 +1261,49 @@ class Warehouse:
                 self.write_checkpoint()
             return
 
+    def restore(self, table: str, seq: int) -> None:
+        """RESTORE the table to its state at commit ``seq`` (the Delta
+        ``RESTORE TABLE ... TO VERSION`` analog) as one new ``replace``
+        commit — metadata-only: the old snapshot's files are RELINKED
+        into a fresh entry (with their recorded stats), nothing is
+        rewritten or copied, so restoring a 100 TB table costs one JSON
+        write. History is preserved: the rolled-back commits stay
+        readable via ``read_at`` (a restore is a new commit, not an
+        erasure — same contract as Delta RESTORE). Raises
+        ``SnapshotExpired`` / ``SnapshotVacuumed`` when ``seq`` is
+        behind the expire horizon or a compact/cluster vacuum (the
+        files no longer exist), and ``ValueError`` for untracked
+        tables. Optimistic concurrency: the replace carries the current
+        head as its base, so a racing commit raises ``CommitConflict``
+        instead of being silently rolled back."""
+        table = table.lower()
+        horizon = self.expire_horizon()
+        if seq < horizon:
+            raise SnapshotExpired(
+                f"cannot restore {table} to snapshot {seq}: it predates "
+                f"the expire horizon {horizon}"
+            )
+        boundary = self.min_readable_seq(table)
+        if seq < boundary:
+            raise SnapshotVacuumed(
+                f"cannot restore {table} to snapshot {seq}: a "
+                f"compact/cluster at commit {boundary} deleted its files; "
+                f"oldest restorable snapshot is {boundary}"
+            )
+        files = self._manifest_files(table, at=seq)
+        if files is None:
+            raise ValueError(
+                f"{table} has no commit-log history as of seq {seq}"
+            )
+        stats = self._manifest_stats(table, at=seq)
+        txn = Transaction(self)
+        txn.replace = True
+        txn.base_seq = self._latest_seq()
+        txn.pending = {table: list(files)}
+        if stats:
+            txn.stats = {table: dict(stats)}
+        txn.commit()
+
     def merge_table(self, table: str, changes: DataFrame, key: str,
                     version_cols, payload_cols, op_col: str = "op",
                     cdf: bool = False, cdf_table: str | None = None) -> None:

@@ -801,3 +801,58 @@ class TestCdfOnWrite:
         rows.clear()
         drain()  # tail from checkpoint: only the delete's feed rows
         assert sorted(r["change_type"] for r in rows) == ["delete"]
+
+
+class TestRestore:
+    """Warehouse.restore: metadata-only rollback to an earlier snapshot
+    as a NEW replace commit (Delta RESTORE contract — history kept)."""
+
+    def _wh(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(1, 10.0)], "k long, bal double").coalesce(1), "t")
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(2, 20.0)], "k long, bal double").coalesce(1), "t")
+        return wh
+
+    def test_restore_rolls_back_and_keeps_history(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path)
+        seq1 = wh.snapshots()[0]["seq"]
+        head = wh._latest_seq()
+        wh.restore("t", seq1)
+        assert {r["k"] for r in wh.read("t").collect()} == {1}
+        # the rolled-back state is still time-travelable (new commit,
+        # nothing erased), and the restore itself is a replace commit
+        assert {r["k"] for r in wh.read_at("t", head).collect()} == {1, 2}
+        assert wh.snapshots()[-1]["op"] == "replace"
+        # appends continue on top of the restored state
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(3, 30.0)], "k long, bal double").coalesce(1), "t")
+        assert {r["k"] for r in wh.read("t").collect()} == {1, 3}
+
+    def test_restore_behind_vacuum_rejected(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            SnapshotVacuumed,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        seq1 = wh.snapshots()[0]["seq"]
+        wh.compact("t")  # deletes superseded files, advances retention
+        with pytest.raises(SnapshotVacuumed, match="oldest restorable"):
+            wh.restore("t", seq1)
+
+    def test_restore_untracked_rejected(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with pytest.raises(ValueError, match="no commit-log history"):
+            wh.restore("ghost", 1)
