@@ -81,6 +81,11 @@ EXTENDED = [
     "ratio_to_report",
     "histogram_equiwidth",
     "freq_items_bounds",
+    # round-7 additions
+    "events_funnel",
+    "events_retention",
+    "events_pathing",
+    "window_hopping",
     # round-6 additions
     "dedup_keep_canonical",
     "split_leakage_safe",
