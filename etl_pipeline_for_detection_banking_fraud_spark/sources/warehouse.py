@@ -1261,6 +1261,30 @@ class Warehouse:
                 self.write_checkpoint()
             return
 
+    def read_changes(self, table: str, since_seq: int,
+                     cdf_table: str | None = None) -> DataFrame:
+        """Batch read of a table's CDF sidecar SINCE a commit: exactly
+        the feed files committed after ``since_seq`` (manifest set diff
+        — no data read to decide, no row filter needed because feed
+        files are immutable and append-only). The batch sibling of
+        tailing the sidecar with ``stream_table``; pass the head seq
+        you processed last (e.g. from ``snapshots()``)."""
+        sidecar = (cdf_table or f"{table}__cdf").lower()
+        after = self._manifest_files(sidecar)
+        if after is None:
+            raise ValueError(
+                f"{sidecar} does not exist: no cdf=True merge has run "
+                f"for {table}"
+            )
+        before = set(self._manifest_files(sidecar, at=since_seq) or [])
+        new = [f for f in after if f not in before]
+        p = self._path(sidecar)
+        reader = self.spark.read.option("basePath", p)
+        if not new:
+            allf = [os.path.join(p, r) for r in after]
+            return reader.parquet(*allf).limit(0)
+        return reader.parquet(*[os.path.join(p, r) for r in new])
+
     def restore(self, table: str, seq: int) -> None:
         """RESTORE the table to its state at commit ``seq`` (the Delta
         ``RESTORE TABLE ... TO VERSION`` analog) as one new ``replace``
@@ -1332,6 +1356,12 @@ class Warehouse:
         tails it directly: downstream consumers get a row-level change
         STREAM without ever diffing snapshots (table_diff remains the
         derive-after-the-fact path for tables that didn't opt in).
+        The sidecar is a normal tracked table: ``compact()`` /
+        ``expire_log`` bound its file count and log history, but a
+        compaction is a replace entry — tailing consumers must pass
+        ``on_replace=reemit`` (and dedup by ``_txn``) or compact in
+        maintenance windows between stream runs. ``read_changes`` is
+        the batch read of the feed since a given commit.
         """
         from ..operators import cdc
 

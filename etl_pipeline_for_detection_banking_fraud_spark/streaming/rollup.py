@@ -23,6 +23,11 @@ replace transaction, so a re-delivered batch sees its own id at/below
 the stored watermark and no-ops. The rollup and its watermark can never
 tear apart — the same one-commit trick the streaming dedup index uses.
 
+Exactness note: ``sum`` over IEEE doubles accumulates one rounding per
+fold — use DECIMAL columns where bit-exact long-horizon totals matter
+(the repo-wide float policy); counts and min/max are exact by
+construction.
+
 Scale shape: the per-batch delta aggregation is a map-side-combinable
 group-by over ONLY the new files; the merge re-aggregates
 stored ∪ delta, which is O(|groups|), not O(|facts|) — rollup tables

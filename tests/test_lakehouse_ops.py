@@ -856,3 +856,45 @@ class TestRestore:
         wh = Warehouse(spark, str(tmp_path / "wh"))
         with pytest.raises(ValueError, match="no commit-log history"):
             wh.restore("ghost", 1)
+
+
+class TestReadChanges:
+    def test_reads_only_feed_files_since_seq(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(1, 10.0, 0)], "k long, bal double, v long").coalesce(1),
+                "accounts")
+
+        def merge(rows):
+            wh.merge_table(
+                "accounts",
+                spark.createDataFrame(rows, "k long, v long, op string, bal double"),
+                key="k", version_cols=("v",), payload_cols=("bal",),
+                cdf=True)
+
+        merge([(2, 1, "I", 20.0)])
+        seq_after_first = wh._latest_seq()
+        merge([(1, 1, "U", 11.0)])
+
+        all_changes = wh.read_changes("accounts", 0)
+        assert sorted(r["change_type"] for r in all_changes.collect()) == [
+            "insert", "update_postimage", "update_preimage"]
+        tail = wh.read_changes("accounts", seq_after_first)
+        assert sorted(r["change_type"] for r in tail.collect()) == [
+            "update_postimage", "update_preimage"]
+        head = wh.read_changes("accounts", wh._latest_seq())
+        assert head.count() == 0 and "change_type" in head.columns
+
+    def test_no_feed_raises(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with pytest.raises(ValueError, match="no cdf=True merge"):
+            wh.read_changes("accounts", 0)
