@@ -389,7 +389,8 @@ def _next_seq(log_dir: str) -> int:
 
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str,
-                 checkpoint_interval: int = 32):
+                 checkpoint_interval: int = 32,
+                 expire_keep: int | None = None):
         """``checkpoint_interval``: every N commits the committer folds
         the replayed log state (file set + stats + retention per table)
         into one ``<seq>.checkpoint.json`` — readers then replay
@@ -398,10 +399,22 @@ class Warehouse:
         of entries within days; without checkpoints every read would
         list AND json-parse all of them (the metadata-plane small-files
         problem). 0 disables automatic checkpoints (``write_checkpoint``
-        stays available)."""
+        stays available).
+
+        ``expire_keep``: OPT-IN auto-expiry cadence for unattended
+        committers (streaming sinks): at every checkpoint fold, also
+        ``expire_log(keep_entries=expire_keep)`` — the log DIRECTORY
+        stays bounded without a separate maintenance job. Off by
+        default because expiry narrows time travel (``read_at`` below
+        the horizon raises ``SnapshotExpired``); pick a value larger
+        than any consumer's restart lag (a tailing stream whose offset
+        falls behind the horizon must re-snapshot)."""
         self.spark = spark
         self.root = root
         self.checkpoint_interval = checkpoint_interval
+        if expire_keep is not None and expire_keep < 1:
+            raise ValueError("expire_keep must be >= 1 (or None)")
+        self.expire_keep = expire_keep
         self._active_txn: Transaction | None = None
         # entries/checkpoints are immutable once linked -> plain caches,
         # but BOUNDED: a long-lived reader over a microbatch-commit log
@@ -586,6 +599,9 @@ class Warehouse:
         if seq % self.checkpoint_interval == 0:
             with contextlib.suppress(Exception):
                 self.write_checkpoint(seq)
+            if self.expire_keep is not None:
+                with contextlib.suppress(Exception):
+                    self.expire_log(keep_entries=self.expire_keep)
 
     def write_checkpoint(self, seq: int | None = None) -> int | None:
         """Write ``<seq>.checkpoint.json``: the full replayed state

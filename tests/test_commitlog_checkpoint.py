@@ -492,3 +492,27 @@ class TestExpireLogSafety:
         os.remove(os.path.join(root, "_commitlog", "000000005.json"))
         with pytest.raises(RuntimeError, match="commit log inconsistent"):
             reader._manifest_files("events")
+
+
+class TestAutoExpiry:
+    def test_expire_keep_bounds_directory_under_microbatches(self, tmp_path):
+        """Opt-in auto-expiry: an unattended committer's log directory
+        stays bounded without a maintenance job; head state and the
+        typed below-horizon error still hold."""
+        root = str(tmp_path / "wh")
+        wh = Warehouse(None, root, checkpoint_interval=8, expire_keep=8)
+        log_dir = os.path.join(root, "_commitlog")
+        os.makedirs(log_dir, exist_ok=True)
+        for i in range(1, 41):
+            txn = Transaction(wh)
+            txn.pending = {"events": [f"f{i:03d}.parquet"]}
+            txn.commit()
+        entries, ckpts = wh._list_log()
+        assert len(entries) <= 16  # keep 8 + at most one fold-interval
+        cold = Warehouse(None, root)
+        assert len(cold._manifest_files("events")) == 40  # nothing lost
+        assert cold.expire_horizon() > 0
+
+    def test_bad_expire_keep_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="expire_keep"):
+            Warehouse(None, str(tmp_path / "wh"), expire_keep=0)
