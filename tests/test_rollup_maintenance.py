@@ -214,3 +214,61 @@ class TestCdfRollup:
         with pytest.raises(ValueError, match="no inverse"):
             rollup.apply_rollup_cdf_batch(
                 wh, "agg2", ["grp"], {"bal": ["max"]}, feed, 1)
+
+
+class TestPipelineRollupIntegration:
+    """The flagship composition: DailyBatch(atomic=True) commits each
+    reference day as one transaction; a maintained rollup over the
+    fraud mart tails those commits and stays equal to the batch
+    group-by after every day — the downstream-dashboard read path that
+    never rescans the mart."""
+
+    def test_mart_rollup_tracks_daily_replay(self, spark, tmp_path):
+        import os
+        import tempfile
+
+        from etl_pipeline_for_detection_banking_fraud_spark.pipeline import (
+            DailyBatch,
+        )
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.seed_dml import (
+            load_seed_dims,
+        )
+
+        ref = "/root/reference/data"
+        if not os.path.isdir(ref):
+            pytest.skip("reference data absent")
+        dims = load_seed_dims(spark, f"{ref}/ddl_dml.sql")
+        root = tempfile.mkdtemp(dir=str(tmp_path))
+        batch = DailyBatch(spark, root, dims, atomic=True)
+        ckpt = str(tmp_path / "ckpt")
+        aggs = {"event_type": ["count"]}
+
+        def drain():
+            q = rollup.maintain_rollup(
+                spark, root, "rep_fraud", "agg_fraud", ["event_type"],
+                aggs, ckpt, available_now=True)
+            q.awaitTermination(300)
+
+        def expected():
+            return {
+                r["event_type"]: r["n"]
+                for r in batch.wh.read("rep_fraud")
+                .groupBy("event_type").agg(F.count("*").alias("n"))
+                .collect()
+            }
+
+        def got():
+            return {
+                r["event_type"]: r["event_type_count"]
+                for r in batch.wh.read("agg_fraud").collect()
+            }
+
+        D = f"{ref}/data"
+        for day in ("01032021", "02032021"):
+            batch.run_day(
+                f"{D}/transactions_{day}.txt",
+                f"{D}/passport_blacklist_{day}.xlsx",
+                f"{D}/terminals_{day}.xlsx",
+            )
+            drain()
+            assert got() == expected()
