@@ -43,7 +43,6 @@ reader's ``basePath`` behavior.
 from __future__ import annotations
 
 import datetime
-import json
 import os
 
 import pyarrow as pa
