@@ -97,8 +97,10 @@ def test_rows_only_queries_run(qdef, spark, sf01):
 
 
 def test_approx_stats_within_published_bounds(spark, duck, sf01):
-    """`approx_stats` is rows-only in the driver report (sketch values are
-    implementation-defined), so pin its output contract here instead:
+    """`approx_stats` is retired from the catalog (sketch values are
+    implementation-defined, so it could never carry an exact oracle —
+    `approx_stats_bounds` is the catalog entry), so pin its output
+    contract here instead:
     every sketch value must sit inside the algorithms' PUBLISHED error
     bounds of the exact DuckDB answer.
 
@@ -112,10 +114,11 @@ def test_approx_stats_within_published_bounds(spark, duck, sf01):
       exact quantiles at q +- (eps + 2/n) — the bound itself plus two
       ranks of interpolation slack.
     """
-    qdef = {q.name: q for q in CATALOG}["approx_stats"]
+    from etl_pipeline_for_detection_banking_fraud_spark.plans.extended_queries import approx_stats
+
     got = {
         r["l_returnflag"]: r
-        for r in (row.asDict() for row in qdef.spark(spark, sf01).collect())
+        for r in (row.asDict() for row in approx_stats(spark, sf01).collect())
     }
     eps = 1.0 / 10000  # percentile_approx default accuracy
     exact = duck.sql(
