@@ -1281,21 +1281,66 @@ class Warehouse:
                      cdf_table: str | None = None) -> DataFrame:
         """Batch read of a table's CDF sidecar SINCE a commit: exactly
         the feed files committed after ``since_seq`` (manifest set diff
-        — no data read to decide, no row filter needed because feed
-        files are immutable and append-only). The batch sibling of
-        tailing the sidecar with ``stream_table``; pass the head seq
-        you processed last (e.g. from ``snapshots()``)."""
+        — no data read to decide; the fast path needs no row filter
+        because feed files are immutable and append-only). The batch
+        sibling of tailing the sidecar with ``stream_table``; pass the
+        head seq you processed last (e.g. from ``snapshots()``).
+
+        Raises ``SnapshotExpired`` when ``since_seq`` predates the
+        expire horizon (the replay there would yield an EMPTY before-set
+        and silently re-deliver the whole feed — same contract as
+        ``read_at``/``restore``, and reachable in normal operation once
+        ``expire_keep`` auto-expiry is on).
+
+        A ``compact()`` of the sidecar inside ``(since_seq, head]``
+        rewrites the feed's file SET, so the manifest diff alone would
+        re-emit already-delivered rows. Detected from the log (a replace
+        entry touching the sidecar outside its ``append_tables``), the
+        read switches to the exact slow path: scan the compacted feed
+        and keep only rows whose ``_txn`` belongs to a commit after
+        ``since_seq`` — every such commit's entry is still in the log
+        (all are above the horizon), so the filter list is complete."""
         sidecar = (cdf_table or f"{table}__cdf").lower()
+        horizon = self.expire_horizon()
+        if 0 < since_seq < horizon:
+            raise SnapshotExpired(
+                f"read_changes since {since_seq} predates the expire "
+                f"horizon {horizon}: the commits that delimit the feed "
+                f"were folded by expire_log, so the diff would silently "
+                f"re-deliver the entire feed; oldest usable since_seq "
+                f"is {horizon}"
+            )
         after = self._manifest_files(sidecar)
         if after is None:
             raise ValueError(
                 f"{sidecar} does not exist: no cdf=True merge has run "
                 f"for {table}"
             )
-        before = set(self._manifest_files(sidecar, at=since_seq) or [])
-        new = [f for f in after if f not in before]
         p = self._path(sidecar)
         reader = self.spark.read.option("basePath", p)
+        rewritten, range_txns = False, []
+        if since_seq > 0:
+            for seq in self._list_log()[0]:
+                if seq <= since_seq:
+                    continue
+                entry = self._load_entry(seq)
+                if entry is None or sidecar not in entry.get("tables", {}):
+                    continue
+                range_txns.append(entry.get("txn"))
+                if entry.get("op") == "replace" and \
+                        sidecar not in entry.get("append_tables", []):
+                    rewritten = True
+        if rewritten:
+            # exact slow path: compacted files mix old and new rows, so
+            # file identity no longer partitions the feed — filter by
+            # the merge transaction ids committed after since_seq (a
+            # short driver-side literal list, O(commits in range))
+            allf = [os.path.join(p, r) for r in after]
+            return reader.parquet(*allf).where(
+                F.col("_txn").isin([t for t in range_txns if t])
+            )
+        before = set(self._manifest_files(sidecar, at=since_seq) or [])
+        new = [f for f in after if f not in before]
         if not new:
             allf = [os.path.join(p, r) for r in after]
             return reader.parquet(*allf).limit(0)

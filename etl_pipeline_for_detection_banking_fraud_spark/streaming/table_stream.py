@@ -180,6 +180,22 @@ class _WarehouseStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         part_map = dict(partition.part_values)
         pf = pq.ParquetFile(partition.path)
+        known = set(self.arrow_schema.names)
+        extra = [n for n in pf.schema_arrow.names if n not in known]
+        if extra:
+            # a file WIDER than the stream schema: a column was added
+            # after this stream resolved its schema (or dropped from
+            # the newest file). Emitting would silently lose the
+            # column — fail the stream instead; a restart re-resolves
+            # the schema from the newest file and streams the column
+            # (Delta's contract for mid-run schema change).
+            raise RuntimeError(
+                f"schema changed mid-stream: {partition.path} carries "
+                f"column(s) {extra} not in the stream schema "
+                f"{sorted(known)}; restart the streaming query to pick "
+                "up the evolved schema (offsets in the checkpoint are "
+                "preserved)"
+            )
         for batch in pf.iter_batches():
             cols = []
             for field in self.arrow_schema:
@@ -224,11 +240,18 @@ class WarehouseStreamDataSource(DataSource):
 
 
 def _resolve_schema(options: dict) -> tuple[T.StructType, list[str]]:
-    """Table schema = first committed file's parquet footer (data
+    """Table schema = NEWEST committed file's parquet footer (data
     columns) + hive partition columns recovered from its relpath
-    (appended last, matching the batch reader's column order). Requires
-    at least one committed file — a stream over a never-written table
-    has no schema to offer."""
+    (appended last, matching the batch reader's column order). Newest,
+    not first: a column ADDED by a later append (additive schema
+    evolution) must be part of the stream schema — older, narrower
+    files read as typed NULLs via the guard in ``read()`` (the batch
+    reader's ``merge_schema=True`` behavior). The inverse case — a file
+    WIDER than this schema, i.e. a column added after the stream
+    started — fails the stream loudly in ``read()``; restarting
+    re-resolves the schema and picks the column up (Delta's
+    schema-change contract). Requires at least one committed file — a
+    stream over a never-written table has no schema to offer."""
     root, table = options["root"], options["table"].lower()
     wh = Warehouse(None, root, checkpoint_interval=0)
     rels = wh._manifest_files(table)
@@ -237,7 +260,7 @@ def _resolve_schema(options: dict) -> tuple[T.StructType, list[str]]:
             f"table {table} has no committed files in {root}; write at "
             "least one commit before opening a stream on it"
         )
-    rel = rels[0]
+    rel = rels[-1]
     footer = pq.ParquetFile(os.path.join(root, table, rel)).schema_arrow
     spark_schema = from_arrow_schema(footer)
     part_fields = []

@@ -898,3 +898,63 @@ class TestReadChanges:
         wh = Warehouse(spark, str(tmp_path / "wh"))
         with pytest.raises(ValueError, match="no cdf=True merge"):
             wh.read_changes("accounts", 0)
+
+    @staticmethod
+    def _merge(spark, wh, rows):
+        wh.merge_table(
+            "accounts",
+            spark.createDataFrame(rows, "k long, v long, op string, bal double"),
+            key="k", version_cols=("v",), payload_cols=("bal",),
+            cdf=True)
+
+    def test_since_below_expire_horizon_raises(self, spark, tmp_path):
+        """A since_seq that predates the expire horizon must raise, not
+        silently re-deliver the whole feed as 'new' (the replay at that
+        seq yields an empty before-set once its entries are folded)."""
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            SnapshotExpired,
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(1, 10.0, 0)], "k long, bal double, v long").coalesce(1),
+                "accounts")
+        for i in range(4):
+            self._merge(spark, wh, [(10 + i, 1, "I", float(i))])
+        early = 2
+        wh.expire_log(keep_entries=1)
+        assert 0 < early < wh.expire_horizon()
+        with pytest.raises(SnapshotExpired, match="expire horizon"):
+            wh.read_changes("accounts", early)
+        # since_seq=0 still means "the whole feed", which stays readable
+        assert wh.read_changes("accounts", 0).count() == 4
+
+    def test_compacted_sidecar_filters_by_txn(self, spark, tmp_path):
+        """compact() of the __cdf sidecar between since_seq and head
+        rewrites the feed's file set; the manifest diff would re-emit
+        already-delivered rows, so the read must fall back to the exact
+        _txn filter and return ONLY the post-since_seq changes."""
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(1, 10.0, 0)], "k long, bal double, v long").coalesce(1),
+                "accounts")
+        self._merge(spark, wh, [(2, 1, "I", 20.0)])
+        since = wh._latest_seq()
+        self._merge(spark, wh, [(3, 1, "I", 30.0)])
+        wh.compact("accounts__cdf")
+        self._merge(spark, wh, [(4, 1, "I", 40.0)])
+
+        got = wh.read_changes("accounts", since)
+        assert sorted(r["k"] for r in got.collect()) == [3, 4]
+        assert {r["change_type"] for r in got.collect()} == {"insert"}
+        # full-feed read (since 0) is unaffected by the fallback
+        assert sorted(
+            r["k"] for r in wh.read_changes("accounts", 0).collect()
+        ) == [2, 3, 4]

@@ -176,23 +176,67 @@ def _schema_pair(root):
 
 class TestSchemaEvolution:
     def test_pre_evolution_files_read_as_nulls(self, spark, tmp_path):
-        """Additive evolution: the stream schema comes from the FIRST
-        committed file; a column present there but absent from another
-        file's footer reads as typed NULLs (mergeSchema semantics) —
-        never as pyarrow's silent negative-index of the last column."""
+        """Additive evolution: the stream schema comes from the NEWEST
+        committed file, so a column ADDED by a later append is part of
+        the stream; older, narrower files read it as typed NULLs
+        (mergeSchema semantics) — never as pyarrow's silent
+        negative-index of the last column."""
         root = str(tmp_path / "wh")
         ckpt = str(tmp_path / "ckpt")
         wh = Warehouse(spark, root)
+        narrow = spark.createDataFrame([(2, "b")], "id long, name string")
         wide = spark.createDataFrame(
             [(1, "a", 10.0)], "id long, name string, score double")
-        narrow = spark.createDataFrame([(2, "b")], "id long, name string")
-        with wh.transaction():
-            wh.append(wide, "docs")
         with wh.transaction():
             wh.append(narrow, "docs")
-        out = _run_available(spark, ts.stream_table(spark, root, "docs"),
-                             "tbl_evo", ckpt)
+        with wh.transaction():
+            wh.append(wide, "docs")
+        sdf = ts.stream_table(spark, root, "docs")
+        assert "score" in sdf.columns  # the added column IS in the stream
+        out = _run_available(spark, sdf, "tbl_evo", ckpt)
         got = {r["id"]: r["score"] for r in out}
         assert got == {1: 10.0, 2: None}
         names = {r["id"]: r["name"] for r in out}
         assert names == {1: "a", 2: "b"}  # not shifted/negative-indexed
+
+    def test_mid_run_widening_fails_then_restart_streams_column(
+            self, spark, tmp_path):
+        """A column added AFTER the stream resolved its schema must not
+        be silently dropped: the batch that reaches the wide file fails
+        loudly (Delta's mid-run schema-change contract); a RESTART
+        re-resolves the schema from the newest file and delivers the
+        column, with the checkpointed offsets intact (the failed batch
+        replays — no rows lost or duplicated)."""
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(spark.createDataFrame([(1, "a")],
+                                            "id long, name string"), "docs")
+        # consume the snapshot with the narrow schema
+        out = _run_available(spark, ts.stream_table(spark, root, "docs"),
+                             "tbl_widen0", ckpt)
+        assert [r["id"] for r in out] == [1]
+
+        # open a stream (schema resolved NOW, narrow), then widen
+        sdf = ts.stream_table(spark, root, "docs")
+        assert "score" not in sdf.columns
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(2, "b", 20.0)], "id long, name string, score double"),
+                "docs")
+        with pytest.raises(Exception, match="schema changed mid-stream"):
+            # the sink must MATERIALIZE the batch (collect) — a no-op
+            # foreachBatch never runs read() and would pass vacuously
+            q = (sdf.writeStream.foreachBatch(lambda df, _id: df.collect())
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+
+        # restart: fresh schema resolution picks the column up and the
+        # failed batch replays exactly-once from the same checkpoint
+        out2 = _run_available(spark, ts.stream_table(spark, root, "docs"),
+                              "tbl_widen1", ckpt)
+        assert [(r["id"], r["score"]) for r in out2] == [(2, 20.0)]
