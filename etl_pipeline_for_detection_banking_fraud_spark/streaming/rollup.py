@@ -38,8 +38,6 @@ fine — they arrive as later microbatches.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,17 +74,64 @@ def _combine_exprs(aggs: dict) -> list:
     ]
 
 
+def _check_watermark(wh: Warehouse, meta_table: str, batch_id: int,
+                     stream_id: str | None) -> bool:
+    """True when the batch should apply. False = replay (id at/below
+    the stored watermark) — but ONLY for the same stream: a DIFFERENT
+    stream id with a fresh checkpoint restarts batch ids at 0, and
+    treating those as replays would silently no-op every new commit
+    into the rollup until ids catch up. That mismatch raises instead
+    of returning False (fail fast, not silent staleness)."""
+    if not wh.exists(meta_table):
+        return True
+    meta = wh.read(meta_table)
+    row = meta.agg(
+        F.max("batch_id").alias("b"),
+        F.max("stream_id").alias("s") if "stream_id" in meta.columns
+        else F.lit(None).alias("s"),
+    ).first()
+    last, stored_stream = row["b"], row["s"]
+    if stream_id is not None and stored_stream is not None \
+            and stream_id != stored_stream:
+        raise RuntimeError(
+            f"rollup {meta_table[:-6]} was maintained by streaming query "
+            f"{stored_stream} but this batch comes from {stream_id}: a "
+            "NEW checkpoint dir restarts batch ids at 0, so its batches "
+            "would silently no-op against the old watermark. Either "
+            "reuse the original checkpoint dir, or drop and reseed the "
+            "rollup (and its __meta sidecar) before re-pointing it"
+        )
+    return last is None or batch_id > last
+
+
+def _commit_rollup(wh: Warehouse, rollup_table: str, combined: DataFrame,
+                   batch_id: int, stream_id: str | None,
+                   extra_tables: dict | None = None) -> None:
+    """Publish the new rollup state + batch-id watermark (+ any extra
+    sidecars, e.g. the applied-txn set) as ONE replace transaction."""
+    meta = wh.spark.createDataFrame(
+        [(int(batch_id), stream_id)], "batch_id long, stream_id string")
+    txn = Transaction(wh)
+    txn.replace = True
+    txn.append(combined, rollup_table)
+    txn.append(meta, f"{rollup_table}__meta")
+    for name, df in (extra_tables or {}).items():
+        txn.append(df, name)
+    txn.commit()
+
+
 def apply_rollup_batch(wh: Warehouse, rollup_table: str, keys: list[str],
-                       aggs: dict, batch: DataFrame, batch_id: int) -> bool:
+                       aggs: dict, batch: DataFrame, batch_id: int,
+                       stream_id: str | None = None) -> bool:
     """Fold one microbatch into the rollup (the foreachBatch body;
     callable directly for backfills and tests). Returns False when the
     batch id is at/below the stored watermark (a checkpoint replay) and
-    the rollup is left untouched."""
-    meta_table = f"{rollup_table}__meta"
-    if wh.exists(meta_table):
-        last = wh.read(meta_table).agg(F.max("batch_id")).first()[0]
-        if last is not None and batch_id <= last:
-            return False
+    the rollup is left untouched; raises when the batch comes from a
+    DIFFERENT stream than the one that built the rollup (fresh
+    checkpoint + old watermark = silent staleness otherwise)."""
+    if not _check_watermark(wh, f"{rollup_table}__meta", batch_id,
+                            stream_id):
+        return False
     if batch.isEmpty():
         return False  # nothing to fold; redelivery is equally empty
     delta = batch.groupBy(*keys).agg(*_partial_exprs(aggs))
@@ -99,13 +144,27 @@ def apply_rollup_batch(wh: Warehouse, rollup_table: str, keys: list[str],
         )
     else:
         combined = delta
-    meta = wh.spark.createDataFrame([(int(batch_id),)], "batch_id long")
-    txn = Transaction(wh)
-    txn.replace = True
-    txn.append(combined, rollup_table)
-    txn.append(meta, meta_table)
-    txn.commit()
+    _commit_rollup(wh, rollup_table, combined, batch_id, stream_id)
     return True
+
+
+def _checkpoint_stream_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id persisted in the checkpoint's ``metadata``
+    file — STABLE across restarts of the same checkpoint, fresh for a
+    new checkpoint dir. That makes it the watermark's identity: a new
+    checkpoint restarts batch ids at 0, and pairing those ids with the
+    old rollup watermark would silently no-op every batch. Read lazily
+    INSIDE foreachBatch (Spark writes the file at query start, before
+    batch 0 runs)."""
+    import json
+    import os
+
+    path = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(path) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
 
 
 def maintain_rollup(spark: SparkSession, root: str, src_table: str,
@@ -121,7 +180,8 @@ def maintain_rollup(spark: SparkSession, root: str, src_table: str,
     sdf = stream_table(spark, root, src_table, on_replace=on_replace)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        apply_rollup_batch(wh, rollup_table, keys, aggs, batch_df, batch_id)
+        apply_rollup_batch(wh, rollup_table, keys, aggs, batch_df, batch_id,
+                           stream_id=_checkpoint_stream_id(checkpoint_dir))
 
     w = (
         sdf.writeStream.foreachBatch(_fold)
@@ -146,14 +206,27 @@ def bootstrap_rollup(wh: Warehouse, rollup_table: str, keys: list,
     from before the first ``cdf=True`` merge — the live table works if
     no merge has happened yet, else ``read_at`` the pre-feed snapshot
     (seeding from a LATER state would double-count the merges the
-    stream is about to deliver)."""
-    return apply_rollup_batch(wh, rollup_table, keys, aggs, snapshot, -1)
+    stream is about to deliver).
+
+    The seed carries the internal ``_n`` row count the CDF fold
+    maintains (see ``apply_rollup_cdf_batch``): it is what lets a
+    fully-deleted group DROP from the rollup even under sum-only
+    ``aggs``."""
+    if wh.exists(rollup_table):
+        return False  # already seeded; reseeding would double-count
+    delta = snapshot.groupBy(*keys).agg(
+        *_partial_exprs(aggs), F.count(F.lit(1)).alias("_n"))
+    _commit_rollup(wh, rollup_table, delta, -1, None)
+    return True
 
 
 def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
                            keys: list, aggs: dict, feed: DataFrame,
                            batch_id: int,
-                           change_col: str = "change_type") -> bool:
+                           change_col: str = "change_type",
+                           stream_id: str | None = None,
+                           dedup_txns: bool = False,
+                           txn_col: str = "_txn") -> bool:
     """Fold one CDF microbatch (``merge_table(cdf=True)``'s sidecar
     rows: insert / delete / update_preimage / update_postimage) into a
     rollup that stays exact under UPDATES and DELETES — not just
@@ -167,10 +240,26 @@ def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
     rejected here (re-aggregate those from the table, or accept the
     append-only ``apply_rollup_batch`` semantics).
 
-    Same exactly-once shape as ``apply_rollup_batch``: rollup state and
-    the batch-id watermark commit as ONE multi-table replace
-    transaction. Groups whose count reaches zero are dropped (a fully
-    deleted group disappears, matching the batch group-by).
+    The rollup table carries an internal ``_n`` row count maintained
+    UNCONDITIONALLY (``sum(_sign)`` per group, seeded by
+    ``bootstrap_rollup``): it is the drop criterion for fully-deleted
+    groups, so the rollup matches the batch group-by under ANY ``aggs``
+    config — including sum-only, where no user count column exists to
+    reach zero, and all-NULL groups, where per-column counts are 0 but
+    the group still exists.
+
+    ``dedup_txns=True`` makes redelivery of feed ROWS safe, not just
+    redelivery of batches: a ``compact()`` of the sidecar mid-stream
+    re-emits the whole feed under ``on_replace=reemit``, and the
+    batch-id watermark cannot tell those re-emitted rows from new ones.
+    The applied merge-transaction ids are persisted in a
+    ``<rollup>__txns`` sidecar (same atomic commit), and each batch is
+    anti-joined against it on ``_txn`` before folding — O(applied
+    merges) rows, broadcast-sized by construction.
+
+    Same exactly-once shape as ``apply_rollup_batch``: rollup state,
+    batch-id watermark (+ the txn set) commit as ONE multi-table
+    replace transaction.
     """
     for col, funcs in aggs.items():
         bad = [fn for fn in funcs if fn not in _SIGNED]
@@ -180,20 +269,33 @@ def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
                 f"{sorted(_SIGNED)} (min/max need the append-only path "
                 "or a table re-aggregate)"
             )
-    meta_table = f"{rollup_table}__meta"
-    if wh.exists(meta_table):
-        last = wh.read(meta_table).agg(F.max("batch_id")).first()[0]
-        if last is not None and batch_id <= last:
-            return False
+    if not _check_watermark(wh, f"{rollup_table}__meta", batch_id,
+                            stream_id):
+        return False
     if feed.isEmpty():
         return False
+    txns_table = f"{rollup_table}__txns"
+    extra = {}
+    if dedup_txns:
+        batch_txns = feed.select(F.col(txn_col).alias("_txn")).distinct()
+        if wh.exists(txns_table):
+            seen = wh.read(txns_table)
+            feed = feed.join(
+                F.broadcast(seen),
+                feed[txn_col] == seen["_txn"], "left_anti",
+            )
+            extra[txns_table] = seen.unionByName(batch_txns).distinct()
+        else:
+            extra[txns_table] = batch_txns
+        if feed.isEmpty():
+            return False  # pure re-emission (e.g. a sidecar compaction)
     sign = F.when(
         F.col(change_col).isin("insert", "update_postimage"), F.lit(1)
     ).when(
         F.col(change_col).isin("delete", "update_preimage"), F.lit(-1)
     )
     signed = feed.withColumn("_sign", sign).where(F.col("_sign").isNotNull())
-    delta_exprs = []
+    delta_exprs = [F.sum("_sign").alias("_n")]
     for col, funcs in aggs.items():
         for fn in funcs:
             if fn == "count":
@@ -205,27 +307,25 @@ def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
     delta = signed.groupBy(*keys).agg(*delta_exprs)
     if wh.exists(rollup_table):
         stored = wh.read(rollup_table)
+        if "_n" not in stored.columns:
+            raise RuntimeError(
+                f"rollup {rollup_table} predates the internal _n row "
+                "count (or was seeded by the append-only path): drop it "
+                "and reseed with bootstrap_rollup so fully-deleted "
+                "groups can be dropped exactly"
+            )
         combined = (
             stored.unionByName(delta)
             .groupBy(*keys)
-            .agg(*_combine_exprs(aggs))
+            .agg(*_combine_exprs(aggs), F.sum("_n").alias("_n"))
         )
     else:
         combined = delta
-    # drop fully-deleted groups: any count column at zero removes the
-    # row (all-signed aggregates of an empty group are zero)
-    count_cols = [f"{c}_count" for c, fns in aggs.items() if "count" in fns]
-    if count_cols:
-        keep = functools.reduce(
-            lambda a, b: a | b, [F.col(c) > 0 for c in count_cols]
-        )
-        combined = combined.where(keep)
-    meta = wh.spark.createDataFrame([(int(batch_id),)], "batch_id long")
-    txn = Transaction(wh)
-    txn.replace = True
-    txn.append(combined, rollup_table)
-    txn.append(meta, meta_table)
-    txn.commit()
+    # drop fully-deleted groups: the internal row count reaching zero
+    # removes the row under ANY aggs config (sum-only included)
+    combined = combined.where(F.col("_n") > 0)
+    _commit_rollup(wh, rollup_table, combined, batch_id, stream_id,
+                   extra_tables=extra)
     return True
 
 
@@ -233,19 +333,32 @@ def maintain_rollup_cdf(spark: SparkSession, root: str, table: str,
                         rollup_table: str, keys: list, aggs: dict,
                         checkpoint_dir: str, *,
                         cdf_table: str | None = None,
-                        available_now: bool = False):
+                        available_now: bool = False,
+                        on_replace: str = "fail"):
     """Maintain an exact rollup of a table that receives CDC MERGES:
     tail the table's ``merge_table(cdf=True)`` change feed and apply
     signed adjustments — updates and deletes land in the aggregate
     without ever rescanning the table. ``aggs``: column -> subset of
     {count, sum}. Rows that predate the feed need ``bootstrap_rollup``
-    once, with the pre-feed snapshot."""
+    once, with the pre-feed snapshot.
+
+    ``on_replace="reemit"`` makes the stream survive a ``compact()`` of
+    the sidecar: the rewritten feed re-emits wholesale, and the fold
+    dedups it row-exactly against the persisted applied-``_txn`` set
+    (see ``apply_rollup_cdf_batch``) — so sidecar compaction no longer
+    needs a maintenance window. The default ``fail`` keeps the loud
+    contract for consumers that did not opt in."""
     wh = Warehouse(spark, root)
-    sdf = stream_table(spark, root, cdf_table or f"{table}__cdf")
+    sdf = stream_table(spark, root, cdf_table or f"{table}__cdf",
+                       on_replace=on_replace)
+    dedup = on_replace == "reemit"
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        apply_rollup_cdf_batch(wh, rollup_table, keys, aggs, batch_df,
-                               batch_id)
+        apply_rollup_cdf_batch(
+            wh, rollup_table, keys, aggs, batch_df, batch_id,
+            stream_id=_checkpoint_stream_id(checkpoint_dir),
+            dedup_txns=dedup,
+        )
 
     w = (
         sdf.writeStream.foreachBatch(_fold)

@@ -190,6 +190,120 @@ class TestCdfRollup:
         got = self._got(wh)
         assert got == self._expected(wh) and "x" not in got
 
+    def test_sum_only_group_disappearance(self, spark, tmp_path):
+        """A fully-deleted group must drop even when aggs has NO count
+        column: the internal _n row count (not a user aggregate) is the
+        drop criterion, so a sum-only rollup can't leave a zero-sum
+        residue row behind."""
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        aggs = {"bal": ["sum"]}
+
+        def merge(rows):
+            wh.merge_table(
+                "accounts",
+                spark.createDataFrame(
+                    rows, "k long, v long, op string, bal double, grp string"),
+                key="k", version_cols=("v",),
+                payload_cols=("bal", "grp"), cdf=True)
+
+        def drain():
+            q = rollup.maintain_rollup_cdf(
+                spark, root, "accounts", "agg_sum", ["grp"], aggs,
+                ckpt, available_now=True)
+            q.awaitTermination(180)
+
+        assert rollup.bootstrap_rollup(
+            wh, "agg_sum", ["grp"], aggs, wh.read("accounts"))
+        # delete the whole y group (single member k=3)
+        merge([(3, 1, "D", None, None)])
+        drain()
+        got = {r["grp"]: r["bal_sum"]
+               for r in wh.read("agg_sum").collect()}
+        assert got == {"x": 30.0}  # no zero-sum residue row for y
+        expected = {
+            r["grp"]: r["s"] for r in wh.read("accounts").groupBy("grp")
+            .agg(F.sum("bal").alias("s")).collect()
+        }
+        assert got == expected
+
+    def test_new_stream_against_existing_rollup_fails_fast(
+            self, spark, tmp_path):
+        """Fresh checkpoint dir => batch ids restart at 0; pairing them
+        with the old watermark would silently no-op every batch. The
+        stream identity stored beside the watermark turns that into a
+        loud error instead."""
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        batch = wh.read("accounts")
+        assert rollup.apply_rollup_batch(
+            wh, "agg_id", ["grp"], {"bal": ["sum"]}, batch, 5,
+            stream_id="stream-A") is True
+        # same stream, replayed batch: silent no-op (the normal guard)
+        assert rollup.apply_rollup_batch(
+            wh, "agg_id", ["grp"], {"bal": ["sum"]}, batch, 5,
+            stream_id="stream-A") is False
+        # different stream, low batch id: fail fast, never no-op
+        with pytest.raises(RuntimeError, match="maintained by streaming"):
+            rollup.apply_rollup_batch(
+                wh, "agg_id", ["grp"], {"bal": ["sum"]}, batch, 0,
+                stream_id="stream-B")
+
+    def test_sidecar_compaction_reemit_stays_exact(self, spark, tmp_path):
+        """compact() of the __cdf sidecar mid-stream re-emits the whole
+        feed under on_replace=reemit; the persisted applied-_txn set
+        dedups the re-emission row-exactly, so the rollup still equals
+        the batch group-by — no maintenance window needed."""
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+
+        def merge(rows):
+            wh.merge_table(
+                "accounts",
+                spark.createDataFrame(
+                    rows, "k long, v long, op string, bal double, grp string"),
+                key="k", version_cols=("v",),
+                payload_cols=("bal", "grp"), cdf=True)
+
+        def drain():
+            q = rollup.maintain_rollup_cdf(
+                spark, root, "accounts", "agg_acc", ["grp"], self.AGGS,
+                ckpt, available_now=True, on_replace="reemit")
+            q.awaitTermination(180)
+
+        assert rollup.bootstrap_rollup(
+            wh, "agg_acc", ["grp"], self.AGGS, wh.read("accounts"))
+        merge([(4, 1, "I", 40.0, "y")])
+        drain()
+        assert self._got(wh) == self._expected(wh)
+
+        # unapplied merge, then a compaction that rewrites the feed's
+        # file set, then another merge — the next batch re-emits
+        # EVERYTHING; only the two new txns may fold
+        merge([(5, 1, "I", 50.0, "x")])
+        wh.compact("accounts__cdf")
+        merge([(1, 1, "U", 15.0, "x")])
+        drain()
+        assert self._got(wh) == self._expected(wh)
+
+        # and a pure re-emission (compact with nothing new) no-ops
+        wh.compact("accounts__cdf")
+        drain()
+        assert self._got(wh) == self._expected(wh)
+
     def test_redelivery_noops_and_minmax_rejected(self, spark, tmp_path):
         from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
             rollup,
