@@ -104,6 +104,21 @@ EXTENDED = [
 
 REF_DATA = "/root/reference/data"
 
+# Calibration reference (round-8 verdict item #7): the recorded probe
+# medians of the fastest environment on record (BENCH_r06). Dividing a
+# run's timings by its machine_factor — the geometric mean of the two
+# probe ratios vs these — publishes probe-NORMALIZED numbers directly,
+# so a cross-round comparison no longer has to adjudicate environmental
+# drift by hand (r4 and r7 both lost time to exactly that).
+REF_PROBES = {"cpu_probe": 0.1013, "shuffle_probe": 0.4231,
+              "ref_round": "r06"}
+
+# Sub-second queries where scheduler noise dominates the median-of-3
+# (round-8 verdict item #8): they get extra trials so dispersion is on
+# record and probe-adjusted regressions on them are attributable.
+WATCHLIST = ["scan_filter_project", "first_per_group", "scd2_apply"]
+WATCHLIST_TRIALS = 7
+
 # The 5 most expensive headline queries (per BENCH_r03/r04) — these get
 # the extra sf1 data point.
 SF1_QUERIES = [
@@ -135,6 +150,7 @@ def _timed_trials(fn, trials: int) -> dict:
         "median": round(statistics.median(ts), 4),
         "min": min(ts),
         "max": max(ts),
+        "stdev": round(statistics.stdev(ts), 4) if len(ts) > 1 else 0.0,
         "trials": ts,
     }
 
@@ -815,8 +831,9 @@ def main() -> None:
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
     detail: dict[str, dict] = {}
     for name in names:
+        n = max(trials, WATCHLIST_TRIALS) if name in WATCHLIST else trials
         detail[name] = _timed_trials(
-            lambda name=name: _noop(qmap[name](spark, sf_dir)), trials
+            lambda name=name: _noop(qmap[name](spark, sf_dir)), n
         )
     timings = {name: d["median"] for name, d in detail.items()}
 
@@ -886,6 +903,7 @@ def main() -> None:
         table_stream = _table_stream_bench(spark, sf_dir)
     except Exception as e:
         table_stream = {"error": str(e)[:300]}
+    normalized = _normalize(total, timings, calibration)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -894,6 +912,7 @@ def main() -> None:
         "queries_detail": detail,
         "bench_trials": trials,
         "calibration": calibration,
+        "normalized": normalized,
         "extended": extended,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -913,6 +932,29 @@ def main() -> None:
         out["replay"] = replay
     print(json.dumps(out))
     print(_compact_line(out))
+
+
+def _normalize(total: float, timings: dict, calibration: dict) -> dict:
+    """Probe-normalized timings: divide by machine_factor, the geometric
+    mean of this run's probe medians over the REF_PROBES record. A
+    machine_factor of 1.2 says the box ran 1.2x slower than the r06
+    reference environment; normalized values are what the plans would
+    have cost THERE — the number cross-round comparisons should read
+    first."""
+    try:
+        ratios = [
+            calibration[k]["median"] / REF_PROBES[k]
+            for k in ("cpu_probe", "shuffle_probe")
+        ]
+        factor = (ratios[0] * ratios[1]) ** 0.5
+    except (KeyError, TypeError, ZeroDivisionError):
+        return {"error": "calibration probes unavailable"}
+    return {
+        "machine_factor": round(factor, 4),
+        "probe_ref": REF_PROBES,
+        "value": round(total / factor, 4),
+        "queries": {k: round(v / factor, 4) for k, v in timings.items()},
+    }
 
 
 def _compact_line(out: dict) -> str:
@@ -937,6 +979,8 @@ def _compact_line(out: dict) -> str:
         "calibration": {
             k: v.get("median") for k, v in cal.items() if isinstance(v, dict)
         },
+        "machine_factor": (out.get("normalized") or {}).get("machine_factor"),
+        "value_normalized": (out.get("normalized") or {}).get("value"),
         "replay": {
             k: v for k, v in out.get("replay", {}).items()
             if isinstance(v, (int, float))

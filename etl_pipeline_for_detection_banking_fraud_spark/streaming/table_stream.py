@@ -15,7 +15,11 @@ Semantics
 ---------
 - **Offsets are commit-log sequence numbers.** ``initialOffset`` = 0
   (stream the EXISTING table state as the first microbatch, then tail —
-  Delta's default) or the current head with ``tail_only=true``.
+  Delta's default) or the current head with ``tail_only=true``. With
+  ``max_files_per_trigger`` set, offsets gain a file-index component
+  (``{"snap"/"seq", "idx"}``) and every microbatch — the initial
+  snapshot included — is bounded to that many files (the Delta
+  ``maxFilesPerTrigger`` analog; see ``_WarehouseStreamReader``).
 - **A microbatch (start, end] emits the file-set difference between the
   replayed states at the two offsets.** For append-only tables that is
   exactly the files the commits in range added. The diff rides
@@ -105,7 +109,51 @@ class _FilePartition(InputPartition):
         self.part_values = part_values
 
 
+def _base_seq(off: dict) -> int:
+    """The commit seq an offset's MANIFEST is replayed at (for horizon
+    checks): snapshot chunks replay at their pinned target."""
+    return int(off["snap"]) if "snap" in off else int(off["seq"])
+
+
+def _scan_hi(off: dict) -> int:
+    """Highest commit seq an offset includes files from, even partially
+    (for the replace guard): a mid-delta offset has emitted part of
+    commit ``next``'s files."""
+    if "snap" in off:
+        return int(off["snap"])
+    if off.get("idx"):
+        return int(off["next"])
+    return int(off["seq"])
+
+
 class _WarehouseStreamReader(DataSourceStreamReader):
+    """Offsets come in three JSON shapes (all checkpoint-compatible —
+    old ``{"seq": N}`` checkpoints keep working):
+
+    - ``{"seq": s}`` — the table state through commit ``s`` is fully
+      emitted (the classic offset).
+    - ``{"snap": t, "idx": i}`` — mid-INITIAL-SNAPSHOT under admission
+      control: the first ``i`` files of the sorted manifest at the
+      pinned snapshot target ``t``. Commits landing after ``t`` tail
+      later as normal deltas.
+    - ``{"seq": s, "idx": i, "next": t}`` — mid-TAIL-DELTA: state
+      through ``s`` plus the first ``i`` files (sorted) of the delta
+      toward ``t``, the next commit touching the table.
+
+    ``partitions(start, end)`` is uniform across all shapes: emit
+    ``visible(end) - visible(start)``, where ``visible`` is the exact
+    file set an offset denotes. ``latestOffset`` is where admission
+    control lives: with ``max_files_per_trigger`` set it returns a
+    bounded offset instead of the head, walking commits and file
+    counts forward from the last planned position. The position
+    survives the API's latestOffset-has-no-start-argument gap two
+    ways: at CONSTRUCTION it is preset to the pinned initial offset
+    (Spark calls latestOffset before initialOffset on a fresh stream —
+    without the preset, batch 0, the initial snapshot, would plan
+    unbounded), and on a RESTART Spark replays the logged batch
+    through ``partitions`` first, which re-seeds the position from the
+    checkpointed offsets before any latestOffset runs."""
+
     def __init__(self, options: dict, spark_schema: T.StructType,
                  part_fields: list[str]):
         self.root = options["root"]
@@ -114,6 +162,22 @@ class _WarehouseStreamReader(DataSourceStreamReader):
         if self.on_replace not in ("fail", "reemit"):
             raise ValueError("on_replace must be 'fail' or 'reemit'")
         self.tail_only = str(options.get("tail_only", "false")).lower() == "true"
+        mft = options.get("max_files_per_trigger")
+        self.max_files = None if mft in (None, "", "none") else int(mft)
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
+        # Pin the initial offset at CONSTRUCTION (query start) and
+        # pre-seed the planning position with it: Spark calls
+        # latestOffset BEFORE initialOffset on a fresh stream, so
+        # without the preset batch 0 — the initial snapshot, the batch
+        # admission control exists for — would plan unbounded. On a
+        # RESTART the preset is harmless: Spark replays the logged
+        # batch through partitions() first, which re-seeds the
+        # position from the checkpointed offsets before any
+        # latestOffset runs (and the guard in partitions() catches the
+        # pathological ordering loudly instead of duplicating rows).
+        self._initial = self._compute_initial()
+        self._planned: dict | None = dict(self._initial)
         self.spark_schema = spark_schema
         self.part_fields = part_fields
         # canonical Arrow schema every emitted batch is cast to (Spark's
@@ -125,19 +189,129 @@ class _WarehouseStreamReader(DataSourceStreamReader):
     def _wh(self) -> Warehouse:
         return Warehouse(None, self.root, checkpoint_interval=0)
 
-    def initialOffset(self) -> dict:
+    def _sorted_manifest(self, wh: Warehouse, at: int) -> list[str]:
+        return sorted(wh._manifest_files(self.table, at=at) or [])
+
+    def _delta_list(self, wh: Warehouse, s: int, t: int) -> list[str]:
+        """Deterministic (sorted) list of files commit ``t`` adds to the
+        table over the state at ``s`` — the unit admission control
+        chunks by. Appends answer from the entry itself (O(1)); a
+        replace needs the manifest diff."""
+        entry = wh._load_entry(t)
+        if entry is not None:
+            tbls = entry.get("tables", {})
+            if self.table in tbls and (
+                    entry.get("op") != "replace"
+                    or self.table in entry.get("append_tables", [])):
+                return sorted(tbls[self.table])
+        before = set(wh._manifest_files(self.table, at=s) or [])
+        after = wh._manifest_files(self.table, at=t) or []
+        return sorted(set(after) - before)
+
+    def _visible(self, wh: Warehouse, off: dict) -> set:
+        """The exact file set an offset denotes as already emitted."""
+        if "snap" in off:
+            return set(self._sorted_manifest(wh, off["snap"])[:off["idx"]])
+        s = int(off["seq"])
+        vis = set(wh._manifest_files(self.table, at=s) or []) if s else set()
+        if off.get("idx"):
+            vis |= set(self._delta_list(wh, s, off["next"])[:off["idx"]])
+        return vis
+
+    def _compute_initial(self) -> dict:
+        wh = self._wh()
         if self.tail_only:
-            return {"seq": self._wh()._latest_seq()}
+            return {"seq": wh._latest_seq()}
+        if self.max_files is not None:
+            # pin the snapshot target NOW; the snapshot then streams in
+            # max_files_per_trigger chunks instead of one giant batch
+            return {"snap": wh._latest_seq(), "idx": 0}
         return {"seq": 0}
 
+    def initialOffset(self) -> dict:
+        # the value pinned at construction — NOT recomputed (a commit
+        # landing between construction and this call must not tear the
+        # preset position from the offset Spark records), and _planned
+        # is NOT reset (the first latestOffset may already have moved it)
+        return dict(self._initial)
+
     def latestOffset(self) -> dict:
-        return {"seq": self._wh()._latest_seq()}
+        wh = self._wh()
+        head = wh._latest_seq()
+        cur = self._planned
+        if self.max_files is None or cur is None:
+            off = {"seq": head}
+        elif "snap" in cur:
+            t, i = int(cur["snap"]), int(cur["idx"])
+            n = len(self._sorted_manifest(wh, t))
+            if i + self.max_files < n:
+                off = {"snap": t, "idx": i + self.max_files}
+            else:
+                off = {"seq": t}  # snapshot complete; tail from here
+        else:
+            off = self._advance_tail(wh, cur, head, self.max_files)
+        self._planned = off
+        return off
+
+    def _advance_tail(self, wh: Warehouse, cur: dict, head: int,
+                      budget: int) -> dict:
+        """Walk commits forward from ``cur``, spending ``budget`` files,
+        and return the bounded end offset. Control-plane only: entry
+        JSON loads plus O(checkpoint_interval) manifest replays."""
+        pos_s, pos_i = int(cur["seq"]), int(cur.get("idx", 0))
+        pos_next = int(cur["next"]) if cur.get("idx") else None
+        entry_seqs, _ = wh._list_log()
+        while budget > 0:
+            if pos_i:
+                d = self._delta_list(wh, pos_s, pos_next)
+                rem = len(d) - pos_i
+                if budget < rem:
+                    return {"seq": pos_s, "idx": pos_i + budget,
+                            "next": pos_next}
+                budget -= rem
+                pos_s, pos_i, pos_next = pos_next, 0, None
+                continue
+            nxt = None
+            for seq in entry_seqs:
+                if pos_s < seq <= head:
+                    entry = wh._load_entry(seq)
+                    if entry and self.table in entry.get("tables", {}):
+                        nxt = seq
+                        break
+            if nxt is None:
+                return {"seq": head}  # caught up; absorb foreign commits
+            d = self._delta_list(wh, pos_s, nxt)
+            if not d:
+                pos_s = nxt
+                continue
+            if budget < len(d):
+                return {"seq": pos_s, "idx": budget, "next": nxt}
+            budget -= len(d)
+            pos_s = nxt
+        return {"seq": pos_s}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        s, e = int(start["seq"]), int(end["seq"])
-        if e <= s:
+        if "snap" in end and "snap" not in start:
+            # a snap-form end can only legitimately follow the initial
+            # snapshot; pairing it with a committed seq-form start means
+            # the planner bounded batch 0 from the construction preset
+            # while Spark was actually restarting WITHOUT replaying the
+            # last batch — emitting would re-deliver the whole table.
+            # Spark 4.1 always replays through partitions() first (so
+            # this is unreachable there); fail loudly rather than
+            # duplicate if a future version changes the order.
+            raise RuntimeError(
+                f"offset regression: restart start {start} paired with "
+                f"initial-snapshot end {end}; restart the query (the "
+                "checkpointed offsets are intact)"
+            )
+        # re-seed the planning position (restart replays arrive here
+        # with checkpointed offsets before latestOffset can know them)
+        self._planned = dict(end)
+        if start == end:
             return []
         wh = self._wh()
+        s = _base_seq(start)
         horizon = wh.expire_horizon()
         if 0 < s < horizon:
             raise SnapshotExpired(
@@ -146,9 +320,10 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                 "the stream with a fresh checkpoint (full re-snapshot)"
             )
         if s > 0 and self.on_replace == "fail":
+            hi = _scan_hi(end)
             entry_seqs, _ = wh._list_log()
             for seq in entry_seqs:
-                if s < seq <= e:
+                if s < seq <= hi:
                     entry = wh._load_entry(seq)
                     if entry and entry.get("op") == "replace" and \
                             self.table in entry.get("tables", {}) and \
@@ -163,13 +338,12 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                             "on_replace=reemit to opt into Delta-style "
                             "ignoreChanges semantics"
                         )
-        before = set(wh._manifest_files(self.table, at=s) or []) if s else set()
-        after = wh._manifest_files(self.table, at=e) or []
+        before = self._visible(wh, start)
+        after = sorted(self._visible(wh, end) - before)
         table_dir = os.path.join(self.root, self.table)
         return [
             _FilePartition(os.path.join(table_dir, rel), _partition_pairs(rel))
             for rel in after
-            if rel not in before
         ]
 
     def commit(self, end: dict) -> None:
@@ -225,7 +399,9 @@ class WarehouseStreamDataSource(DataSource):
     """``spark.readStream.format("warehouse_stream")`` over a commit-log
     tracked warehouse table. Options: ``root`` (warehouse root path),
     ``table``, ``on_replace`` (fail|reemit), ``tail_only`` (true skips
-    the initial snapshot batch)."""
+    the initial snapshot batch), ``max_files_per_trigger`` (admission
+    control: bound every microbatch — including the initial snapshot —
+    to at most N committed files)."""
 
     @classmethod
     def name(cls) -> str:
@@ -277,14 +453,30 @@ def register(spark) -> None:
 
 
 def stream_table(spark, root: str, table: str, *,
-                 on_replace: str = "fail", tail_only: bool = False):
-    """Convenience: register + open a streaming DataFrame on ``table``."""
+                 on_replace: str = "fail", tail_only: bool = False,
+                 max_files_per_trigger: int | None = None):
+    """Convenience: register + open a streaming DataFrame on ``table``.
+
+    ``max_files_per_trigger`` is the Delta ``maxFilesPerTrigger``
+    analog: every microbatch — the initial snapshot included — carries
+    at most that many committed files, so a 100 TB table arrives as a
+    paced sequence of batches instead of one giant first batch.
+    Chunk boundaries live in the offsets (``{"snap"/"seq", "idx"}``),
+    so restarts stay exactly-once and capped (the replayed batch
+    re-seeds the planner's position — see ``_WarehouseStreamReader``).
+    One caveat: under ``trigger(availableNow=True)`` Spark falls back
+    to single-batch execution for Python sources and plans EVERYTHING
+    available as one batch, bypassing pacing — use a periodic trigger
+    (``processingTime``) when the cap matters."""
     register(spark)
-    return (
+    reader = (
         spark.readStream.format(SOURCE_NAME)
         .option("root", root)
         .option("table", table)
         .option("on_replace", on_replace)
         .option("tail_only", str(tail_only).lower())
-        .load()
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("max_files_per_trigger",
+                               str(max_files_per_trigger))
+    return reader.load()
