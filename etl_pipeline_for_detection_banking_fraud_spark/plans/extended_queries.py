@@ -958,3 +958,87 @@ def window_hopping(spark, sf_dir):
         .select(F.col("w.start").alias("win_start"), "event_type", "n",
                 "total")
     )
+
+
+@_q(
+    "tpch_q18_shape",
+    "TPC-H Q18 shape: HAVING-filtered aggregate joined back to its "
+    "parents (large-quantity orders) + deterministic top-k",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 200
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_totalprice, b.qty_sum
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18_shape(spark, sf_dir):
+    """Scale shape: the lineitem aggregate is map-side-combinable and
+    the HAVING filter shrinks it to a sliver BEFORE any join — at 100 TB
+    the 'big orders' side broadcasts into orders/customer instead of
+    shuffling the fact twice (AQE flips the join strategy from the
+    runtime size). Decimal accumulation keeps the threshold exact on
+    doubles (repo-wide float policy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .where(F.col("q") > 200)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice", F.col("q").cast("double").alias("qty_sum"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "text_bigram_topk",
+    "corpus-wide top-k bigram counts (the n-gram LM / tokenizer-prep "
+    "statistic) via higher-order array functions, no Python UDFs",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (
+        SELECT unnest(list_transform(range(2, len(ws) + 1),
+                                     i -> ws[i - 1] || ' ' || ws[i])) AS bigram
+        FROM w
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def text_bigram_topk(spark, sf_dir):
+    """transform(sequence(...)) builds bigrams JVM-side from the split
+    array (0-based Spark indexing vs the oracle's 1-based DuckDB
+    lists); explode + count is one map-side-combinable exchange, and
+    the deterministic (n DESC, bigram) tiebreak pins the top-k edge.
+    At 100 TB the bigram space is heavy-tailed: partial aggregation
+    absorbs the head mass before the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
