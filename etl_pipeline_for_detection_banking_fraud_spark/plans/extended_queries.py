@@ -1032,11 +1032,12 @@ def text_bigram_topk(spark, sf_dir):
     absorbs the head mass before the shuffle."""
     docs = _t(spark, sf_dir, "documents")
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(ws[i-1], ' ', ws[i]))"
     )
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
