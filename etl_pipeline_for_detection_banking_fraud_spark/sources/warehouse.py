@@ -368,6 +368,18 @@ def _data_files(table_dir: str) -> list[str]:
     return out
 
 
+def _partition_pairs_of(rel: str) -> list[tuple[str, str]]:
+    """``dt=2021-03-01/part-0.parquet`` -> ``[("dt", "2021-03-01")]`` —
+    the hive key=value directories of a committed relpath (raw string
+    values, the form ``compact(where=...)`` matches against)."""
+    pairs = []
+    for d in rel.split("/")[:-1]:
+        if "=" in d:
+            k, _, v = d.partition("=")
+            pairs.append((k, v))
+    return pairs
+
+
 def _next_seq(log_dir: str) -> int:
     """Next unclaimed sequence number. Checkpoint files count too:
     after ``expire_log`` folds old entries into a checkpoint and
@@ -1020,13 +1032,24 @@ class Warehouse:
         for old in versions[:-keep_versions + 1] if keep_versions > 1 else versions:
             shutil.rmtree(os.path.join(p, f"v={old}"), ignore_errors=True)
 
-    def compact(self, table: str, target_files_per_partition: int = 1) -> None:
+    def compact(self, table: str, target_files_per_partition: int = 1,
+                where: dict | None = None) -> None:
         """Rewrite an append table to coalesce small files.
 
         Daily appends accumulate one file-set per batch; at 100 TB the
         resulting small-files problem degrades scan parallelism and
         NameNode/listing pressure. Periodic compaction rewrites each
         hive partition into `target_files_per_partition` files.
+
+        ``where`` scopes the rewrite to matching HIVE PARTITIONS only
+        (``{"dt": "2021-03-02"}`` or ``{"dt": [..., ...]}``): untouched
+        partitions' files are carried into the new replace entry
+        verbatim — relpaths AND their recorded stats, so file skipping
+        keeps working — and only the superseded files are deleted. This
+        is the 100 TB maintenance shape (the Delta ``OPTIMIZE ...
+        WHERE`` analog): you compact yesterday's partition after the
+        last append, not the table. Requires a commit-log tracked
+        table (the manifest is what makes a partial rewrite safe).
 
         Append tables only: a versioned-rewrite table (v=N subdirs) is
         refused — read.parquet(root) would merge every version into one
@@ -1053,11 +1076,26 @@ class Warehouse:
             # (first writer wins) and compaction re-reads and retries —
             # without this the replace would silently drop the racing
             # append's files (lost update).
+            def _match(rel: str) -> bool:
+                pairs = dict(_partition_pairs_of(rel))
+                for k, v in (where or {}).items():
+                    allowed = v if isinstance(v, (list, tuple, set)) else [v]
+                    if pairs.get(k) not in {str(a) for a in allowed}:
+                        return False
+                return True
+
             for attempt in range(3):
                 self._invalidate_state()
                 base_seq = self._latest_seq()
                 old = list(self._manifest_files(table) or [])
-                df = self.read(table)
+                selected = [r for r in old if _match(r)] if where else old
+                if not selected:
+                    return  # nothing matches: no-op, no commit
+                untouched = [r for r in old if r not in set(selected)]
+                p = self._path(table)
+                df = self.spark.read.option("basePath", p).parquet(
+                    *[os.path.join(p, r) for r in selected]
+                )
                 part_cols = [c for c in df.columns if c == "dt"]
                 txn = Transaction(self)
                 txn.replace = True
@@ -1070,6 +1108,15 @@ class Warehouse:
                     )
                 else:
                     txn.append(df.coalesce(target_files_per_partition), table)
+                if untouched:
+                    # carry the unrewritten partitions into the new
+                    # manifest: files verbatim, stats preserved
+                    txn.pending[table] = untouched + txn.pending[table]
+                    old_stats = self._manifest_stats(table)
+                    tstats = txn.stats.setdefault(table, {})
+                    for rel in untouched:
+                        if rel in old_stats:
+                            tstats[rel] = old_stats[rel]
                 try:
                     txn.commit()
                 except CommitConflict:
@@ -1078,7 +1125,7 @@ class Warehouse:
                     self.vacuum_orphans(table)  # drop the stale staged files
                     continue
                 table_dir = self._path(table)
-                for rel in old:
+                for rel in selected:
                     with contextlib.suppress(OSError):
                         os.remove(os.path.join(table_dir, rel))
                 # natural checkpoint moment: state was just folded to one
@@ -1087,6 +1134,12 @@ class Warehouse:
                     self.write_checkpoint()
                 return
             return
+        if where is not None:
+            raise ValueError(
+                "partition-scoped compact (where=...) needs a commit-log "
+                f"tracked table; {table} has no manifest to carry the "
+                "untouched partitions through"
+            )
         df = self.spark.read.parquet(self._path(table))
         part_cols = [c for c in df.columns if c == "dt"]
         if part_cols:

@@ -56,6 +56,68 @@ def test_compact_partitioned_mart(spark, tmp_path):
     assert len(files_after) == 3  # one per dt partition
     assert sorted(map(tuple, wh.read_mart().collect())) == rows_before
 
+    # partition-scoped compaction needs the manifest; legacy layouts
+    # have no safe way to carry untouched partitions through
+    import pytest
+
+    with pytest.raises(ValueError, match="commit-log tracked"):
+        wh.compact("rep_fraud", where={"dt": "2021-03-01"})
+
+
+def test_partition_scoped_compact(spark, tmp_path):
+    """compact(where={'dt': ...}) rewrites ONLY the matching hive
+    partitions: other partitions' files survive VERBATIM (same
+    relpaths, stats carried, so file skipping keeps working), rows are
+    identical, and a non-matching filter is a commitless no-op — the
+    100 TB maintenance shape, where compacting the whole table per day
+    is infeasible."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for day in range(1, 4):
+        rows = [
+            (datetime.datetime(2021, 3, ev, 12, 0), f"P{ev}", "F", "7",
+             "type", datetime.date(2021, 3, day))
+            for ev in range(1, day + 1)
+        ]
+        with wh.transaction():  # commit-log tracked (the where= requirement)
+            wh.append_mart(spark.createDataFrame(rows, schema=schemas.REP_FRAUD))
+
+    mf_before = wh._manifest_files("rep_fraud")
+    rows_before = sorted(map(tuple, wh.read_mart().collect()))
+    d3_before = [r for r in mf_before if r.startswith("dt=2021-03-03")]
+    others_before = sorted(r for r in mf_before
+                           if not r.startswith("dt=2021-03-03"))
+    assert len(d3_before) >= 1 and others_before
+
+    seq_before = wh._latest_seq()
+    wh.compact("rep_fraud", where={"dt": "2021-03-03"})
+    mf_after = wh._manifest_files("rep_fraud")
+    d3_after = [r for r in mf_after if r.startswith("dt=2021-03-03")]
+    others_after = sorted(r for r in mf_after
+                          if not r.startswith("dt=2021-03-03"))
+    assert others_after == others_before  # untouched partitions verbatim
+    assert d3_after and set(d3_after).isdisjoint(d3_before)  # rewritten
+    assert len(d3_after) <= len(d3_before)
+    assert sorted(map(tuple, wh.read_mart().collect())) == rows_before
+    # stats for the untouched files carried into the new replace entry
+    stats = wh._manifest_stats("rep_fraud")
+    assert all(r in stats for r in others_after)
+    # deleted superseded files only
+    table_dir = str(tmp_path / "wh" / "rep_fraud")
+    for rel in d3_before:
+        assert not os.path.exists(os.path.join(table_dir, rel))
+    for rel in others_before:
+        assert os.path.exists(os.path.join(table_dir, rel))
+
+    # non-matching filter: no commit, no rewrite
+    seq_mid = wh._latest_seq()
+    assert seq_mid == seq_before + 1
+    wh.compact("rep_fraud", where={"dt": "2021-03-09"})
+    assert wh._latest_seq() == seq_mid
+
+    # list form compacts several partitions at once
+    wh.compact("rep_fraud", where={"dt": ["2021-03-01", "2021-03-02"]})
+    assert sorted(map(tuple, wh.read_mart().collect())) == rows_before
+
 
 def test_legacy_mart_layout_guard_and_migration(spark, tmp_path):
     """A pre-round-4 warehouse holds an UNPARTITIONED rep_fraud; blindly
