@@ -237,6 +237,23 @@ class TestAdmissionControl:
         flat = [p for b in batches for p in b]
         assert len(flat) == len(set(flat)) == 6
 
+    def test_foreign_commits_absorbed_without_emission(self, spark, tmp_path):
+        """Commits to OTHER tables advance the capped offset to head in
+        one step (no per-commit batches, nothing emitted) — the tail
+        walk only counts commits touching the streamed table."""
+        root = str(tmp_path / "wh")
+        wh = self._commits(spark, root, n_commits=1, files_per_commit=2)
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events", "max_files_per_trigger": "3"},
+            *_schema_pair(root))
+        assert [len(b) for b in self._drive(reader)] == [2]
+        for i in range(3):  # three commits to a different table
+            with wh.transaction():
+                wh.append(_rows(spark, [i]).coalesce(1), "other")
+        # one offset hop to head, zero files emitted
+        assert self._drive(reader, start=reader._planned) == [[]]
+        assert reader._planned == {"seq": wh._latest_seq()}
+
     def test_restart_replay_is_exact_for_partial_offsets(self, spark, tmp_path):
         """A fresh reader (restart) handed checkpointed partial offsets
         must reproduce the same batches; and an uncapped jump from a
