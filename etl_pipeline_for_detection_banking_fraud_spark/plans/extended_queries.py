@@ -1043,3 +1043,158 @@ def text_bigram_topk(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@_q(
+    "tpch_q5_shape",
+    "TPC-H Q5 shape: six-table star join (region->nation fan-out, "
+    "local-supplier co-nation constraint) + grouped revenue",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_shape(spark, sf_dir):
+    """Scale shape: the deepest join tree in the catalog. The small
+    dimensions (region 5 / nation 25 / supplier ~100 rows) broadcast
+    as one pre-joined sliver, and the region filter prunes them
+    BEFORE they reach the fact side; customer is O(SF) — too big to
+    broadcast at 100 TB — so it exchanges on custkey like orders does
+    (AQE flips it to broadcast at small SF where it fits). That
+    leaves exactly the canonical Q5 exchanges: orders<->customer on
+    custkey, orders<->lineitem on orderkey, and the 25-group
+    aggregate; the o_orderdate range is pushed to the orders scan,
+    and the co-nation constraint (c_nationkey = s_nationkey) rides
+    the supplier broadcast as a second key — no extra shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(28,10)")
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@_q(
+    "window_session_native",
+    "session windows via Spark's NATIVE session_window operator (the "
+    "streaming-ready formulation) — the oracle derives the same "
+    "sessions independently from lag/cumsum gap islands",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800000000::BIGINT
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM gaps
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def window_session_native(spark, sf_dir):
+    """session_window(ts, gap) is the operator Structured Streaming
+    uses for stateful sessionization (merging-session state store);
+    in batch it is ONE exchange on the grouping key followed by a
+    local sort-merge of overlapping [ts, ts+gap) intervals — no lag /
+    cumulative window pair, no second WindowExec pass. Tie semantics
+    pinned by the oracle: window intervals are half-open, so a gap of
+    EXACTLY the 30-min duration starts a new session (oracle: >=).
+    Columns match the lag-islands oracle: start = min(ts), end =
+    max(ts) + gap."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@_q(
+    "approx_distinct_bounds",
+    "HLL++ approx_count_distinct clamped against the exact distinct "
+    "count (the sketch is non-deterministic only across Spark "
+    "versions, not runs; the CLAMP is the oracle-stable value)",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_bounds(spark, sf_dir):
+    """The 100 TB distinct-count path: HLL++ partial sketches merge
+    map-side (one exchange, constant state per group) where exact
+    COUNT(DISTINCT) needs a per-key dedup exchange first. The entry
+    computes BOTH, emits the exact value plus a boolean that the
+    sketch landed within 5x its published 5% relative-error target —
+    the boolean (not the sketch) is what the oracle pins, so the
+    check is exact while the estimator stays approximate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.05).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.lit(0.25) * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
+    )

@@ -880,12 +880,29 @@ class Warehouse:
 
     def vacuum_orphans(self, table: str) -> int:
         """Delete data files a crashed (uncommitted) transaction left in
-        a tracked table's directory. Files referenced by the commit log
-        or by the live transaction are kept. Returns files removed."""
+        a tracked table's directory. Returns files removed.
+
+        Kept: files referenced by ANY still-readable snapshot — the
+        manifest at the readable boundary (``max(min_readable_seq,
+        expire_horizon)``) plus every file a retained entry added after
+        it — and the live transaction's pending files. A logical replace
+        (``merge_table``) promises pre-merge snapshots stay readable via
+        ``read_at``, so its superseded files are NOT orphans; only
+        ``compact``/``cluster`` (which delete files themselves and
+        advance the retention boundary) ever strand history. Cost is
+        O(retained entries) control-plane JSON, no data reads."""
         mf = self._manifest_files(table)
         if mf is None:
             return 0  # untracked: legacy layout owns every file
+        t = table.lower()
+        base = max(self.min_readable_seq(t), self.expire_horizon())
         keep = set(mf) | set(self._pending_files(table))
+        keep |= set(self._manifest_files(t, at=base) or [])
+        for seq in self._list_log()[0]:
+            if seq > base:
+                entry = self._load_entry(seq)
+                if entry is not None:
+                    keep.update(entry.get("tables", {}).get(t, []))
         table_dir = self._path(table)
         removed = 0
         for dirpath, dirnames, fnames in os.walk(table_dir):

@@ -282,6 +282,60 @@ class TestWarehouseMerge:
                for r in wh.read_at("accounts", pre_seq).collect()}
         assert pre == {1: 10.0, 2: 20.0, 3: 30.0}
 
+    def test_vacuum_keeps_merge_history_readable(self, spark, tmp_path):
+        """vacuum_orphans must NOT strand time travel: merge_table's
+        replace retains the pre-merge files as readable history (and
+        runs vacuum itself on conflict retry), so only files no
+        committed entry references — crashed/aborted txn leftovers —
+        are orphans. Regression: keep used to be the HEAD manifest
+        only, deleting every superseded-but-readable snapshot file."""
+        import os
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, bal double"
+        )
+        with wh.transaction():
+            wh.append(snap.coalesce(1), "accounts")
+        pre_seq = max(s["seq"] for s in wh.snapshots())
+        for v, bal in ((1, 99.0), (2, 77.0)):  # two logical replaces
+            changes = spark.createDataFrame(
+                [(2, v, "U", bal)], "k long, v long, op string, bal double"
+            )
+            wh.merge_table("accounts", changes, key="k",
+                           version_cols=("v",), payload_cols=("bal",))
+        # plant a genuine orphan (crashed-txn leftover: in no entry)
+        orphan = os.path.join(wh._path("accounts"), "txn-dead-000-0.parquet")
+        snap.limit(1).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "scratch"))
+        import glob as _g
+        os.replace(_g.glob(str(tmp_path / "scratch") + "/*.parquet")[0], orphan)
+
+        assert wh.vacuum_orphans("accounts") == 1  # orphan only
+        assert not os.path.exists(orphan)
+        # every retained snapshot still reads exactly
+        pre = {r["k"]: r["bal"] for r in wh.read_at("accounts", pre_seq).collect()}
+        assert pre == {1: 10.0, 2: 20.0}
+        assert {r["k"]: r["bal"] for r in wh.read("accounts").collect()} == \
+            {1: 10.0, 2: 77.0}
+        # compaction advances the retention boundary past the merges:
+        # the two superseded snapshot files are now UNREACHABLE history
+        # (read_at below the boundary raises the typed error), so
+        # vacuum legitimately reclaims exactly those two
+        wh.compact("accounts")
+        assert wh.vacuum_orphans("accounts") == 2
+        assert {r["k"]: r["bal"] for r in wh.read("accounts").collect()} == \
+            {1: 10.0, 2: 77.0}
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            SnapshotVacuumed,
+        )
+        with pytest.raises(SnapshotVacuumed):
+            wh.read_at("accounts", pre_seq)
+
     def test_merge_unknown_table_raises(self, spark, tmp_path):
         from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
             Warehouse,
