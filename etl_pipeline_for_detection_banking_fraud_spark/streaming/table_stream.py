@@ -61,7 +61,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
-from ..sources.warehouse import SnapshotExpired, Warehouse
+from ..sources.warehouse import SnapshotExpired, SnapshotVacuumed, Warehouse
 
 SOURCE_NAME = "warehouse_stream"
 
@@ -319,6 +319,21 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                 "the commits it needs were folded by expire_log; restart "
                 "the stream with a fresh checkpoint (full re-snapshot)"
             )
+        if "snap" in end and s < wh.min_readable_seq(self.table):
+            # a compact/cluster landed MID-INITIAL-SNAPSHOT: those
+            # replaces DELETE the files they supersede, so the pinned
+            # manifest at the snapshot target now references vacuumed
+            # files — emitting would die executor-side with a raw
+            # FileNotFound. (A logical replace — merge_table — retains
+            # its superseded files as readable history, so the pinned
+            # snapshot keeps streaming consistently through it; only
+            # file MAINTENANCE strands a snapshot.)
+            raise SnapshotVacuumed(
+                f"snapshot target {s} of {self.table} predates the "
+                f"retention boundary {wh.min_readable_seq(self.table)}: a "
+                "compaction deleted its files mid-initial-snapshot; "
+                "restart the stream with a fresh checkpoint"
+            )
         if s > 0 and self.on_replace == "fail":
             hi = _scan_hi(end)
             entry_seqs, _ = wh._list_log()
@@ -465,9 +480,10 @@ def stream_table(spark, root: str, table: str, *,
     so restarts stay exactly-once and capped (the replayed batch
     re-seeds the planner's position — see ``_WarehouseStreamReader``).
     One caveat: under ``trigger(availableNow=True)`` Spark falls back
-    to single-batch execution for Python sources and plans EVERYTHING
-    available as one batch, bypassing pacing — use a periodic trigger
-    (``processingTime``) when the cap matters."""
+    to single-batch execution for Python sources — it plans ONE batch
+    (capped, so no giant batch slips through) and terminates, leaving
+    the rest for the next run. Use a periodic trigger
+    (``processingTime``) to drain a backlog under the cap in one run."""
     register(spark)
     reader = (
         spark.readStream.format(SOURCE_NAME)

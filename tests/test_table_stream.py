@@ -254,6 +254,65 @@ class TestAdmissionControl:
         assert self._drive(reader, start=reader._planned) == [[]]
         assert reader._planned == {"seq": wh._latest_seq()}
 
+    def test_compaction_mid_snapshot_raises_typed(self, spark, tmp_path):
+        """compact() DELETES the files it supersedes, so a compaction
+        landing mid-initial-snapshot strands the pinned manifest —
+        partitions() must raise the typed SnapshotVacuumed (restart =
+        fresh re-snapshot), not die executor-side with FileNotFound."""
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            SnapshotVacuumed,
+        )
+
+        root = str(tmp_path / "wh")
+        wh = self._commits(spark, root, n_commits=3, files_per_commit=2)
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events", "max_files_per_trigger": "2"},
+            *_schema_pair(root))
+        cur = reader.initialOffset()
+        end = reader.latestOffset()
+        assert len(reader.partitions(cur, end)) == 2  # first chunk ok
+        wh.compact("events")
+        cur, end = end, reader.latestOffset()
+        with pytest.raises(SnapshotVacuumed, match="mid-initial-snapshot"):
+            reader.partitions(cur, end)
+
+    def test_logical_replace_mid_snapshot_stays_consistent(
+            self, spark, tmp_path):
+        """merge_table retains its superseded files as readable history,
+        so a merge landing mid-initial-snapshot does NOT strand the
+        pinned manifest: the snapshot completes on the pre-merge file
+        set (a consistent point-in-time image), and the TAIL crossing
+        the replace entry then honors on_replace as usual."""
+        root = str(tmp_path / "wh")
+        wh = self._commits(spark, root, n_commits=2, files_per_commit=2)
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events", "max_files_per_trigger": "2"},
+            *_schema_pair(root))
+        cur = reader.initialOffset()
+        end = reader.latestOffset()
+        first = reader.partitions(cur, end)
+        assert len(first) == 2
+        changes = spark.createDataFrame(
+            [(0, datetime.datetime(2021, 3, 9), "U", "zz")],
+            "id long, ts timestamp, op string, name string",
+        )
+        wh.merge_table("events", changes, key="id",
+                       version_cols=("ts",), payload_cols=("name",))
+        # the remaining snapshot chunk still streams (pre-merge files
+        # are retained history, not vacuumed)
+        cur, end = end, reader.latestOffset()
+        rest = reader.partitions(cur, end)
+        assert len(rest) == 2
+        assert len({p.path for p in first} | {p.path for p in rest}) == 4
+        # tailing past the merge hits the replace guard (default: fail)
+        cur, end = end, reader.latestOffset()
+        while end != cur and "idx" not in end and "snap" not in end \
+                and end.get("seq", 0) < wh._latest_seq():
+            rest = reader.partitions(cur, end)
+            cur, end = end, reader.latestOffset()
+        with pytest.raises(RuntimeError, match="REPLACED table"):
+            reader.partitions(cur, end)
+
     def test_restart_replay_is_exact_for_partial_offsets(self, spark, tmp_path):
         """A fresh reader (restart) handed checkpointed partial offsets
         must reproduce the same batches; and an uncapped jump from a
