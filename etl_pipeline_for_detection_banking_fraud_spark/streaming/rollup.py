@@ -216,16 +216,22 @@ def bootstrap_rollup(wh: Warehouse, rollup_table: str, keys: list,
     (seeding from a LATER state would double-count the merges the
     stream is about to deliver).
 
-    The seed carries the internal ``_n`` row count the CDF fold
-    maintains (see ``apply_rollup_cdf_batch``): it is what lets a
-    fully-deleted group DROP from the rollup even under sum-only
-    ``aggs``."""
+    The seed carries the internal bookkeeping the CDF fold maintains
+    (see ``apply_rollup_cdf_batch``): the ``_n`` row count that lets a
+    fully-deleted group DROP even under sum-only ``aggs``, and a
+    ``_nn_<col>`` non-NULL count per summed column that lets a sum
+    return to NULL when its last non-NULL contributor is deleted."""
     if wh.exists(rollup_table):
         return False  # already seeded; reseeding would double-count
     delta = snapshot.groupBy(*keys).agg(
-        *_partial_exprs(aggs), F.count(F.lit(1)).alias("_n"))
+        *_partial_exprs(aggs), F.count(F.lit(1)).alias("_n"),
+        *[F.count(F.col(c)).alias(f"_nn_{c}") for c in _sum_cols(aggs)])
     _commit_rollup(wh, rollup_table, delta, -1, None)
     return True
+
+
+def _sum_cols(aggs: dict) -> list:
+    return [col for col, funcs in aggs.items() if "sum" in funcs]
 
 
 def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
@@ -248,13 +254,17 @@ def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
     rejected here (re-aggregate those from the table, or accept the
     append-only ``apply_rollup_batch`` semantics).
 
-    The rollup table carries an internal ``_n`` row count maintained
-    UNCONDITIONALLY (``sum(_sign)`` per group, seeded by
-    ``bootstrap_rollup``): it is the drop criterion for fully-deleted
-    groups, so the rollup matches the batch group-by under ANY ``aggs``
-    config — including sum-only, where no user count column exists to
-    reach zero, and all-NULL groups, where per-column counts are 0 but
-    the group still exists.
+    The rollup table carries internal bookkeeping maintained
+    UNCONDITIONALLY (seeded by ``bootstrap_rollup``): ``_n``, the
+    ``sum(_sign)`` row count per group, is the drop criterion for
+    fully-deleted groups — the rollup matches the batch group-by under
+    ANY ``aggs`` config, including sum-only, where no user count column
+    exists to reach zero, and all-NULL groups, where per-column counts
+    are 0 but the group still exists. ``_nn_<col>``, the signed
+    non-NULL count per SUMMED column, is the NULL criterion for sums:
+    signed arithmetic alone cannot tell "values cancel to 0.0" from
+    "no non-NULL values remain" (SQL sum over only-NULLs is NULL), so
+    each sum is nulled when its ``_nn`` reaches zero.
 
     ``dedup_txns=True`` makes redelivery of feed ROWS safe, not just
     redelivery of batches: a ``compact()`` of the sidecar mid-stream
@@ -303,6 +313,8 @@ def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
         F.col(change_col).isin("delete", "update_preimage"), F.lit(-1)
     )
     signed = feed.withColumn("_sign", sign).where(F.col("_sign").isNotNull())
+    sum_cols = _sum_cols(aggs)
+    internals = ["_n", *[f"_nn_{c}" for c in sum_cols]]
     delta_exprs = [F.sum("_sign").alias("_n")]
     for col, funcs in aggs.items():
         for fn in funcs:
@@ -312,26 +324,39 @@ def apply_rollup_cdf_batch(wh: Warehouse, rollup_table: str,
             else:
                 e = F.sum(F.col(col) * F.col("_sign"))
             delta_exprs.append(e.alias(f"{col}_{fn}"))
+    for col in sum_cols:
+        delta_exprs.append(
+            F.sum(F.when(F.col(col).isNotNull(), F.col("_sign"))
+                  .otherwise(F.lit(0))).alias(f"_nn_{col}"))
     delta = signed.groupBy(*keys).agg(*delta_exprs)
     if wh.exists(rollup_table):
         stored = wh.read(rollup_table)
-        if "_n" not in stored.columns:
+        missing = [c for c in internals if c not in stored.columns]
+        if missing:
             raise RuntimeError(
-                f"rollup {rollup_table} predates the internal _n row "
-                "count (or was seeded by the append-only path): drop it "
-                "and reseed with bootstrap_rollup so fully-deleted "
-                "groups can be dropped exactly"
+                f"rollup {rollup_table} lacks internal column(s) "
+                f"{missing} (seeded by an older version or the "
+                "append-only path): drop it and reseed with "
+                "bootstrap_rollup so fully-deleted groups drop and "
+                "all-NULL sums null out exactly"
             )
         combined = (
             stored.unionByName(delta)
             .groupBy(*keys)
-            .agg(*_combine_exprs(aggs), F.sum("_n").alias("_n"))
+            .agg(*_combine_exprs(aggs),
+                 *[F.sum(c).alias(c) for c in internals])
         )
     else:
         combined = delta
     # drop fully-deleted groups: the internal row count reaching zero
     # removes the row under ANY aggs config (sum-only included)
     combined = combined.where(F.col("_n") > 0)
+    # null out sums whose last non-NULL contributor was deleted: signed
+    # arithmetic leaves 0.0 where the batch group-by says NULL
+    for col in sum_cols:
+        combined = combined.withColumn(
+            f"{col}_sum",
+            F.when(F.col(f"_nn_{col}") > 0, F.col(f"{col}_sum")))
     _commit_rollup(wh, rollup_table, combined, batch_id, stream_id,
                    extra_tables=extra)
     return True

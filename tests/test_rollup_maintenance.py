@@ -232,6 +232,48 @@ class TestCdfRollup:
         }
         assert got == expected
 
+    def test_sum_nulls_out_when_last_nonnull_deleted(self, spark, tmp_path):
+        """Deleting a group's last NON-NULL value must take the sum back
+        to NULL (SQL sum over only-NULLs), not leave a 0.0 residue:
+        signed arithmetic alone cannot tell cancellation from absence —
+        the internal _nn_<col> non-NULL count is the criterion."""
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        # group x: one non-NULL (k=1, 10.0) and one NULL (k=2) member
+        snap = spark.createDataFrame(
+            [(1, "x", 10.0, 0), (2, "x", None, 0)],
+            "k long, grp string, bal double, v long",
+        )
+        with wh.transaction():
+            wh.append(snap.coalesce(1), "accounts")
+        aggs = {"bal": ["sum", "count"]}
+        assert rollup.bootstrap_rollup(
+            wh, "agg_null", ["grp"], aggs, wh.read("accounts"))
+        wh.merge_table(
+            "accounts",
+            spark.createDataFrame([(1, 1, "D", None, None)],
+                                  "k long, v long, op string, bal double, "
+                                  "grp string"),
+            key="k", version_cols=("v",), payload_cols=("bal", "grp"),
+            cdf=True)
+        ckpt = str(tmp_path / "ckpt")
+        q = rollup.maintain_rollup_cdf(
+            spark, str(tmp_path / "wh"), "accounts", "agg_null", ["grp"],
+            aggs, ckpt, available_now=True)
+        q.awaitTermination(180)
+        got = {r["grp"]: (r["bal_sum"], r["bal_count"])
+               for r in wh.read("agg_null").collect()}
+        expected = {
+            r["grp"]: (r["s"], r["c"])
+            for r in wh.read("accounts").groupBy("grp").agg(
+                F.sum("bal").alias("s"), F.count("bal").alias("c"))
+            .collect()
+        }
+        assert got == expected == {"x": (None, 0)}
+
     def test_new_stream_against_existing_rollup_fails_fast(
             self, spark, tmp_path):
         """Fresh checkpoint dir => batch ids restart at 0; pairing them
