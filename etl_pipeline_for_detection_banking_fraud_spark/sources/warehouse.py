@@ -1107,6 +1107,19 @@ class Warehouse:
                 old = list(self._manifest_files(table) or [])
                 selected = [r for r in old if _match(r)] if where else old
                 if not selected:
+                    # distinguish "no partition matches" (a fine no-op:
+                    # e.g. compacting a day that saw no appends) from a
+                    # where-key that is not a partition key of this
+                    # table at all — that is always a caller bug and
+                    # silently no-opping would hide it forever
+                    keys = {k for r in old for k, _ in _partition_pairs_of(r)}
+                    unknown = [k for k in (where or {}) if k not in keys]
+                    if unknown:
+                        raise ValueError(
+                            f"compact(where=...): {unknown} are not hive "
+                            f"partition keys of {table} "
+                            f"(has: {sorted(keys) or 'none'})"
+                        )
                     return  # nothing matches: no-op, no commit
                 untouched = [r for r in old if r not in set(selected)]
                 p = self._path(table)

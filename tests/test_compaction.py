@@ -114,6 +114,13 @@ def test_partition_scoped_compact(spark, tmp_path):
     wh.compact("rep_fraud", where={"dt": "2021-03-09"})
     assert wh._latest_seq() == seq_mid
 
+    # a where-key that is NOT a partition key is a caller bug, not a
+    # silent no-op (a typo would otherwise never compact anything)
+    import pytest
+    with pytest.raises(ValueError, match="not hive partition keys"):
+        wh.compact("rep_fraud", where={"date": "2021-03-01"})
+    assert wh._latest_seq() == seq_mid
+
     # list form compacts several partitions at once
     wh.compact("rep_fraud", where={"dt": ["2021-03-01", "2021-03-02"]})
     assert sorted(map(tuple, wh.read_mart().collect())) == rows_before
