@@ -1123,7 +1123,7 @@ def tpch_q5_shape(spark, sf_dir):
         SELECT user_id, ts,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= 1800000000::BIGINT
+                         > 1800000000::BIGINT
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -1143,12 +1143,13 @@ def window_session_native(spark, sf_dir):
     """session_window(ts, gap) is the operator Structured Streaming
     uses for stateful sessionization (merging-session state store);
     in batch it is ONE exchange on the grouping key followed by a
-    local sort-merge of overlapping [ts, ts+gap) intervals — no lag /
+    local sort-merge of overlapping session intervals — no lag /
     cumulative window pair, no second WindowExec pass. Tie semantics
-    pinned by the oracle: window intervals are half-open, so a gap of
-    EXACTLY the 30-min duration starts a new session (oracle: >=).
-    Columns match the lag-islands oracle: start = min(ts), end =
-    max(ts) + gap."""
+    pinned by unit test (tests/test_analytics_ops.py): Spark MERGES a
+    gap of EXACTLY the 30-min duration (sessions extend while
+    next.ts <= prev.ts + gap), so the oracle's new-session flag is
+    STRICTLY greater. Columns match the lag-islands oracle:
+    start = min(ts), end = max(ts) + gap."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")

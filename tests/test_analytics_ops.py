@@ -111,3 +111,38 @@ class TestCohortRetention:
     def test_bad_bucket_rejected(self, spark):
         with pytest.raises(ValueError, match=">= 1"):
             cohort_retention(_ev(spark, []), bucket_days=0)
+
+
+class TestSessionWindowTieSemantics:
+    def test_exact_gap_merges_one_over_splits(self, spark):
+        """Pins the convention the window_session_native catalog entry
+        relies on (sf0.01 data may never produce an exact-gap pair —
+        the DuckDB parity can't adjudicate the tie): Spark
+        session_window MERGES a gap of EXACTLY the duration (sessions
+        extend while next.ts <= prev.ts + gap) and splits one
+        microsecond over it, so the lag-islands oracle's new-session
+        flag must be STRICTLY greater — measured, not assumed: the
+        half-open-interval reading (>= splits) is what this test
+        originally asserted, and Spark refuted it."""
+        from pyspark.sql import functions as F
+
+        base = datetime.datetime(2021, 3, 1, 12, 0, 0)
+        rows = [
+            ("u1", base),
+            ("u1", base + datetime.timedelta(minutes=30)),          # == gap
+            ("u2", base),
+            ("u2", base + datetime.timedelta(minutes=30,
+                                             microseconds=1)),      # > gap
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        got = {
+            r["user_id"]: (r["n"], r["cnt"])
+            for r in df.groupBy(F.session_window("ts", "30 minutes"),
+                                "user_id")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        assert got == {"u1": (1, 2),   # exact gap: ONE 2-event session
+                       "u2": (2, 2)}   # 1us over: two 1-event sessions
