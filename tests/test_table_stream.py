@@ -254,6 +254,67 @@ class TestAdmissionControl:
         assert self._drive(reader, start=reader._planned) == [[]]
         assert reader._planned == {"seq": wh._latest_seq()}
 
+    def test_every_cap_and_restart_point_is_exact(self, spark, tmp_path):
+        """Exhaustive invariant sweep (control-plane only, one table
+        build): for EVERY cap and EVERY restart point, (a) no batch
+        exceeds the cap, (b) the batch union is exactly the committed
+        file set, no dupes, and (c) a fresh reader resumed from any
+        intermediate checkpointed offset emits exactly the remaining
+        files — the three properties that make admission control safe
+        to enable on a 100 TB table."""
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        # irregular history: snapshot of 3, then tails of 1/4/2 files,
+        # with a foreign-table commit wedged between
+        for i, n in enumerate((3, 1, 4, 2)):
+            with wh.transaction():
+                for j in range(n):
+                    wh.append(_rows(spark, [10 * i + j]).coalesce(1),
+                              "events", partition_by=["dt"])
+            if i == 1:
+                with wh.transaction():
+                    wh.append(_rows(spark, [99]).coalesce(1), "other")
+        opts = {"root": root, "table": "events"}
+        all_files = set(
+            p.path for p in ts._WarehouseStreamReader(
+                dict(opts), *_schema_pair(root)
+            ).partitions({"seq": 0}, {"seq": wh._latest_seq()}))
+        assert len(all_files) == 10
+        for cap in (1, 2, 3, 5, 10):
+            o = dict(opts, max_files_per_trigger=str(cap))
+            reader = ts._WarehouseStreamReader(o, *_schema_pair(root))
+            offsets = [reader.initialOffset()]
+            batches = []
+            for _ in range(40):
+                end = reader.latestOffset()
+                if end == offsets[-1]:
+                    break
+                batches.append({p.path for p in
+                                reader.partitions(offsets[-1], end)})
+                offsets.append(end)
+            assert all(len(b) <= cap for b in batches), cap
+            flat = [p for b in batches for p in b]
+            assert len(flat) == 10 and set(flat) == all_files, cap
+            for k in range(1, len(offsets)):    # every restart point
+                # Spark's restart: replay the last planned batch through
+                # partitions() (re-seeds the planner), then tail on
+                r2 = ts._WarehouseStreamReader(dict(o),
+                                               *_schema_pair(root))
+                replay = {p.path for p in
+                          r2.partitions(offsets[k - 1], offsets[k])}
+                assert replay == batches[k - 1], (cap, k)
+                cur, rest = offsets[k], set()
+                for _ in range(40):
+                    end = r2.latestOffset()
+                    if end == cur:
+                        break
+                    new = {p.path for p in r2.partitions(cur, end)}
+                    assert len(new) <= cap, (cap, k)
+                    rest |= new
+                    cur = end
+                seen = set().union(*batches[:k - 1]) if k > 1 else set()
+                assert replay | rest == all_files - seen, (cap, k)
+
     def test_compaction_mid_snapshot_raises_typed(self, spark, tmp_path):
         """compact() DELETES the files it supersedes, so a compaction
         landing mid-initial-snapshot strands the pinned manifest —
