@@ -157,3 +157,24 @@ def test_window_count_distinct_null_aware(spark, tmp_path):
     }
     assert got == want
     assert got[2] == 1 and got[4] == 2 and got[5] == 0  # NULLs not counted
+
+
+def test_tpch_q5_dims_broadcast_and_pushdown(spark, sf01):
+    """The round-8 deep join tree: the region-filtered dim sliver and
+    the other small sides broadcast (no SMJ at this SF), the orderdate
+    range reaches the orders scan, and the 25-group aggregate is the
+    only required exchange."""
+    df = QD["tpch_q5_shape"].spark(spark, sf01)
+    df.collect()  # final ADAPTIVE plan (AQE converts joins at runtime)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("o_orderdate" in seg[:400] for seg in pushed[1:])
+
+
+def test_session_native_single_exchange(spark, sf01):
+    """Native session_window: one hash exchange on the session key —
+    no lag/cumsum double-window pass."""
+    plan = _plan(QD["window_session_native"].spark(spark, sf01))
+    assert plan.count("Exchange hashpartitioning") == 1
