@@ -171,21 +171,24 @@ def maintain_rollup(spark: SparkSession, root: str, src_table: str,
                     rollup_table: str, keys: list[str], aggs: dict,
                     checkpoint_dir: str, *, available_now: bool = False,
                     on_replace: str = "fail",
-                    max_files_per_trigger: int | None = None):
+                    max_files_per_trigger: int | None = None,
+                    max_bytes_per_trigger: int | None = None):
     """Start the maintenance stream: tail ``src_table``'s commit log and
     keep ``rollup_table`` = ``src.groupBy(keys).agg(aggs)`` one commit
     behind, exactly-once. ``aggs`` maps column -> list of decomposable
     aggregate names, e.g. ``{"value": ["sum", "count"], "ts": ["max"]}``.
 
-    ``max_files_per_trigger`` paces the source (a 100 TB fact table's
-    initial snapshot folds in as capped batches instead of one giant
-    aggregation — each fold is still exact, partials compose). Note
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` pace the
+    source (a 100 TB fact table's initial snapshot folds in as capped
+    batches instead of one giant aggregation — each fold is still
+    exact, partials compose). Note
     ``available_now=True`` advances only ONE capped batch per run
     (Python-source fallback); pacing wants the periodic trigger.
     """
     wh = Warehouse(spark, root)
     sdf = stream_table(spark, root, src_table, on_replace=on_replace,
-                       max_files_per_trigger=max_files_per_trigger)
+                       max_files_per_trigger=max_files_per_trigger,
+                       max_bytes_per_trigger=max_bytes_per_trigger)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         apply_rollup_batch(wh, rollup_table, keys, aggs, batch_df, batch_id,
@@ -368,7 +371,8 @@ def maintain_rollup_cdf(spark: SparkSession, root: str, table: str,
                         cdf_table: str | None = None,
                         available_now: bool = False,
                         on_replace: str = "fail",
-                        max_files_per_trigger: int | None = None):
+                        max_files_per_trigger: int | None = None,
+                        max_bytes_per_trigger: int | None = None):
     """Maintain an exact rollup of a table that receives CDC MERGES:
     tail the table's ``merge_table(cdf=True)`` change feed and apply
     signed adjustments — updates and deletes land in the aggregate
@@ -385,7 +389,8 @@ def maintain_rollup_cdf(spark: SparkSession, root: str, table: str,
     wh = Warehouse(spark, root)
     sdf = stream_table(spark, root, cdf_table or f"{table}__cdf",
                        on_replace=on_replace,
-                       max_files_per_trigger=max_files_per_trigger)
+                       max_files_per_trigger=max_files_per_trigger,
+                       max_bytes_per_trigger=max_bytes_per_trigger)
     dedup = on_replace == "reemit"
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:

@@ -16,10 +16,11 @@ Semantics
 - **Offsets are commit-log sequence numbers.** ``initialOffset`` = 0
   (stream the EXISTING table state as the first microbatch, then tail —
   Delta's default) or the current head with ``tail_only=true``. With
-  ``max_files_per_trigger`` set, offsets gain a file-index component
-  (``{"snap"/"seq", "idx"}``) and every microbatch — the initial
-  snapshot included — is bounded to that many files (the Delta
-  ``maxFilesPerTrigger`` analog; see ``_WarehouseStreamReader``).
+  ``max_files_per_trigger`` / ``max_bytes_per_trigger`` set, offsets
+  gain a file-index component (``{"snap"/"seq", "idx"}``) and every
+  microbatch — the initial snapshot included — is bounded to that many
+  files / bytes, whichever binds first (the Delta ``maxFilesPerTrigger``
+  / ``maxBytesPerTrigger`` analogs; see ``_WarehouseStreamReader``).
 - **A microbatch (start, end] emits the file-set difference between the
   replayed states at the two offsets.** For append-only tables that is
   exactly the files the commits in range added. The diff rides
@@ -166,6 +167,10 @@ class _WarehouseStreamReader(DataSourceStreamReader):
         self.max_files = None if mft in (None, "", "none") else int(mft)
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("max_files_per_trigger must be >= 1")
+        mbt = options.get("max_bytes_per_trigger")
+        self.max_bytes = None if mbt in (None, "", "none") else int(mbt)
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("max_bytes_per_trigger must be >= 1")
         # Pin the initial offset at CONSTRUCTION (query start) and
         # pre-seed the planning position with it: Spark calls
         # latestOffset BEFORE initialOffset on a fresh stream, so
@@ -218,13 +223,53 @@ class _WarehouseStreamReader(DataSourceStreamReader):
             vis |= set(self._delta_list(wh, s, off["next"])[:off["idx"]])
         return vis
 
+    @property
+    def _capped(self) -> bool:
+        return self.max_files is not None or self.max_bytes is not None
+
+    def _budget(self) -> dict:
+        """One microbatch's admission budget. ``admitted`` tracks files
+        taken THIS batch so the first file is always admitted even when
+        it alone exceeds ``max_bytes`` (Delta's contract: a single
+        oversized file still makes progress, it just rides alone)."""
+        inf = float("inf")
+        return {
+            "files": self.max_files if self.max_files is not None else inf,
+            "bytes": self.max_bytes if self.max_bytes is not None else inf,
+            "admitted": 0,
+        }
+
+    def _take(self, rels: list[str], budget: dict) -> int:
+        """How many of the candidate files (in order) fit the remaining
+        budget — spending it. Byte sizes come from a driver-side stat
+        call per candidate (control-plane; the walk is already bounded
+        by the budget, so this is O(admitted + 1) per batch)."""
+        table_dir = os.path.join(self.root, self.table)
+        take = 0
+        for rel in rels:
+            if budget["files"] < 1:
+                break
+            if self.max_bytes is not None:
+                try:
+                    sz = os.path.getsize(os.path.join(table_dir, rel))
+                except OSError:
+                    sz = 0  # vacuumed/missing: the typed plan-time
+                    # guards in partitions() own that failure mode
+                if budget["admitted"] and sz > budget["bytes"]:
+                    break
+                budget["bytes"] -= sz
+            budget["files"] -= 1
+            budget["admitted"] += 1
+            take += 1
+        return take
+
     def _compute_initial(self) -> dict:
         wh = self._wh()
         if self.tail_only:
             return {"seq": wh._latest_seq()}
-        if self.max_files is not None:
+        if self._capped:
             # pin the snapshot target NOW; the snapshot then streams in
-            # max_files_per_trigger chunks instead of one giant batch
+            # budget-bounded chunks instead of one giant batch
             return {"snap": wh._latest_seq(), "idx": 0}
         return {"seq": 0}
 
@@ -239,36 +284,40 @@ class _WarehouseStreamReader(DataSourceStreamReader):
         wh = self._wh()
         head = wh._latest_seq()
         cur = self._planned
-        if self.max_files is None or cur is None:
+        if not self._capped or cur is None:
             off = {"seq": head}
         elif "snap" in cur:
             t, i = int(cur["snap"]), int(cur["idx"])
-            n = len(self._sorted_manifest(wh, t))
-            if i + self.max_files < n:
-                off = {"snap": t, "idx": i + self.max_files}
+            m = self._sorted_manifest(wh, t)
+            take = self._take(m[i:], self._budget())
+            if i + take < len(m):
+                off = {"snap": t, "idx": i + take}
             else:
                 off = {"seq": t}  # snapshot complete; tail from here
         else:
-            off = self._advance_tail(wh, cur, head, self.max_files)
+            off = self._advance_tail(wh, cur, head)
         self._planned = off
         return off
 
-    def _advance_tail(self, wh: Warehouse, cur: dict, head: int,
-                      budget: int) -> dict:
-        """Walk commits forward from ``cur``, spending ``budget`` files,
-        and return the bounded end offset. Control-plane only: entry
-        JSON loads plus O(checkpoint_interval) manifest replays."""
+    def _advance_tail(self, wh: Warehouse, cur: dict, head: int) -> dict:
+        """Walk commits forward from ``cur``, spending one microbatch's
+        file/byte budget, and return the bounded end offset. Control-
+        plane only: entry JSON loads plus O(checkpoint_interval)
+        manifest replays (plus a stat call per admitted file when the
+        byte cap is on)."""
+        budget = self._budget()
         pos_s, pos_i = int(cur["seq"]), int(cur.get("idx", 0))
         pos_next = int(cur["next"]) if cur.get("idx") else None
         entry_seqs, _ = wh._list_log()
-        while budget > 0:
+        while budget["files"] >= 1:
             if pos_i:
                 d = self._delta_list(wh, pos_s, pos_next)
-                rem = len(d) - pos_i
-                if budget < rem:
-                    return {"seq": pos_s, "idx": pos_i + budget,
+                take = self._take(d[pos_i:], budget)
+                if pos_i + take < len(d):
+                    if take == 0:
+                        break  # byte budget spent at a file boundary
+                    return {"seq": pos_s, "idx": pos_i + take,
                             "next": pos_next}
-                budget -= rem
                 pos_s, pos_i, pos_next = pos_next, 0, None
                 continue
             nxt = None
@@ -284,9 +333,11 @@ class _WarehouseStreamReader(DataSourceStreamReader):
             if not d:
                 pos_s = nxt
                 continue
-            if budget < len(d):
-                return {"seq": pos_s, "idx": budget, "next": nxt}
-            budget -= len(d)
+            take = self._take(d, budget)
+            if take < len(d):
+                if take == 0:
+                    break  # byte budget spent at a commit boundary
+                return {"seq": pos_s, "idx": take, "next": nxt}
             pos_s = nxt
         return {"seq": pos_s}
 
@@ -414,9 +465,11 @@ class WarehouseStreamDataSource(DataSource):
     """``spark.readStream.format("warehouse_stream")`` over a commit-log
     tracked warehouse table. Options: ``root`` (warehouse root path),
     ``table``, ``on_replace`` (fail|reemit), ``tail_only`` (true skips
-    the initial snapshot batch), ``max_files_per_trigger`` (admission
-    control: bound every microbatch — including the initial snapshot —
-    to at most N committed files)."""
+    the initial snapshot batch), ``max_files_per_trigger`` /
+    ``max_bytes_per_trigger`` (admission control: bound every
+    microbatch — including the initial snapshot — to at most N
+    committed files / N bytes, whichever binds first; a single file
+    larger than the byte cap still rides alone)."""
 
     @classmethod
     def name(cls) -> str:
@@ -469,16 +522,22 @@ def register(spark) -> None:
 
 def stream_table(spark, root: str, table: str, *,
                  on_replace: str = "fail", tail_only: bool = False,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 max_bytes_per_trigger: int | None = None):
     """Convenience: register + open a streaming DataFrame on ``table``.
 
-    ``max_files_per_trigger`` is the Delta ``maxFilesPerTrigger``
-    analog: every microbatch — the initial snapshot included — carries
-    at most that many committed files, so a 100 TB table arrives as a
-    paced sequence of batches instead of one giant first batch.
-    Chunk boundaries live in the offsets (``{"snap"/"seq", "idx"}``),
-    so restarts stay exactly-once and capped (the replayed batch
-    re-seeds the planner's position — see ``_WarehouseStreamReader``).
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` are the Delta
+    ``maxFilesPerTrigger``/``maxBytesPerTrigger`` analogs: every
+    microbatch — the initial snapshot included — carries at most that
+    many committed files / bytes (whichever cap binds first; bytes are
+    the better knob when file sizes vary, file counts when they don't),
+    so a 100 TB table arrives as a paced sequence of batches instead of
+    one giant first batch. A single file over the byte cap still rides
+    alone — progress is never stalled. Chunk boundaries live in the
+    offsets (``{"snap"/"seq", "idx"}``) as FILE indices regardless of
+    which cap produced them, so restarts stay exactly-once and capped
+    (the replayed batch re-seeds the planner's position — see
+    ``_WarehouseStreamReader``).
     One caveat: under ``trigger(availableNow=True)`` Spark falls back
     to single-batch execution for Python sources — it plans ONE batch
     (capped, so no giant batch slips through) and terminates, leaving
@@ -495,4 +554,7 @@ def stream_table(spark, root: str, table: str, *,
     if max_files_per_trigger is not None:
         reader = reader.option("max_files_per_trigger",
                                str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("max_bytes_per_trigger",
+                               str(max_bytes_per_trigger))
     return reader.load()

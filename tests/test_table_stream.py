@@ -254,6 +254,57 @@ class TestAdmissionControl:
         assert self._drive(reader, start=reader._planned) == [[]]
         assert reader._planned == {"seq": wh._latest_seq()}
 
+    def test_byte_cap_paces_by_actual_file_sizes(self, spark, tmp_path):
+        """max_bytes_per_trigger: batches stop at the byte budget
+        (measured with real on-disk sizes), a cap smaller than any one
+        file still admits exactly one per batch (progress, never a
+        stall), and the two caps compose — whichever binds first."""
+        import os as _os
+
+        root = str(tmp_path / "wh")
+        wh = self._commits(spark, root, n_commits=1, files_per_commit=5)
+        rels = sorted(wh._manifest_files("events"))
+        sizes = [_os.path.getsize(_os.path.join(root, "events", r))
+                 for r in rels]
+        # budget for exactly the first two files (all files are within
+        # a few bytes of each other, so this also bounds later pairs)
+        two = sizes[0] + sizes[1]
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events",
+             "max_bytes_per_trigger": str(two)}, *_schema_pair(root))
+        assert [len(b) for b in self._drive(reader)] == [2, 2, 1]
+        # a cap below every file size -> one oversized file per batch
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events", "max_bytes_per_trigger": "1"},
+            *_schema_pair(root))
+        assert [len(b) for b in self._drive(reader)] == [1] * 5
+        # composition: generous byte cap, binding file cap (and back)
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events",
+             "max_files_per_trigger": "1",
+             "max_bytes_per_trigger": str(sum(sizes))},
+            *_schema_pair(root))
+        assert [len(b) for b in self._drive(reader)] == [1] * 5
+        # tail path: byte budget spans commit boundaries like files do
+        # (drive the snapshot FIRST, then commit more and continue)
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events",
+             "max_bytes_per_trigger": str(sizes[0] + sizes[1] + sizes[2] + 2)},
+            *_schema_pair(root))
+        snap = self._drive(reader)
+        assert [len(b) for b in snap] == [3, 2]  # capped snapshot
+        for i in range(2):
+            with wh.transaction():
+                for j in (0, 1):
+                    wh.append(_rows(spark, [50 + 10 * i + j]).coalesce(1),
+                              "events", partition_by=["dt"])
+        tail = self._drive(reader, start=reader._planned)
+        flat = [p for b in snap + tail for p in b]
+        assert len(flat) == len(set(flat)) == 9  # exactly-once union
+        # the ~3-file budget never admits more, and the 4 tail files
+        # (2 commits x 2) arrive in at least two batches
+        assert all(1 <= len(b) <= 3 for b in tail) and len(tail) >= 2
+
     def test_every_cap_and_restart_point_is_exact(self, spark, tmp_path):
         """Exhaustive invariant sweep (control-plane only, one table
         build): for EVERY cap and EVERY restart point, (a) no batch
