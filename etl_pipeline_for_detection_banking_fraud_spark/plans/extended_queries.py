@@ -1199,3 +1199,59 @@ def approx_distinct_bounds(spark, sf_dir):
             ).alias("approx_ok"),
         )
     )
+
+
+@_q(
+    "tpch_q17_shape",
+    "TPC-H Q17 shape: correlated per-group average (small-quantity "
+    "orders below 20% of the part's mean) via aggregate-then-join-back, "
+    "threshold compared in exact decimal arithmetic",
+    """
+    WITH sel AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4' AND p.p_type = 'ECONOMY'
+    ), st AS (
+        SELECT l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS qs,
+               count(*) AS qn
+        FROM sel GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(s.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           count(*) AS n_rows
+    FROM sel s JOIN st ON s.l_partkey = st.l_partkey
+    WHERE CAST(s.l_quantity AS DECIMAL(18,4)) * 5 * st.qn < st.qs
+    """,
+)
+def tpch_q17_shape(spark, sf_dir):
+    """The correlated-scalar-subquery shape, decorrelated the way a
+    100 TB plan wants it: filter lineitem ONCE by the broadcast part
+    sliver (every row of a selected part survives, so the per-part
+    mean is unchanged by the pushdown), aggregate that sliver by
+    partkey — map-side combinable, output O(selected parts), itself
+    broadcastable — and join the stats back for the threshold filter.
+    The naive form re-scans lineitem per outer row. The comparison
+    qty < 0.2 * avg is algebraically lifted to qty * 5 * n < sum in
+    DECIMAL, so no float-division boundary can flip a row between
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    sel = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    st = sel.groupBy("l_partkey").agg(
+        F.sum(qty).alias("qs"), F.count("*").alias("qn"))
+    return (
+        sel.join(F.broadcast(st), "l_partkey")
+        .where(qty * F.lit(5) * F.col("qn") < F.col("qs"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+             .cast("double") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )

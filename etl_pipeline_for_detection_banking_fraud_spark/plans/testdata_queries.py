@@ -772,8 +772,8 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r8 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
-    "tpch_q5_shape", "window_session_native", "approx_distinct_bounds",
-    "tpch_q18_shape", "text_bigram_topk",
+    "tpch_q5_shape", "tpch_q17_shape", "window_session_native",
+    "approx_distinct_bounds", "tpch_q18_shape", "text_bigram_topk",
     # r08 rotation: the 10 entries whose newest evidence is r05 lead
     # (nothing may go >2 rounds stale; approx_stats was the 11th and is
     # retired — approx_stats_bounds carries its values), then the r06
