@@ -351,6 +351,32 @@ def _file_stats(path: str) -> dict:
         return {}
 
 
+def _file_may_match(rel: str, fs: dict | None, prune: dict) -> bool:
+    """False only when the file PROVABLY contains no row within the
+    pruned ``{col: (lo, hi)}`` bounds: its recorded footer [min, max]
+    for a pruned column is disjoint from [lo, hi], or a hive partition
+    value in its relpath falls outside STRING bounds (safe for ISO
+    dates and other fixed-width keys — lexicographic == natural order;
+    non-string bounds never prune on partition values). Missing stats
+    or partition keys keep the file: pruning is a strict superset
+    contract, the caller always applies its own row filter."""
+    parts = dict(_partition_pairs_of(rel))
+    for col, (lo, hi) in prune.items():
+        v = parts.get(col)
+        if v is not None and all(
+            b is None or isinstance(b, str) for b in (lo, hi)
+        ):
+            if (hi is not None and v > hi) or (lo is not None and v < lo):
+                return False
+        rng = (fs or {}).get(col)
+        if rng is not None:
+            if (hi is not None and rng[0] > hi) or (
+                lo is not None and rng[1] < lo
+            ):
+                return False
+    return True
+
+
 def _data_files(table_dir: str) -> list[str]:
     """Relative paths of committed-by-layout (non-txn) data files."""
     out = []
@@ -995,30 +1021,16 @@ class Warehouse:
             # columns (dt=...) parsing and pruning
             rels = (mf or []) + pend
             if prune and mf is not None and rels:
-                # manifest-stats file skipping: drop a file only when
-                # its recorded [min, max] for EVERY pruned column is
-                # provably outside the requested [lo, hi]; files with
-                # no stats are always kept, and the caller still
-                # applies its own row filter — pruning is a strict
-                # superset contract, never a row filter
+                # manifest-stats + hive-partition file skipping: drop a
+                # file only when it provably holds no row in bounds;
+                # files with no stats are always kept, and the caller
+                # still applies its own row filter — pruning is a
+                # strict superset contract, never a row filter
                 stats = self._manifest_stats(table)
-                kept = []
-                for rel in rels:
-                    fs = stats.get(rel)
-                    keep = True
-                    if fs:
-                        for col, (lo, hi) in prune.items():
-                            rng = fs.get(col)
-                            if rng is None:
-                                continue
-                            if (hi is not None and rng[0] > hi) or (
-                                lo is not None and rng[1] < lo
-                            ):
-                                keep = False
-                                break
-                    if keep:
-                        kept.append(rel)
-                rels = kept
+                rels = [
+                    rel for rel in rels
+                    if _file_may_match(rel, stats.get(rel), prune)
+                ]
                 if not rels:
                     # every file skipped: empty frame with the table's
                     # schema. Schema-only read over the FULL file set
@@ -1540,6 +1552,94 @@ class Warehouse:
                 self.vacuum_orphans(table)
                 if sidecar:
                     self.vacuum_orphans(sidecar)
+
+    def delete_where(self, table: str, condition, *,
+                     prune: dict | None = None, cdf: bool = False,
+                     cdf_table: str | None = None) -> int:
+        """DELETE FROM ``table`` WHERE ``condition`` as ONE atomic
+        replace commit (the Delta ``DELETE`` analog) — file-level:
+        only files that MIGHT hold matching rows are rewritten, every
+        other file is carried into the new manifest verbatim with its
+        recorded stats, so a selective delete on a 100 TB table
+        rewrites a sliver, not the table.
+
+        ``condition`` is a Column (or SQL string) evaluated per row;
+        NULL counts as not-matching (SQL DELETE semantics). ``prune``
+        is the optional ``{col: (lo, hi)}`` file-skipping bounds used
+        to pick the rewrite set (manifest footer stats + hive
+        partition values, same contract as ``read(prune=...)``); it
+        MUST be implied by the condition — a NECESSARY condition, not
+        a sufficient one — because a matching row inside a skipped
+        file would silently survive. Omit it to consider every file.
+
+        Logical replace, like ``merge_table``: superseded files stay
+        readable via ``read_at`` (``compact()`` remains the reclaim
+        path), a racing append raises ``CommitConflict`` and the
+        delete re-reads and retries. ``cdf=True`` appends the deleted
+        rows — ``change_type='delete'``, tagged with the transaction
+        id — to the table's CDF sidecar in the SAME commit, so
+        CDF-driven rollups absorb the delete exactly. Returns the
+        number of rows deleted (0 = no commit was written)."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        if self._manifest_files(table) is None:
+            raise ValueError(
+                f"delete_where: {table} is not commit-log tracked (no "
+                "manifest to carry untouched files through)"
+            )
+        sidecar = (cdf_table or f"{table}__cdf").lower() if cdf else None
+        matches = F.coalesce(condition.cast("boolean"), F.lit(False))
+        p = self._path(table)
+        for attempt in range(3):
+            self._invalidate_state()
+            base_seq = self._latest_seq()
+            mf = list(self._manifest_files(table) or [])
+            stats = self._manifest_stats(table)
+            if prune:
+                cand = [r for r in mf
+                        if _file_may_match(r, stats.get(r), prune)]
+            else:
+                cand = mf
+            if not cand:
+                return 0
+            untouched = [r for r in mf if r not in set(cand)]
+            df = self.spark.read.option("basePath", p).parquet(
+                *[os.path.join(p, r) for r in cand])
+            doomed = df.where(matches).persist()
+            try:
+                n = doomed.count()
+                if n == 0:
+                    return 0  # nothing matched: no commit, no rewrite
+                kept = df.where(~matches)
+                part_cols = [c for c in df.columns if c == "dt"]
+                txn = Transaction(self)
+                txn.replace = True
+                txn.base_seq = base_seq
+                txn.append(kept, table, partition_by=part_cols or None)
+                if untouched:
+                    txn.pending[table] = untouched + txn.pending[table]
+                    tstats = txn.stats.setdefault(table, {})
+                    for rel in untouched:
+                        if rel in stats:
+                            tstats[rel] = stats[rel]
+                if sidecar:
+                    txn.append_only.add(sidecar)
+                    feed = doomed.withColumn(
+                        "change_type", F.lit("delete")
+                    ).withColumn("_txn", F.lit(txn.txnid))
+                    txn.append(feed, sidecar)
+                try:
+                    txn.commit()
+                    return n
+                except CommitConflict:
+                    if attempt == 2:
+                        raise
+                    self.vacuum_orphans(table)
+                    if sidecar:
+                        self.vacuum_orphans(sidecar)
+            finally:
+                doomed.unpersist()
+        return 0
 
     # -- transactions fact convenience ---------------------------------------
 

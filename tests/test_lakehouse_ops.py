@@ -349,6 +349,82 @@ class TestWarehouseMerge:
             )
 
 
+class TestDeleteWhere:
+    def _wh(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+        import datetime as dt
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        for day, ids in ((1, (1, 2)), (2, (3, 4))):
+            rows = spark.createDataFrame(
+                [(i, float(i) if i != 2 else None,
+                  dt.date(2021, 3, day)) for i in ids],
+                "k long, v double, dt date",
+            )
+            with wh.transaction():
+                wh.append(rows.coalesce(1), "t", partition_by=["dt"])
+        return wh
+
+    def test_delete_rows_history_and_null_semantics(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path)
+        pre = max(s["seq"] for s in wh.snapshots())
+        # v > 2 matches k=3,4; k=2 has v NULL -> NOT matched (SQL DELETE)
+        assert wh.delete_where("t", "v > 2") == 2
+        assert sorted(r["k"] for r in wh.read("t").collect()) == [1, 2]
+        # pre-delete snapshot stays readable (logical replace)
+        assert wh.read_at("t", pre).count() == 4
+        # nothing matches now: returns 0 and writes NO commit
+        head = wh._latest_seq()
+        assert wh.delete_where("t", "v > 2") == 0
+        assert wh._latest_seq() == head
+
+    def test_prune_carries_untouched_files_verbatim(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path)
+        before = set(wh._manifest_files("t"))
+        d1 = [r for r in before if "dt=2021-03-01" in r]
+        n = wh.delete_where(
+            "t", "k = 3",
+            prune={"dt": ("2021-03-02", "2021-03-02")})
+        assert n == 1
+        after = set(wh._manifest_files("t"))
+        # the 03-01 partition's files were never rewritten
+        assert set(d1) <= after
+        # the 03-02 partition was: its old files left the manifest
+        assert not any(r in after for r in before - set(d1))
+        assert sorted(r["k"] for r in wh.read("t").collect()) == [1, 2, 4]
+        # carried stats still prune: a 03-01-only read skips 03-02 files
+        assert wh.read("t", prune={"dt": ("2021-03-01", "2021-03-01")}) \
+            .count() == 2
+
+    def test_cdf_delete_feeds_rollup(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        aggs = {"v": ["sum", "count"]}
+        assert rollup.bootstrap_rollup(wh, "agg_t", ["dt"], aggs,
+                                       wh.read("t"))
+        assert wh.delete_where("t", "k IN (3, 4)", cdf=True) == 2
+        feed = wh.read("t__cdf")
+        assert feed.count() == 2
+        assert {r["change_type"] for r in feed.collect()} == {"delete"}
+        # the CDF fold absorbs the delete exactly: day-2 group vanishes
+        assert rollup.apply_rollup_cdf_batch(
+            wh, "agg_t", ["dt"], aggs, feed, 0)
+        import datetime as dt
+        got = {r["dt"]: (r["v_sum"], r["v_count"])
+               for r in wh.read("agg_t").collect()}
+        expected = {
+            r["dt"]: (r["s"], r["c"])
+            for r in wh.read("t").groupBy("dt").agg(
+                F.sum("v").alias("s"), F.count("v").alias("c")).collect()
+        }
+        assert got == expected == {dt.date(2021, 3, 1): (1.0, 1)}
+
+
 class TestStreamMerge:
     def test_file_stream_cdc_merge_and_replay_idempotence(
         self, spark, tmp_path
