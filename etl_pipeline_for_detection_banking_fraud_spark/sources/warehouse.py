@@ -1641,6 +1641,101 @@ class Warehouse:
                 doomed.unpersist()
         return 0
 
+    def update_where(self, table: str, condition, assignments: dict, *,
+                     prune: dict | None = None, cdf: bool = False,
+                     cdf_table: str | None = None) -> int:
+        """UPDATE ``table`` SET ``assignments`` WHERE ``condition`` as
+        ONE atomic replace commit (the Delta ``UPDATE`` analog), with
+        the same file-level shape as ``delete_where``: only files that
+        might hold matching rows are rewritten (``prune`` must be a
+        NECESSARY condition for the predicate), untouched files carry
+        verbatim with their stats, superseded files stay readable
+        (logical replace), racing appends conflict and retry.
+
+        ``assignments`` maps column name -> Column or SQL string,
+        evaluated against the PRE-update row (standard UPDATE: all SET
+        expressions see the old values). Assigned values are cast back
+        to the column's existing type — an UPDATE never changes the
+        schema. ``cdf=True`` appends update_preimage/update_postimage
+        row pairs, tagged with the transaction id, to the CDF sidecar
+        in the SAME commit (``merge_table``'s feed shape, so CDF
+        rollups absorb the update as -pre +post exactly). Returns rows
+        updated (0 = no commit)."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        mf0 = self._manifest_files(table)
+        if mf0 is None:
+            raise ValueError(
+                f"update_where: {table} is not commit-log tracked (no "
+                "manifest to carry untouched files through)"
+            )
+        sidecar = (cdf_table or f"{table}__cdf").lower() if cdf else None
+        matches = F.coalesce(condition.cast("boolean"), F.lit(False))
+        p = self._path(table)
+        for attempt in range(3):
+            self._invalidate_state()
+            base_seq = self._latest_seq()
+            mf = list(self._manifest_files(table) or [])
+            stats = self._manifest_stats(table)
+            cand = [r for r in mf
+                    if _file_may_match(r, stats.get(r), prune)] \
+                if prune else mf
+            if not cand:
+                return 0
+            untouched = [r for r in mf if r not in set(cand)]
+            df = self.spark.read.option("basePath", p).parquet(
+                *[os.path.join(p, r) for r in cand])
+            bad = [c for c in assignments if c not in df.columns]
+            if bad:
+                raise ValueError(
+                    f"update_where: {bad} are not columns of {table} "
+                    "(UPDATE never adds columns)"
+                )
+            sets = {
+                c: (F.expr(v) if isinstance(v, str) else v)
+                .cast(df.schema[c].dataType)
+                for c, v in assignments.items()
+            }
+            pre = df.where(matches).persist()
+            try:
+                n = pre.count()
+                if n == 0:
+                    return 0
+                post = pre.withColumns(sets)
+                new_rows = df.where(~matches).unionByName(post)
+                part_cols = [c for c in df.columns if c == "dt"]
+                txn = Transaction(self)
+                txn.replace = True
+                txn.base_seq = base_seq
+                txn.append(new_rows, table, partition_by=part_cols or None)
+                if untouched:
+                    txn.pending[table] = untouched + txn.pending[table]
+                    tstats = txn.stats.setdefault(table, {})
+                    for rel in untouched:
+                        if rel in stats:
+                            tstats[rel] = stats[rel]
+                if sidecar:
+                    txn.append_only.add(sidecar)
+                    feed = pre.withColumn(
+                        "change_type", F.lit("update_preimage")
+                    ).unionByName(
+                        post.withColumn("change_type",
+                                        F.lit("update_postimage"))
+                    ).withColumn("_txn", F.lit(txn.txnid))
+                    txn.append(feed, sidecar)
+                try:
+                    txn.commit()
+                    return n
+                except CommitConflict:
+                    if attempt == 2:
+                        raise
+                    self.vacuum_orphans(table)
+                    if sidecar:
+                        self.vacuum_orphans(sidecar)
+            finally:
+                pre.unpersist()
+        return 0
+
     # -- transactions fact convenience ---------------------------------------
 
     def append_transactions(self, df: DataFrame, table: str = "dwh_fact_transactions") -> None:

@@ -425,6 +425,60 @@ class TestDeleteWhere:
         assert got == expected == {dt.date(2021, 3, 1): (1.0, 1)}
 
 
+class TestUpdateWhere:
+    def test_update_history_cdf_and_rollup(self, spark, tmp_path):
+        import datetime as dt
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        for day, ids in ((1, (1, 2)), (2, (3, 4))):
+            rows = spark.createDataFrame(
+                [(i, float(i), dt.date(2021, 3, day)) for i in ids],
+                "k long, v double, dt date",
+            )
+            with wh.transaction():
+                wh.append(rows.coalesce(1), "t", partition_by=["dt"])
+        aggs = {"v": ["sum", "count"]}
+        assert rollup.bootstrap_rollup(wh, "agg_t", ["dt"], aggs,
+                                       wh.read("t"))
+        pre_seq = max(s["seq"] for s in wh.snapshots())
+        before = set(wh._manifest_files("t"))
+        d1 = {r for r in before if "dt=2021-03-01" in r}
+        # SET sees PRE-update values; prune skips the 03-01 partition
+        n = wh.update_where(
+            "t", "k >= 3", {"v": "v * 10"},
+            prune={"dt": ("2021-03-02", "2021-03-02")}, cdf=True)
+        assert n == 2
+        got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+        assert got == {1: 1.0, 2: 2.0, 3: 30.0, 4: 40.0}
+        # untouched partition carried verbatim; history readable
+        assert d1 <= set(wh._manifest_files("t"))
+        assert {r["k"]: r["v"]
+                for r in wh.read_at("t", pre_seq).collect()}[3] == 3.0
+        # CDF pre/post pairs absorb into the rollup exactly
+        feed = wh.read("t__cdf")
+        assert feed.groupBy("change_type").count().count() == 2
+        assert rollup.apply_rollup_cdf_batch(
+            wh, "agg_t", ["dt"], aggs, feed, 0)
+        got = {r["dt"]: (r["v_sum"], r["v_count"])
+               for r in wh.read("agg_t").collect()}
+        assert got == {dt.date(2021, 3, 1): (3.0, 2),
+                       dt.date(2021, 3, 2): (70.0, 2)}
+        # unknown SET column refused; no-match writes no commit
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="not columns"):
+            wh.update_where("t", "k = 1", {"nope": "1"})
+        head = wh._latest_seq()
+        assert wh.update_where("t", "k > 99", {"v": "0.0"}) == 0
+        assert wh._latest_seq() == head
+
+
 class TestStreamMerge:
     def test_file_stream_cdc_merge_and_replay_idempotence(
         self, spark, tmp_path
