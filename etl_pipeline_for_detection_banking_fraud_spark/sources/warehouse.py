@@ -56,6 +56,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -190,6 +191,7 @@ class Transaction:
             entry = {
                 "txn": self.txnid,
                 "op": "replace" if self.replace else "add",
+                "ts": time.time(),  # wall clock for TIMESTAMP AS OF
                 "tables": self.pending,
             }
             if self.replace:
@@ -770,11 +772,63 @@ class Warehouse:
                 "seq": seq,
                 "txn": entry.get("txn"),
                 "op": entry.get("op"),
+                "committed_at": datetime.datetime.fromtimestamp(
+                    self._entry_time(seq), tz=datetime.timezone.utc
+                ).isoformat(),
                 "tables": {
                     t: len(files) for t, files in entry.get("tables", {}).items()
                 },
             })
         return out
+
+    def _entry_time(self, seq: int) -> float:
+        """Commit wall time (epoch seconds): the ``ts`` the entry
+        recorded at commit, falling back to the entry FILE's mtime for
+        logs written before ``ts`` existed — the same source Delta's
+        TIMESTAMP AS OF resolves against (and the same caveat: a
+        copied/restored log directory carries fresh mtimes, recorded
+        ``ts`` values survive the copy)."""
+        entry = self._load_entry(seq)
+        if entry and "ts" in entry:
+            return float(entry["ts"])
+        path = os.path.join(self._manifest_dir(), f"{seq:09d}.json")
+        return os.path.getmtime(path)
+
+    def read_at_timestamp(self, table: str, ts,
+                          schema: T.StructType | None = None) -> DataFrame:
+        """Time travel by WALL CLOCK (the Delta ``TIMESTAMP AS OF``
+        analog): read the table as of the newest commit at or before
+        ``ts`` — a datetime (naive = UTC) or ISO-8601 string. Commit
+        times are monotone in practice (sequence claims serialize
+        writers on one filesystem) but only as trustworthy as the
+        writers' clocks — exactly Delta's contract. Raises
+        ``SnapshotExpired`` when ``ts`` predates the retained log and
+        ``ValueError`` when it predates the table entirely."""
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        epoch = ts.timestamp()
+        entry_seqs, _ = self._list_log()
+        best = None
+        for seq in entry_seqs:
+            # no early break: writer clock skew can make times locally
+            # non-monotone; "newest commit at or before ts" = max seq
+            if self._entry_time(seq) <= epoch:
+                best = seq
+        if best is None:
+            horizon = self.expire_horizon()
+            if horizon > 0:
+                raise SnapshotExpired(
+                    f"timestamp {ts.isoformat()} predates the oldest "
+                    f"retained commit (expire horizon {horizon}): the "
+                    "covering entries were folded by expire_log"
+                )
+            raise ValueError(
+                f"timestamp {ts.isoformat()} predates every commit of "
+                f"this warehouse"
+            )
+        return self.read_at(table, best, schema=schema)
 
     def read_at(self, table: str, seq: int,
                 schema: T.StructType | None = None) -> DataFrame:

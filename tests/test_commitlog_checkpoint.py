@@ -203,6 +203,42 @@ class TestCheckpointEndToEnd:
         with pytest.raises(CommitConflict):
             txn.commit()
 
+    def test_timestamp_as_of_resolves_between_commits(self, spark, tmp_path):
+        """TIMESTAMP AS OF: a wall-clock between two commits resolves to
+        the earlier one (newest commit at-or-before ts); a ts before
+        every commit raises; snapshots() exposes committed_at. Commit
+        times come from the recorded entry ts (mtime fallback for old
+        logs), so the resolution survives a log-directory copy."""
+        import datetime as dt
+
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append_transactions(_tx_rows(spark, 2, day=1))
+        t1 = wh._entry_time(1)
+        with wh.transaction():
+            wh.append_transactions(_tx_rows(spark, 3, day=2))
+        t2 = wh._entry_time(2)
+        assert t1 <= t2
+        mid = dt.datetime.fromtimestamp((t1 + t2) / 2 + 1e-4,
+                                        tz=dt.timezone.utc)
+        tbl = "dwh_fact_transactions"
+        if t2 - t1 > 2e-4:  # clock granularity guard (never in practice)
+            assert wh.read_at_timestamp(tbl, mid).count() == 2
+        assert wh.read_at_timestamp(
+            tbl, dt.datetime.now(dt.timezone.utc)).count() == 5
+        # ISO-string form, just past the commit instant (the datetime
+        # roundtrip truncates to microseconds, which can land BELOW the
+        # recorded float epoch)
+        assert wh.read_at_timestamp(
+            tbl, dt.datetime.fromtimestamp(
+                t1 + 1e-3, tz=dt.timezone.utc).isoformat()).count() == 2
+        with pytest.raises(ValueError, match="predates every commit"):
+            wh.read_at_timestamp(
+                tbl, dt.datetime.fromtimestamp(t1 - 10,
+                                               tz=dt.timezone.utc))
+        assert all("committed_at" in s for s in wh.snapshots())
+
     def test_compact_checkpoints_and_sets_retention(self, spark, tmp_path):
         """compact() writes a checkpoint at its natural fold point and
         advances the retention horizon: read_at older than the compact
