@@ -1120,7 +1120,7 @@ def tpch_q5_shape(spark, sf_dir):
     "sessions independently from lag/cumsum gap islands",
     """
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > 1800000000::BIGINT
@@ -1129,7 +1129,8 @@ def tpch_q5_shape(spark, sf_dir):
         FROM events
     ), sess AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM gaps
     )

@@ -357,18 +357,26 @@ def _file_may_match(rel: str, fs: dict | None, prune: dict) -> bool:
     """False only when the file PROVABLY contains no row within the
     pruned ``{col: (lo, hi)}`` bounds: its recorded footer [min, max]
     for a pruned column is disjoint from [lo, hi], or a hive partition
-    value in its relpath falls outside STRING bounds (safe for ISO
-    dates and other fixed-width keys — lexicographic == natural order;
-    non-string bounds never prune on partition values). Missing stats
-    or partition keys keep the file: pruning is a strict superset
-    contract, the caller always applies its own row filter."""
+    value in its relpath falls outside STRING bounds. Partition-path
+    comparison is raw-lexicographic, which equals natural order ONLY
+    for fixed-width encodings (ISO dates, zero-padded keys) — so it is
+    applied only when the value and every bound share one width
+    (``'9' > '10'`` would otherwise prune a matching file, and this
+    helper also picks the DML rewrite set where a wrong prune means
+    rows silently survive a DELETE). Non-string bounds never prune on
+    partition values. Missing stats or partition keys keep the file:
+    pruning is a strict superset contract, the caller always applies
+    its own row filter."""
     parts = dict(_partition_pairs_of(rel))
     for col, (lo, hi) in prune.items():
         v = parts.get(col)
         if v is not None and all(
             b is None or isinstance(b, str) for b in (lo, hi)
         ):
-            if (hi is not None and v > hi) or (lo is not None and v < lo):
+            widths = {len(v)} | {len(b) for b in (lo, hi) if b is not None}
+            if len(widths) == 1 and (
+                (hi is not None and v > hi) or (lo is not None and v < lo)
+            ):
                 return False
         rng = (fs or {}).get(col)
         if rng is not None:
@@ -768,12 +776,17 @@ class Warehouse:
             entry = self._load_entry(seq)
             if entry is None:
                 continue
+            t = self._entry_time(seq, entry=entry)
+            if t is None:
+                # folded by a concurrent expire_log between the log
+                # listing and the mtime stat — expired, skip the row
+                continue
             out.append({
                 "seq": seq,
                 "txn": entry.get("txn"),
                 "op": entry.get("op"),
                 "committed_at": datetime.datetime.fromtimestamp(
-                    self._entry_time(seq), tz=datetime.timezone.utc
+                    t, tz=datetime.timezone.utc
                 ).isoformat(),
                 "tables": {
                     t: len(files) for t, files in entry.get("tables", {}).items()
@@ -781,18 +794,24 @@ class Warehouse:
             })
         return out
 
-    def _entry_time(self, seq: int) -> float:
+    def _entry_time(self, seq: int, entry: dict | None = None) -> float | None:
         """Commit wall time (epoch seconds): the ``ts`` the entry
         recorded at commit, falling back to the entry FILE's mtime for
         logs written before ``ts`` existed — the same source Delta's
         TIMESTAMP AS OF resolves against (and the same caveat: a
         copied/restored log directory carries fresh mtimes, recorded
-        ``ts`` values survive the copy)."""
-        entry = self._load_entry(seq)
+        ``ts`` values survive the copy). ``None`` when the entry was
+        folded by a concurrent ``expire_log`` between the caller's log
+        listing and this stat — callers treat it as expired/skip."""
+        if entry is None:
+            entry = self._load_entry(seq)
         if entry and "ts" in entry:
             return float(entry["ts"])
         path = os.path.join(self._manifest_dir(), f"{seq:09d}.json")
-        return os.path.getmtime(path)
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
 
     def read_at_timestamp(self, table: str, ts,
                           schema: T.StructType | None = None) -> DataFrame:
@@ -813,8 +832,10 @@ class Warehouse:
         best = None
         for seq in entry_seqs:
             # no early break: writer clock skew can make times locally
-            # non-monotone; "newest commit at or before ts" = max seq
-            if self._entry_time(seq) <= epoch:
+            # non-monotone; "newest commit at or before ts" = max seq.
+            # None = entry folded by a concurrent expire_log: exclude.
+            t = self._entry_time(seq)
+            if t is not None and t <= epoch:
                 best = seq
         if best is None:
             horizon = self.expire_horizon()

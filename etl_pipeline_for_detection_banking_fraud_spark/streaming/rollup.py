@@ -38,6 +38,8 @@ fine — they arrive as later microbatches.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -128,19 +130,37 @@ def apply_rollup_batch(wh: Warehouse, rollup_table: str, keys: list[str],
     batch id is at/below the stored watermark (a checkpoint replay) and
     the rollup is left untouched; raises when the batch comes from a
     DIFFERENT stream than the one that built the rollup (fresh
-    checkpoint + old watermark = silent staleness otherwise)."""
+    checkpoint + old watermark = silent staleness otherwise).
+
+    A rollup seeded by ``bootstrap_rollup`` (or previously maintained
+    by the CDF fold) carries the internal ``_n`` / ``_nn_<col>``
+    bookkeeping columns; this append-only fold detects and MAINTAINS
+    them (inserts contribute +count) so the two maintenance paths
+    compose instead of failing the union with a missing-column error."""
     if not _check_watermark(wh, f"{rollup_table}__meta", batch_id,
                             stream_id):
         return False
     if batch.isEmpty():
         return False  # nothing to fold; redelivery is equally empty
-    delta = batch.groupBy(*keys).agg(*_partial_exprs(aggs))
-    if wh.exists(rollup_table):
-        stored = wh.read(rollup_table)
+    exists = wh.exists(rollup_table)
+    stored = wh.read(rollup_table) if exists else None
+    internals = exists and "_n" in stored.columns
+    partials, combines = _partial_exprs(aggs), _combine_exprs(aggs)
+    if internals:
+        partials = partials + [F.count(F.lit(1)).alias("_n")] + [
+            F.count(F.col(c)).alias(f"_nn_{c}")
+            for c in _sum_cols(aggs) if f"_nn_{c}" in stored.columns
+        ]
+        combines = combines + [
+            F.sum(c).alias(c) for c in stored.columns
+            if c == "_n" or c.startswith("_nn_")
+        ]
+    delta = batch.groupBy(*keys).agg(*partials)
+    if exists:
         combined = (
-            stored.unionByName(delta)
+            stored.unionByName(delta, allowMissingColumns=True)
             .groupBy(*keys)
-            .agg(*_combine_exprs(aggs))
+            .agg(*combines)
         )
     else:
         combined = delta
@@ -167,6 +187,26 @@ def _checkpoint_stream_id(checkpoint_dir: str) -> str | None:
         return None
 
 
+def _warn_available_now_caps(available_now: bool, max_files, max_bytes):
+    """Admission caps pace a stream across MANY microbatches, but
+    Python streaming sources fall back to single-batch execution under
+    ``Trigger.AvailableNow`` — one capped batch runs and the query
+    terminates with the backlog unread. Loud at start(), where both
+    the trigger and the caps are known (the reader process can see
+    neither)."""
+    if available_now and (max_files is not None or max_bytes is not None):
+        warnings.warn(
+            "available_now=True with max_files_per_trigger/"
+            "max_bytes_per_trigger: Python streaming sources fall back "
+            "to SINGLE-BATCH execution under AvailableNow, so only one "
+            "capped microbatch runs per start() and the rest of the "
+            "backlog waits for the next run. Use the default periodic "
+            "trigger (available_now=False) to drain the backlog paced "
+            "by the caps in one run.",
+            stacklevel=3,
+        )
+
+
 def maintain_rollup(spark: SparkSession, root: str, src_table: str,
                     rollup_table: str, keys: list[str], aggs: dict,
                     checkpoint_dir: str, *, available_now: bool = False,
@@ -185,10 +225,13 @@ def maintain_rollup(spark: SparkSession, root: str, src_table: str,
     ``available_now=True`` advances only ONE capped batch per run
     (Python-source fallback); pacing wants the periodic trigger.
     """
+    _warn_available_now_caps(available_now, max_files_per_trigger,
+                             max_bytes_per_trigger)
     wh = Warehouse(spark, root)
     sdf = stream_table(spark, root, src_table, on_replace=on_replace,
                        max_files_per_trigger=max_files_per_trigger,
-                       max_bytes_per_trigger=max_bytes_per_trigger)
+                       max_bytes_per_trigger=max_bytes_per_trigger,
+                       checkpoint_dir=checkpoint_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         apply_rollup_batch(wh, rollup_table, keys, aggs, batch_df, batch_id,
@@ -386,11 +429,14 @@ def maintain_rollup_cdf(spark: SparkSession, root: str, table: str,
     (see ``apply_rollup_cdf_batch``) — so sidecar compaction no longer
     needs a maintenance window. The default ``fail`` keeps the loud
     contract for consumers that did not opt in."""
+    _warn_available_now_caps(available_now, max_files_per_trigger,
+                             max_bytes_per_trigger)
     wh = Warehouse(spark, root)
     sdf = stream_table(spark, root, cdf_table or f"{table}__cdf",
                        on_replace=on_replace,
                        max_files_per_trigger=max_files_per_trigger,
-                       max_bytes_per_trigger=max_bytes_per_trigger)
+                       max_bytes_per_trigger=max_bytes_per_trigger,
+                       checkpoint_dir=checkpoint_dir)
     dedup = on_replace == "reemit"
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:

@@ -48,6 +48,7 @@ reader's ``basePath`` behavior.
 from __future__ import annotations
 
 import datetime
+import json
 import os
 
 import pyarrow as pa
@@ -127,6 +128,35 @@ def _scan_hi(off: dict) -> int:
     return int(off["seq"])
 
 
+def _checkpointed_offset(checkpoint_dir: str) -> dict | None:
+    """The newest offset this query's own checkpoint recorded (the
+    first source's entry of the highest batch in ``offsets/``), or
+    None for a fresh/unreadable checkpoint. Spark's OffsetSeqLog
+    format: line 1 version, line 2 metadata JSON, then one line per
+    source — a Python data-source offset is its JSON dict (possibly
+    JSON-string-wrapped by the bridge). Best-effort by design: any
+    parse failure returns None and the reader falls back to the
+    construction preset + the loud guard in ``partitions()``."""
+    try:
+        odir = os.path.join(checkpoint_dir, "offsets")
+        batches = [int(f) for f in os.listdir(odir) if f.isdigit()]
+        if not batches:
+            return None
+        with open(os.path.join(odir, str(max(batches)))) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return None
+    if len(lines) < 3:
+        return None
+    try:
+        off = json.loads(lines[2])
+        if isinstance(off, str):  # bridge double-encoding
+            off = json.loads(off)
+    except (ValueError, TypeError):
+        return None
+    return off if isinstance(off, dict) else None
+
+
 class _WarehouseStreamReader(DataSourceStreamReader):
     """Offsets come in three JSON shapes (all checkpoint-compatible —
     old ``{"seq": N}`` checkpoints keep working):
@@ -183,6 +213,20 @@ class _WarehouseStreamReader(DataSourceStreamReader):
         # pathological ordering loudly instead of duplicating rows).
         self._initial = self._compute_initial()
         self._planned: dict | None = dict(self._initial)
+        # The preset covers batch 0 of a FRESH stream. On a restart
+        # where the last batch COMMITTED, Spark calls latestOffset
+        # without replaying through partitions() — the preset (pinned
+        # at the CURRENT head) is then the wrong planning position:
+        # advancing from it re-targets the snapshot or regresses the
+        # tail. Pass ``checkpoint_dir`` (the query's own
+        # checkpointLocation) and the reader reconciles the preset
+        # with the newest checkpointed offset at construction; without
+        # it, the loud guards in partitions() catch the mismatch.
+        ck = options.get("checkpoint_dir")
+        if ck:
+            committed = _checkpointed_offset(ck)
+            if committed is not None:
+                self._planned = dict(committed)
         self.spark_schema = spark_schema
         self.part_fields = part_fields
         # canonical Arrow schema every emitted batch is cast to (Spark's
@@ -348,13 +392,33 @@ class _WarehouseStreamReader(DataSourceStreamReader):
             # the planner bounded batch 0 from the construction preset
             # while Spark was actually restarting WITHOUT replaying the
             # last batch — emitting would re-deliver the whole table.
-            # Spark 4.1 always replays through partitions() first (so
-            # this is unreachable there); fail loudly rather than
-            # duplicate if a future version changes the order.
+            # This happens when the last batch COMMITTED before the
+            # restart (Spark then skips the partitions() replay and
+            # latestOffset plans from the construction preset). Fail
+            # loudly rather than duplicate rows; the fix is to give
+            # the reader the query's own checkpoint to reconcile with.
             raise RuntimeError(
                 f"offset regression: restart start {start} paired with "
-                f"initial-snapshot end {end}; restart the query (the "
-                "checkpointed offsets are intact)"
+                f"initial-snapshot end {end}; pass the query's "
+                "checkpointLocation as the checkpoint_dir option "
+                "(stream_table(checkpoint_dir=...)) so the planner "
+                "resumes from the checkpointed offset, or restart with "
+                "a fresh checkpoint"
+            )
+        if "snap" in end and "snap" in start \
+                and int(start["snap"]) != int(end["snap"]):
+            # same failure mode mid-initial-snapshot: the preset pinned
+            # a NEW snapshot target at restart-after-commit, and
+            # _visible() is target-relative — file names are txn-<uuid>
+            # so the two sorted manifests interleave and a diff across
+            # targets silently RE-EMITS already-delivered files.
+            raise RuntimeError(
+                f"snapshot target mismatch: start {start} and end {end} "
+                "pin different snapshot targets (restart raced new "
+                "commits); pass the query's checkpointLocation as the "
+                "checkpoint_dir option (stream_table(checkpoint_dir=...)) "
+                "so the planner resumes from the checkpointed offset, or "
+                "restart with a fresh checkpoint"
             )
         # re-seed the planning position (restart replays arrive here
         # with checkpointed offsets before latestOffset can know them)
@@ -523,7 +587,8 @@ def register(spark) -> None:
 def stream_table(spark, root: str, table: str, *,
                  on_replace: str = "fail", tail_only: bool = False,
                  max_files_per_trigger: int | None = None,
-                 max_bytes_per_trigger: int | None = None):
+                 max_bytes_per_trigger: int | None = None,
+                 checkpoint_dir: str | None = None):
     """Convenience: register + open a streaming DataFrame on ``table``.
 
     ``max_files_per_trigger`` / ``max_bytes_per_trigger`` are the Delta
@@ -538,6 +603,11 @@ def stream_table(spark, root: str, table: str, *,
     which cap produced them, so restarts stay exactly-once and capped
     (the replayed batch re-seeds the planner's position — see
     ``_WarehouseStreamReader``).
+    Pass the query's checkpointLocation as ``checkpoint_dir`` when
+    using admission caps: on a restart whose last batch committed,
+    Spark plans the next batch WITHOUT replaying the old one, and only
+    the checkpoint tells the planner where the stream really is (the
+    reader fails loudly on the mismatch otherwise).
     One caveat: under ``trigger(availableNow=True)`` Spark falls back
     to single-batch execution for Python sources — it plans ONE batch
     (capped, so no giant batch slips through) and terminates, leaving
@@ -557,4 +627,6 @@ def stream_table(spark, root: str, table: str, *,
     if max_bytes_per_trigger is not None:
         reader = reader.option("max_bytes_per_trigger",
                                str(max_bytes_per_trigger))
+    if checkpoint_dir is not None:
+        reader = reader.option("checkpoint_dir", checkpoint_dir)
     return reader.load()

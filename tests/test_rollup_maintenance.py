@@ -428,3 +428,64 @@ class TestPipelineRollupIntegration:
             )
             drain()
             assert got() == expected()
+
+
+class TestBootstrapAppendOnlyCompose:
+    def test_bootstrap_then_append_only_fold(self, spark, tmp_path):
+        """A rollup seeded by bootstrap_rollup carries the _n/_nn
+        internals; the APPEND-ONLY fold must maintain them (not fail
+        the union), and the rollup stays exact and CDF-resumable."""
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        aggs = {"value": ["sum", "count"]}
+        with wh.transaction():
+            wh.append(_events(spark, [1, 2, 3], "view"), "events",
+                      partition_by=["dt"])
+        assert rollup.bootstrap_rollup(
+            wh, "agg_events", ["event_type"], aggs, wh.read("events"))
+        stored = wh.read("agg_events")
+        assert "_n" in stored.columns and "_nn_value" in stored.columns
+        # append-only fold over the seeded rollup: maintains internals
+        with wh.transaction():
+            wh.append(_events(spark, [4, 5], "click"), "events",
+                      partition_by=["dt"])
+        batch = _events(spark, [4, 5], "click")
+        assert rollup.apply_rollup_batch(
+            wh, "agg_events", ["event_type"], aggs, batch, 0)
+        got = {r["event_type"]: (r["value_sum"], r["value_count"],
+                                 r["_n"], r["_nn_value"])
+               for r in wh.read("agg_events").collect()}
+        assert got["view"] == (6.0, 3, 3, 3)
+        assert got["click"] == (9.0, 2, 2, 2)
+
+    def test_plain_rollup_untouched_by_internals_path(self, spark, tmp_path):
+        """A rollup built append-only (no internals) keeps its exact
+        schema and values through further append-only folds."""
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        aggs = {"value": ["sum", "count"]}
+        for i, ids in enumerate(([1, 2], [3])):
+            batch = _events(spark, ids, "view")
+            with wh.transaction():
+                wh.append(batch, "events", partition_by=["dt"])
+            assert rollup.apply_rollup_batch(
+                wh, "agg_events", ["event_type"], aggs, batch, i)
+        out = wh.read("agg_events")
+        assert "_n" not in out.columns
+        row = out.collect()[0]
+        assert (row["value_sum"], row["value_count"]) == (6.0, 3)
+
+
+class TestAvailableNowCapsWarning:
+    def test_warns_on_available_now_with_caps(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(_events(spark, [1, 2], "view"), "events",
+                      partition_by=["dt"])
+        with pytest.warns(UserWarning, match="SINGLE-BATCH"):
+            q = rollup.maintain_rollup(
+                spark, root, "events", "agg_events", ["event_type"],
+                {"value": ["sum"]}, str(tmp_path / "ckpt"),
+                available_now=True, max_files_per_trigger=1)
+            q.awaitTermination(120)

@@ -555,3 +555,102 @@ class TestSchemaEvolution:
         out2 = _run_available(spark, ts.stream_table(spark, root, "docs"),
                               "tbl_widen1", ckpt)
         assert [(r["id"], r["score"]) for r in out2] == [(2, 20.0)]
+
+
+class TestRestartAfterCommit:
+    """Restarts whose last batch COMMITTED: Spark then plans the next
+    batch via latestOffset WITHOUT replaying the old one through
+    partitions(), so a capped planner cannot learn the stream position
+    from the replay. ``checkpoint_dir`` opts the reader into
+    reconciling with the query's own offset log; without it, the
+    partitions() guards fail loudly instead of duplicating rows."""
+
+    def _snapshot(self, spark, root, n_files):
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            for i in range(n_files):
+                wh.append(_rows(spark, [i]).coalesce(1), "events",
+                          partition_by=["dt"])
+        return wh
+
+    def test_checkpointed_offset_parses_real_checkpoint(
+            self, spark, tmp_path):
+        root, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+        self._snapshot(spark, root, 4)
+        out = _run_available(
+            spark, ts.stream_table(spark, root, "events",
+                                   max_files_per_trigger=2,
+                                   checkpoint_dir=ckpt),
+            "rc_parse", ckpt)
+        assert len(out) == 2  # availableNow fallback: ONE capped batch
+        off = ts._checkpointed_offset(ckpt)
+        assert off == {"snap": 1, "idx": 2}
+        # fresh/absent checkpoints parse to None (fall back to preset)
+        assert ts._checkpointed_offset(str(tmp_path / "nope")) is None
+
+    def test_capped_available_now_drains_across_runs(self, spark, tmp_path):
+        """Four availableNow runs against ONE checkpoint drain a 6-file
+        snapshot as 2/2/2/0 — every run after the first is a
+        restart-after-commit, resumed via checkpoint_dir."""
+        root, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+        self._snapshot(spark, root, 6)
+        seen = []
+        for expect in (2, 2, 2, 0):
+            out = _run_available(
+                spark, ts.stream_table(spark, root, "events",
+                                       max_files_per_trigger=2,
+                                       checkpoint_dir=ckpt),
+                "rc_drain", ckpt)
+            assert len(out) == expect
+            seen.extend(r["id"] for r in out)
+        assert sorted(seen) == [0, 1, 2, 3, 4, 5]  # exactly-once union
+
+    def test_restart_after_commit_with_new_commits(self, spark, tmp_path):
+        """New commits landing while a capped stream is stopped
+        mid-snapshot: the resumed planner keeps the PINNED snapshot
+        target (no cross-target manifest diff), then tails the new
+        commits after the snapshot completes."""
+        root, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+        wh = self._snapshot(spark, root, 3)
+        out1 = _run_available(
+            spark, ts.stream_table(spark, root, "events",
+                                   max_files_per_trigger=2,
+                                   checkpoint_dir=ckpt),
+            "rc_new1", ckpt)
+        assert len(out1) == 2
+        with wh.transaction():
+            wh.append(_rows(spark, [100], day=2).coalesce(1), "events",
+                      partition_by=["dt"])
+        seen = [r["id"] for r in out1]
+        for _ in range(3):
+            out = _run_available(
+                spark, ts.stream_table(spark, root, "events",
+                                       max_files_per_trigger=2,
+                                       checkpoint_dir=ckpt),
+                "rc_new2", ckpt)
+            seen.extend(r["id"] for r in out)
+        assert sorted(seen) == [0, 1, 2, 100]
+
+    def test_snap_target_mismatch_raises(self, spark, tmp_path):
+        """A snap-form end pinned to a DIFFERENT target than the start
+        would diff two differently-sorted manifests (txn-<uuid> names
+        interleave) and silently re-deliver files — partitions() fails
+        loudly instead. Unreachable through a real query on Spark 4.1
+        (restart replays partitions() with the checkpointed offsets
+        first, re-seeding the planner — pinned empirically by the
+        tests above); the guard covers a future Spark that plans
+        straight from latestOffset after a committed batch."""
+        root = str(tmp_path / "wh")
+        wh = self._snapshot(spark, root, 4)
+        with wh.transaction():
+            wh.append(_rows(spark, [100], day=2).coalesce(1), "events",
+                      partition_by=["dt"])
+        reader = ts._WarehouseStreamReader(
+            {"root": root, "table": "events", "max_files_per_trigger": "2"},
+            *_schema_pair(root))
+        with pytest.raises(RuntimeError, match="snapshot target mismatch"):
+            reader.partitions({"snap": 1, "idx": 2}, {"snap": 2, "idx": 2})
+        # and the seq-start/snap-end pairing stays loud, pointing at
+        # the checkpoint_dir remedy
+        with pytest.raises(RuntimeError, match="checkpoint_dir"):
+            reader.partitions({"seq": 1}, {"snap": 2, "idx": 2})
