@@ -126,6 +126,11 @@ class Transaction:
         # table -> relpath -> {col: [min, max]} for files THIS txn wrote
         # (adopted legacy files get no stats and are never pruned)
         self.stats: dict[str, dict[str, dict]] = {}
+        # table -> hive partition spec THIS txn wrote with; recorded in
+        # the commit entry so maintenance rewrites (compact / cluster /
+        # merge / DML) can re-derive the table's layout from metadata
+        # instead of a hard-coded column-name convention
+        self.partition_by: dict[str, list[str]] = {}
 
     def append(self, df: DataFrame, table: str,
                partition_by: list[str] | None = None) -> None:
@@ -143,6 +148,8 @@ class Transaction:
                     f"('_'/'.'-prefixed) directories; rename it"
                 )
         table = table.lower()
+        if partition_by:
+            self.partition_by[table] = list(partition_by)
         self._n += 1
         stage = os.path.join(self._stage_root, str(self._n))
         w = df.write.mode("overwrite")
@@ -200,6 +207,8 @@ class Transaction:
                     entry["append_tables"] = appends
             if self.stats:
                 entry["stats"] = self.stats
+            if self.partition_by:
+                entry["partition_by"] = self.partition_by
             if self.vacuum:
                 entry["vacuum"] = True
             tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
@@ -380,11 +389,149 @@ def _file_may_match(rel: str, fs: dict | None, prune: dict) -> bool:
                 return False
         rng = (fs or {}).get(col)
         if rng is not None:
-            if (hi is not None and rng[0] > hi) or (
-                lo is not None and rng[1] < lo
-            ):
-                return False
+            try:
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    return False
+            except TypeError:
+                pass  # bound/stat type mismatch (e.g. a string bound
+                # against numeric stats): cannot prove disjoint — keep
     return True
+
+
+def _lit_value(e):
+    """Python value of a Catalyst Literal, in the representation the
+    manifest stats store: strings as str, ints/floats native, dates as
+    ISO strings (stats record dates via isoformat, and fixed-width ISO
+    keeps lexicographic == chronological). Unsupported literal types
+    (decimal, timestamp, null, binary) raise — the caller skips the
+    term, which only costs pruning, never correctness."""
+    import datetime as _dt
+
+    v = e.value()
+    if v is None:
+        raise ValueError("null literal")
+    dt = e.dataType().getClass().getSimpleName().rstrip("$")
+    if dt == "StringType":
+        return str(v)
+    if dt in ("IntegerType", "LongType", "ShortType", "ByteType"):
+        return int(str(v))
+    if dt in ("DoubleType", "FloatType"):
+        return float(str(v))
+    if dt == "DateType":  # stored as days since epoch
+        return (_dt.date(1970, 1, 1)
+                + _dt.timedelta(days=int(str(v)))).isoformat()
+    raise ValueError(f"unsupported literal type {dt}")
+
+
+def derive_prune_bounds(spark, condition) -> dict:
+    """Best-effort ``{col: (lo, hi)}`` file-skipping bounds implied by a
+    DML predicate — the Delta-style partition/stats pruning derivation
+    that removes the "caller must hand a NECESSARY condition" footgun:
+    every returned bound comes from a TOP-LEVEL conjunct of the
+    predicate (``col op literal`` / ``BETWEEN`` / ``IN``), so a row
+    matching the predicate always lies inside the bounds. Anything not
+    recognized (OR, NOT, casts, column-vs-column, unsupported literal
+    types) contributes nothing — the result stays necessary, just less
+    sharp. Returns {} when nothing can be derived (callers then scan
+    every candidate file; correctness never depends on this).
+
+    Walks the UNRESOLVED Catalyst tree (py4j): a SQL string through the
+    session parser, a Column through ``SparkSession.expression``. Any
+    introspection failure degrades to {}."""
+    _CMP = {"EqualTo": "eq", "EqualNullSafe": "eq",
+            "GreaterThan": "gt", "GreaterThanOrEqual": "gt",
+            "LessThan": "lt", "LessThanOrEqual": "lt",
+            "=": "eq", "<=>": "eq", ">": "gt", ">=": "gt",
+            "<": "lt", "<=": "lt"}
+
+    def _children(e):
+        out, it = [], e.children().iterator()
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    def _cls(e):
+        return e.getClass().getSimpleName()
+
+    def _fn_name(e):
+        # UnresolvedFunction (the Column-API form): last name part
+        parts = e.nameParts()
+        return str(parts.last())
+
+    def _attr(e):
+        if _cls(e) != "UnresolvedAttribute":
+            raise ValueError("not an attribute")
+        return str(e.name()).split(".")[-1].lower()
+
+    def _conjuncts(e):
+        kind = _cls(e)
+        if kind == "And" or (kind == "UnresolvedFunction"
+                             and _fn_name(e).lower() == "and"):
+            l, r = _children(e)
+            return _conjuncts(l) + _conjuncts(r)
+        return [e]
+
+    def _term(e):
+        """(col, lo, hi) for one conjunct, or None when unrecognized."""
+        kind = _cls(e)
+        op = None
+        if kind in _CMP:
+            op = _CMP[kind]
+        elif kind == "UnresolvedFunction" and _fn_name(e) in _CMP:
+            op = _CMP[_fn_name(e)]
+        elif kind in ("In",) or (kind == "UnresolvedFunction"
+                                 and _fn_name(e).lower() == "in"):
+            ch = _children(e)
+            col = _attr(ch[0])
+            vals = [_lit_value(v) for v in ch[1:]]
+            if not vals:
+                return None
+            return (col, min(vals), max(vals))
+        elif kind == "UnresolvedFunction" and _fn_name(e).lower() == "between":
+            ch = _children(e)
+            if len(ch) == 3:
+                return (_attr(ch[0]), _lit_value(ch[1]), _lit_value(ch[2]))
+            return None
+        if op is None:
+            return None
+        l, r = _children(e)
+        if _cls(l) == "UnresolvedAttribute" and _cls(r) == "Literal":
+            col, v, reversed_ = _attr(l), _lit_value(r), False
+        elif _cls(r) == "UnresolvedAttribute" and _cls(l) == "Literal":
+            col, v, reversed_ = _attr(r), _lit_value(l), True
+        else:
+            return None
+        if op == "eq":
+            return (col, v, v)
+        if (op == "gt") != reversed_:   # col > v  (or v < col)
+            return (col, v, None)
+        return (col, None, v)           # col < v  (or v > col)
+
+    try:
+        js = spark._jsparkSession
+        if isinstance(condition, str):
+            root = js.sessionState().sqlParser().parseExpression(condition)
+        else:
+            root = js.expression(condition._jc)
+        bounds: dict = {}
+        for t in _conjuncts(root):
+            try:
+                term = _term(t)
+            except Exception:
+                term = None
+            if term is None:
+                continue
+            col, lo, hi = term
+            if col in bounds:
+                plo, phi = bounds[col]
+                lo = plo if lo is None else lo if plo is None else max(plo, lo)
+                hi = phi if hi is None else hi if phi is None else min(phi, hi)
+            bounds[col] = (lo, hi)
+        return bounds
+    except Exception:
+        return {}
 
 
 def _data_files(table_dir: str) -> list[str]:
@@ -568,16 +715,25 @@ class Warehouse:
     @staticmethod
     def _apply_entry(state: dict, seq: int, entry: dict) -> None:
         appends = set(entry.get("append_tables", []))
+        pb = entry.get("partition_by", {})
         for table, files in entry.get("tables", {}).items():
             s = entry.get("stats", {}).get(table, {})
             if entry.get("op") == "replace" and table not in appends:
                 state["tables"][table] = list(files)
                 state["stats"][table] = dict(s)
+                # a replace REWRITES the layout: the spec it recorded is
+                # the table's layout now; none recorded = flat rewrite
+                if table in pb:
+                    state["partition_by"][table] = list(pb[table])
+                else:
+                    state["partition_by"].pop(table, None)
                 if entry.get("vacuum"):
                     state["retention"][table] = seq
             else:
                 state["tables"].setdefault(table, []).extend(files)
                 state["stats"].setdefault(table, {}).update(s)
+                if table in pb:
+                    state["partition_by"][table] = list(pb[table])
 
     def _replay_state(self, at: int | None = None) -> dict:
         """Replay the commit log into {tables: {t: [files]}, stats,
@@ -603,7 +759,8 @@ class Warehouse:
             if at is None and self._state_cache is not None and \
                     self._state_cache[0] == head:
                 return self._state_cache[1]
-            state: dict = {"tables": {}, "stats": {}, "retention": {}}
+            state: dict = {"tables": {}, "stats": {}, "retention": {},
+                           "partition_by": {}}
             start = 0
             for cseq in reversed(ckpt_seqs):
                 ck = self._load_checkpoint(cseq)
@@ -612,6 +769,8 @@ class Warehouse:
                         "tables": {t: list(v) for t, v in ck.get("tables", {}).items()},
                         "stats": {t: dict(v) for t, v in ck.get("stats", {}).items()},
                         "retention": dict(ck.get("retention", {})),
+                        "partition_by": {t: list(v) for t, v in
+                                         ck.get("partition_by", {}).items()},
                     }
                     start = cseq
                     break
@@ -762,6 +921,32 @@ class Warehouse:
         delete superseded files and advance this boundary. 0 = all
         history readable."""
         return self._replay_state()["retention"].get(table.lower(), 0)
+
+    def table_partition_by(self, table: str) -> list[str]:
+        """The table's recorded hive partition spec (table metadata the
+        commit entries carry, Delta's ``partitionColumns`` analog).
+        Tables committed before the spec was recorded fall back to the
+        layout their committed relpaths show (the ``k=v`` directory
+        keys, in nesting order) — so maintenance rewrites preserve the
+        layout of legacy tables too."""
+        table = table.lower()
+        rec = self._replay_state()["partition_by"].get(table)
+        if rec is not None:
+            return list(rec)
+        keys: list[str] = []
+        for rel in self._manifest_files(table) or []:
+            for k, _ in _partition_pairs_of(rel):
+                if k not in keys:
+                    keys.append(k)
+        return keys
+
+    def _rewrite_part_cols(self, table: str, df: DataFrame) -> list[str]:
+        """Partition columns a maintenance rewrite of ``table`` must
+        write with: the recorded spec, restricted to columns the
+        rewritten frame actually carries (a spec column absent from the
+        data would otherwise crash the write)."""
+        return [c for c in self.table_partition_by(table)
+                if c in df.columns]
 
     def snapshots(self) -> list[dict]:
         """The commit history: one row per committed transaction —
@@ -1213,7 +1398,7 @@ class Warehouse:
                 df = self.spark.read.option("basePath", p).parquet(
                     *[os.path.join(p, r) for r in selected]
                 )
-                part_cols = [c for c in df.columns if c == "dt"]
+                part_cols = self._rewrite_part_cols(table, df)
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
@@ -1405,7 +1590,7 @@ class Warehouse:
             old = list(self._manifest_files(table) or [])
             df = self.read(table)
             keys = key_cols_fn(df)
-            part_cols = [c for c in df.columns if c == "dt"]
+            part_cols = self._rewrite_part_cols(table, df)
             # materialize the ordering expressions once: evaluated a
             # single time instead of once in repartitionByRange and
             # again in the sort, and window-backed keys (per-partition
@@ -1607,7 +1792,7 @@ class Warehouse:
                 current, changes, key=key, version_cols=version_cols,
                 payload_cols=payload_cols, op_col=op_col,
             )
-            part_cols = [c for c in current.columns if c == "dt"]
+            part_cols = self._rewrite_part_cols(table, current)
             txn = Transaction(self)
             txn.replace = True
             txn.base_seq = base_seq
@@ -1628,24 +1813,48 @@ class Warehouse:
                 if sidecar:
                     self.vacuum_orphans(sidecar)
 
+    def _matched_files(self, table_dir: str, cand: list[str],
+                       matches) -> list[str]:
+        """Narrow a DML rewrite set to the files that ACTUALLY contain
+        matching rows (Delta's find-touched-files pass): scan the
+        candidates with the predicate and collect the distinct source
+        files — bounded output, one value per matched file; Catalyst
+        prunes the scan to the predicate's columns. Matching is by
+        file BASENAME: txn file names carry the writing transaction's
+        uuid, so they are unique per table (a false collision could
+        only ADD a file to the rewrite set, never lose one)."""
+        import urllib.parse
+
+        df = self.spark.read.option("basePath", table_dir).parquet(
+            *[os.path.join(table_dir, r) for r in cand])
+        hit = {
+            os.path.basename(urllib.parse.unquote(r[0]))
+            for r in df.where(matches)
+            .select(F.input_file_name()).distinct().collect()
+        }
+        return [r for r in cand if os.path.basename(r) in hit]
+
     def delete_where(self, table: str, condition, *,
                      prune: dict | None = None, cdf: bool = False,
                      cdf_table: str | None = None) -> int:
         """DELETE FROM ``table`` WHERE ``condition`` as ONE atomic
         replace commit (the Delta ``DELETE`` analog) — file-level:
-        only files that MIGHT hold matching rows are rewritten, every
-        other file is carried into the new manifest verbatim with its
-        recorded stats, so a selective delete on a 100 TB table
-        rewrites a sliver, not the table.
+        only files that ACTUALLY hold matching rows are rewritten
+        (stats/partition pruning first, then a find-touched-files scan
+        with the predicate), every other file is carried into the new
+        manifest verbatim with its recorded stats, so a selective
+        delete on a 100 TB table rewrites a sliver, not the table.
 
         ``condition`` is a Column (or SQL string) evaluated per row;
         NULL counts as not-matching (SQL DELETE semantics). ``prune``
         is the optional ``{col: (lo, hi)}`` file-skipping bounds used
-        to pick the rewrite set (manifest footer stats + hive
-        partition values, same contract as ``read(prune=...)``); it
-        MUST be implied by the condition — a NECESSARY condition, not
-        a sufficient one — because a matching row inside a skipped
-        file would silently survive. Omit it to consider every file.
+        to bound the find-touched-files SCAN (manifest footer stats +
+        hive partition values, same contract as ``read(prune=...)``);
+        it MUST be implied by the condition — a NECESSARY condition,
+        not a sufficient one — because a matching row inside a skipped
+        file would silently survive. Simple conjunctive conditions
+        derive it automatically (see ``derive_prune_bounds``); omit it
+        to scan every file the derived bounds keep.
 
         Logical replace, like ``merge_table``: superseded files stay
         readable via ``read_at`` (``compact()`` remains the reclaim
@@ -1655,6 +1864,8 @@ class Warehouse:
         id — to the table's CDF sidecar in the SAME commit, so
         CDF-driven rollups absorb the delete exactly. Returns the
         number of rows deleted (0 = no commit was written)."""
+        if prune is None:
+            prune = derive_prune_bounds(self.spark, condition) or None
         if isinstance(condition, str):
             condition = F.expr(condition)
         if self._manifest_files(table) is None:
@@ -1677,6 +1888,9 @@ class Warehouse:
                 cand = mf
             if not cand:
                 return 0
+            cand = self._matched_files(p, cand, matches)
+            if not cand:
+                return 0  # no file holds a matching row: no commit
             untouched = [r for r in mf if r not in set(cand)]
             df = self.spark.read.option("basePath", p).parquet(
                 *[os.path.join(p, r) for r in cand])
@@ -1686,7 +1900,7 @@ class Warehouse:
                 if n == 0:
                     return 0  # nothing matched: no commit, no rewrite
                 kept = df.where(~matches)
-                part_cols = [c for c in df.columns if c == "dt"]
+                part_cols = self._rewrite_part_cols(table, df)
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
@@ -1736,6 +1950,8 @@ class Warehouse:
         in the SAME commit (``merge_table``'s feed shape, so CDF
         rollups absorb the update as -pre +post exactly). Returns rows
         updated (0 = no commit)."""
+        if prune is None:
+            prune = derive_prune_bounds(self.spark, condition) or None
         if isinstance(condition, str):
             condition = F.expr(condition)
         mf0 = self._manifest_files(table)
@@ -1757,6 +1973,9 @@ class Warehouse:
                 if prune else mf
             if not cand:
                 return 0
+            cand = self._matched_files(p, cand, matches)
+            if not cand:
+                return 0  # no file holds a matching row: no commit
             untouched = [r for r in mf if r not in set(cand)]
             df = self.spark.read.option("basePath", p).parquet(
                 *[os.path.join(p, r) for r in cand])
@@ -1778,7 +1997,7 @@ class Warehouse:
                     return 0
                 post = pre.withColumns(sets)
                 new_rows = df.where(~matches).unionByName(post)
-                part_cols = [c for c in df.columns if c == "dt"]
+                part_cols = self._rewrite_part_cols(table, df)
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq

@@ -168,3 +168,80 @@ def test_legacy_mart_layout_guard_and_migration(spark, tmp_path):
     assert wh.read_mart(
         since=datetime.date(2021, 3, 3), until=datetime.date(2021, 3, 3)
     ).count() == 1
+
+
+def test_rewrites_honor_recorded_partition_spec(spark, tmp_path):
+    """Maintenance rewrites derive the layout from recorded table
+    metadata (commit entries carry partition_by), not a hard-coded
+    column-name convention: a kp-partitioned table (the streaming band
+    index's layout) keeps its kp= directories through delete_where and
+    compact, so prefix-pruned reads stay pruned."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(f"{b}{i:02d}", f"doc{b}{i}", b * 2) for b in "ab" for i in range(3)],
+        "key string, doc_id string, kp string",
+    )
+    with wh.transaction():
+        wh.append(df, "band_index", partition_by=["kp"])
+    assert wh.table_partition_by("band_index") == ["kp"]
+
+    n = wh.delete_where("band_index", "doc_id = 'docb1'")
+    assert n == 1
+    tdir = str(tmp_path / "wh" / "band_index")
+    dirs = {d for d in os.listdir(tdir) if d.startswith("kp=")}
+    assert dirs == {"kp=aa", "kp=bb"}  # layout preserved, not flattened
+    assert wh.table_partition_by("band_index") == ["kp"]
+    got = {r["doc_id"] for r in wh.read("band_index").collect()}
+    assert got == {"doca0", "doca1", "doca2", "docb0", "docb2"}
+    # every committed file still lives under a kp= directory
+    assert all(r.startswith("kp=") for r in wh._manifest_files("band_index"))
+
+    wh.compact("band_index")
+    assert all(r.startswith("kp=") for r in wh._manifest_files("band_index"))
+    assert wh.table_partition_by("band_index") == ["kp"]
+    # prefix-pruned read still skips the other partition's files
+    pruned = wh.read("band_index", prune={"kp": ("aa", "aa")})
+    assert {r["doc_id"] for r in pruned.collect()} >= {"doca0", "doca1"}
+
+
+def test_partition_spec_recovered_for_legacy_entries(spark, tmp_path):
+    """Tables committed before partition_by was recorded in entries:
+    the spec is recovered from the committed relpaths' k=v directories,
+    so their rewrites keep the layout too."""
+    import json
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "x", "2021-03-01"), (2, "y", "2021-03-02")],
+        "id long, v string, dt string",
+    )
+    with wh.transaction():
+        wh.append(df, "t", partition_by=["dt"])
+    # simulate a pre-metadata entry: strip the recorded spec
+    mdir = wh._manifest_dir()
+    p1 = os.path.join(mdir, "000000001.json")
+    e = json.load(open(p1))
+    del e["partition_by"]
+    json.dump(e, open(p1, "w"))
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh2.table_partition_by("t") == ["dt"]
+    wh2.compact("t")
+    assert all(r.startswith("dt=") for r in wh2._manifest_files("t"))
+
+
+def test_flat_table_with_dt_column_stays_flat(spark, tmp_path):
+    """A table appended WITHOUT hive partitioning keeps its flat layout
+    through rewrites even when a 'dt' column exists (previously the
+    rewrite would silently re-layout it dt-partitioned)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "2021-03-01"), (2, "2021-03-02")], "id long, dt string")
+    with wh.transaction():
+        wh.append(df, "flat")
+    assert wh.table_partition_by("flat") == []
+    wh.compact("flat")
+    assert not any("=" in r for r in wh._manifest_files("flat"))
+    assert {r["id"] for r in wh.read("flat").collect()} == {1, 2}

@@ -1142,3 +1142,109 @@ class TestReadChanges:
         assert sorted(
             r["k"] for r in wh.read_changes("accounts", 0).collect()
         ) == [2, 3, 4]
+
+
+class TestDmlRewriteNarrowing:
+    """The two DML scale passes: stats/partition pruning DERIVED from
+    the predicate, then a find-touched-files scan — so an unpruned
+    selective delete rewrites only files that actually hold matches."""
+
+    def _wh8(self, spark, tmp_path):
+        import datetime as dt
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            for i in range(8):  # 8 files, ids [10i .. 10i+9]
+                rows = spark.createDataFrame(
+                    [(10 * i + j, float(j), dt.date(2021, 3, 1 + i % 4))
+                     for j in range(10)],
+                    "k long, v double, dt date",
+                )
+                wh.append(rows.coalesce(1), "t")
+        return wh
+
+    def test_unpruned_delete_rewrites_only_matching_files(
+            self, spark, tmp_path):
+        wh = self._wh8(spark, tmp_path)
+        before = set(wh._manifest_files("t"))
+        assert len(before) == 8
+        # k IN (42, 45) lives in exactly one file (ids 40..49); no
+        # prune argument — the narrowing pass finds the touched file
+        assert wh.delete_where("t", "k IN (42, 45)") == 2
+        after = set(wh._manifest_files("t"))
+        assert len(before - after) == 1  # exactly ONE file left the set
+        assert len(after - before) == 1  # replaced by ONE rewrite
+        got = sorted(r["k"] for r in wh.read("t").collect())
+        assert got == [k for k in range(80) if k not in (42, 45)]
+
+    def test_unpruned_update_rewrites_only_matching_files(
+            self, spark, tmp_path):
+        wh = self._wh8(spark, tmp_path)
+        before = set(wh._manifest_files("t"))
+        assert wh.update_where("t", "k = 13", {"v": "v + 100"}) == 1
+        after = set(wh._manifest_files("t"))
+        assert len(before - after) == 1
+        assert {r["v"] for r in wh.read("t").where("k = 13").collect()} \
+            == {103.0}
+
+    def test_derived_prune_scans_only_matching_partition(
+            self, spark, tmp_path):
+        """delete_where("dt = ...") with NO explicit prune: the bounds
+        derived from the predicate bound the find-touched-files scan to
+        that partition's files (partition-path pruning)."""
+        import datetime as dt
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources import (
+            warehouse as W,
+        )
+
+        wh = W.Warehouse(spark, str(tmp_path / "wh"))
+        for day in (1, 2, 3):
+            rows = spark.createDataFrame(
+                [(day * 10 + j, float(j), dt.date(2021, 3, day))
+                 for j in range(5)],
+                "k long, v double, dt date",
+            )
+            with wh.transaction():
+                wh.append(rows.coalesce(1), "t", partition_by=["dt"])
+        # the derivation itself: equality -> tight bounds
+        assert W.derive_prune_bounds(spark, "dt = '2021-03-02'") == \
+            {"dt": ("2021-03-02", "2021-03-02")}
+        # the derived bounds select only the matching partition's files
+        mf = wh._manifest_files("t")
+        stats = wh._manifest_stats("t")
+        cand = [r for r in mf if W._file_may_match(
+            r, stats.get(r), W.derive_prune_bounds(spark, "dt = '2021-03-02'"))]
+        assert all("dt=2021-03-02" in r for r in cand) and cand
+        # and the delete touches only that partition
+        before = set(mf)
+        assert wh.delete_where("t", "dt = '2021-03-02'") == 5
+        after = set(wh._manifest_files("t"))
+        assert all("dt=2021-03-02" in r for r in before - after)
+        assert sorted(r["k"] for r in wh.read("t").collect()) == \
+            [10, 11, 12, 13, 14, 30, 31, 32, 33, 34]
+
+    def test_derived_bounds_are_necessary_only(self, spark, tmp_path):
+        """OR / NOT / expressions never derive bounds (a sufficient-but-
+        not-necessary prune would silently keep matching rows alive)."""
+        from etl_pipeline_for_detection_banking_fraud_spark.sources import (
+            warehouse as W,
+        )
+
+        assert W.derive_prune_bounds(spark, "a = 1 OR b = 2") == {}
+        assert W.derive_prune_bounds(spark, "NOT (a = 1)") == {}
+        assert W.derive_prune_bounds(spark, "upper(n) = 'X'") == {}
+        # conjuncts still contribute around an unrecognized term
+        assert W.derive_prune_bounds(
+            spark, "dt = '2021-03-02' AND (a = 1 OR b = 2)") == \
+            {"dt": ("2021-03-02", "2021-03-02")}
+        # intersection of repeated bounds on one column
+        assert W.derive_prune_bounds(spark, "k >= 3 AND k < 9") == \
+            {"k": (3, 9)}
+        assert W.derive_prune_bounds(
+            spark, "dt BETWEEN '2021-01-01' AND '2021-02-01'") == \
+            {"dt": ("2021-01-01", "2021-02-01")}
