@@ -1256,3 +1256,88 @@ def tpch_q17_shape(spark, sf_dir):
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@_q(
+    "tpch_q21_shape",
+    "TPC-H Q21 shape: EXISTS + NOT EXISTS correlated semi/anti chain "
+    "over a self-joined fact — suppliers who kept others waiting, "
+    "re-keyed to the testdata columns (late = returnflag 'R')",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.l_returnflag = 'R'
+      AND o.o_orderstatus = 'F'
+      AND n.n_name LIKE 'NATION_1%'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_shape(spark, sf_dir):
+    """The deepest TPC-H operator shape: a fact self-joined THREE ways
+    (base + EXISTS + NOT EXISTS), decorrelated Spark-first as left_semi
+    + left_anti on the PRE-AGGREGATED (order, supplier) fact — the
+    row-level EXISTS is equivalent at pair granularity, and the
+    pre-aggregation shrinks the self-join sides from |lineitem| to
+    |distinct pairs| before any join. All three fact sides exchange on
+    the same l_orderkey key; supplier and nation broadcast; no
+    cartesian anywhere (plan-guarded in tests/test_plans.py). The
+    reference's engine (Postgres) would run this as nested correlated
+    subqueries — the Spark shape is two hash joins over one shuffle
+    key. Reference parity: semi/anti join semantics per SURVEY §2
+    J3/J8 (reference scd2/lookup NOT EXISTS at loading_*.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    fact = (
+        li.select("l_orderkey", "l_suppkey",
+                  (F.col("l_returnflag") == "R").alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    other = fact.select(F.col("l_orderkey").alias("ok2"),
+                        F.col("l_suppkey").alias("sk2"))
+    other_late = fact.where("late").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    waiting = (
+        fact.where("late")
+        .join(other, (F.col("l_orderkey") == F.col("ok2"))
+              & (F.col("l_suppkey") != F.col("sk2")), "left_semi")
+        .join(other_late, (F.col("l_orderkey") == F.col("ok3"))
+              & (F.col("l_suppkey") != F.col("sk3")), "left_anti")
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(waiting, ["l_orderkey", "l_suppkey"], "left_semi")
+        .join(o.where(F.col("o_orderstatus") == "F")
+              .select(F.col("o_orderkey").alias("l_orderkey")),
+              "l_orderkey", "left_semi")
+    )
+    sn = (
+        s.join(F.broadcast(n.where(F.col("n_name").like("NATION_1%"))),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(F.broadcast(sn), l1.l_suppkey == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

@@ -131,6 +131,10 @@ class Transaction:
         # merge / DML) can re-derive the table's layout from metadata
         # instead of a hard-coded column-name convention
         self.partition_by: dict[str, list[str]] = {}
+        # table -> {dv relpath: [covered data relpaths]} — the table's
+        # FULL deletion-vector map as of this commit (replace entries
+        # replace it wholesale; writers carry surviving entries forward)
+        self.dv: dict[str, dict[str, list[str]]] = {}
 
     def append(self, df: DataFrame, table: str,
                partition_by: list[str] | None = None) -> None:
@@ -209,6 +213,8 @@ class Transaction:
                 entry["stats"] = self.stats
             if self.partition_by:
                 entry["partition_by"] = self.partition_by
+            if self.dv:
+                entry["dv"] = self.dv
             if self.vacuum:
                 entry["vacuum"] = True
             tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
@@ -398,6 +404,12 @@ def _file_may_match(rel: str, fs: dict | None, prune: dict) -> bool:
                 pass  # bound/stat type mismatch (e.g. a string bound
                 # against numeric stats): cannot prove disjoint — keep
     return True
+
+
+def _basename_col():
+    """Each row's source-file basename (txn file names are unique per
+    table, so the basename identifies the file across hive subdirs)."""
+    return F.element_at(F.split(F.input_file_name(), "/"), -1)
 
 
 def _lit_value(e):
@@ -716,6 +728,7 @@ class Warehouse:
     def _apply_entry(state: dict, seq: int, entry: dict) -> None:
         appends = set(entry.get("append_tables", []))
         pb = entry.get("partition_by", {})
+        dv = entry.get("dv", {})
         for table, files in entry.get("tables", {}).items():
             s = entry.get("stats", {}).get(table, {})
             if entry.get("op") == "replace" and table not in appends:
@@ -727,6 +740,15 @@ class Warehouse:
                     state["partition_by"][table] = list(pb[table])
                 else:
                     state["partition_by"].pop(table, None)
+                # same contract for deletion vectors: a replace entry
+                # carries the table's FULL surviving dv map (a rewrite
+                # that folded every dv simply records none)
+                if table in dv:
+                    state["dv"][table] = {
+                        k: list(v) for k, v in dv[table].items()
+                    }
+                else:
+                    state["dv"].pop(table, None)
                 if entry.get("vacuum"):
                     state["retention"][table] = seq
             else:
@@ -734,6 +756,10 @@ class Warehouse:
                 state["stats"].setdefault(table, {}).update(s)
                 if table in pb:
                     state["partition_by"][table] = list(pb[table])
+                if table in dv:
+                    state["dv"].setdefault(table, {}).update(
+                        {k: list(v) for k, v in dv[table].items()}
+                    )
 
     def _replay_state(self, at: int | None = None) -> dict:
         """Replay the commit log into {tables: {t: [files]}, stats,
@@ -760,7 +786,7 @@ class Warehouse:
                     self._state_cache[0] == head:
                 return self._state_cache[1]
             state: dict = {"tables": {}, "stats": {}, "retention": {},
-                           "partition_by": {}}
+                           "partition_by": {}, "dv": {}}
             start = 0
             for cseq in reversed(ckpt_seqs):
                 ck = self._load_checkpoint(cseq)
@@ -771,6 +797,8 @@ class Warehouse:
                         "retention": dict(ck.get("retention", {})),
                         "partition_by": {t: list(v) for t, v in
                                          ck.get("partition_by", {}).items()},
+                        "dv": {t: {k: list(f) for k, f in v.items()}
+                               for t, v in ck.get("dv", {}).items()},
                     }
                     start = cseq
                     break
@@ -921,6 +949,68 @@ class Warehouse:
         delete superseded files and advance this boundary. 0 = all
         history readable."""
         return self._replay_state()["retention"].get(table.lower(), 0)
+
+    def _dv_state(self, table: str, at: int | None = None) -> dict:
+        """The table's deletion-vector map ``{dv_rel: [covered data
+        rels]}`` as of commit ``at`` (None = head). Empty for tables
+        without merge-on-read deletes."""
+        return self._replay_state(at=at)["dv"].get(table.lower(), {})
+
+    def _dv_apply(self, df: DataFrame, table: str, dv_map: dict,
+                  rels: list[str],
+                  keep_file_col: str | None = None) -> DataFrame:
+        """Apply merge-on-read deletes: anti-join out the DV rows that
+        cover any of the data files ``df`` was read from. Matching is
+        (source-file basename, full row) with null-safe equality — a
+        DV row removes exactly the physical rows the recording delete
+        matched, duplicates included (a duplicate row in the same file
+        matched the same deterministic predicate). The DV side is tiny
+        by design and broadcast: no shuffle, the scan streams through
+        a broadcast hash anti-join. ``keep_file_col`` names an output
+        column carrying each surviving row's source-file basename (for
+        callers that need it downstream, e.g. the DML narrowing pass);
+        None drops it."""
+        fcol = keep_file_col or "__dv_f"
+        covering = sorted(
+            r for r, cov in dv_map.items() if set(cov) & set(rels)
+        )
+        lhs = df.withColumn(fcol, _basename_col())
+        if not covering:
+            return lhs if keep_file_col else df
+        p = self._path(table)
+        dv = self.spark.read.parquet(
+            *[os.path.join(p, r) for r in covering]
+        ).select(
+            "_src", *[F.col(c).alias(f"__dv_{c}") for c in df.columns]
+        )
+        cond = lhs[fcol] == dv["_src"]
+        for c in df.columns:
+            cond = cond & lhs[c].eqNullSafe(dv[f"__dv_{c}"])
+        out = lhs.join(F.broadcast(dv), cond, "left_anti")
+        return out if keep_file_col else out.drop(fcol)
+
+    def _write_dv_file(self, table: str, doomed_src: DataFrame) -> str:
+        """Persist one deletion-vector parquet (the doomed rows plus
+        their ``_src`` source-file basenames) under ``<table>/_dv/`` —
+        an underscore directory, invisible to data-file walks and plain
+        parquet reads; visibility is gated by the commit entry that
+        references it. Returns the dv file's table-relative path."""
+        p = self._path(table)
+        dvdir = os.path.join(p, "_dv")
+        os.makedirs(dvdir, exist_ok=True)
+        stage = os.path.join(p, f".dv-stage-{uuid.uuid4().hex[:8]}")
+        doomed_src.coalesce(1).write.mode("overwrite").parquet(stage)
+        name = None
+        for fn in sorted(os.listdir(stage)):
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
+                os.replace(os.path.join(stage, fn),
+                           os.path.join(dvdir, name))
+                break
+        shutil.rmtree(stage, ignore_errors=True)
+        if name is None:
+            raise RuntimeError("deletion-vector write produced no file")
+        return os.path.join("_dv", name)
 
     def table_partition_by(self, table: str) -> list[str]:
         """The table's recorded hive partition spec (table metadata the
@@ -1074,6 +1164,9 @@ class Warehouse:
         df = self.spark.read.option("basePath", p).parquet(
             *[os.path.join(p, rel) for rel in mf]
         )
+        dv_map = self._dv_state(table, at=seq)
+        if dv_map:
+            df = self._dv_apply(df, table, dv_map, mf)
         if schema is not None:
             df = df.select(*[f.name for f in schema.fields])
         return df
@@ -1133,6 +1226,27 @@ class Warehouse:
                     f"compact/cluster)"
                 )
         only_a, only_b = self._diff_file_sets(table, seq_a, seq_b)
+        dv_a = self._dv_state(table, at=seq_a)
+        dv_b = self._dv_state(table, at=seq_b)
+        if dv_a or dv_b:
+            # merge-on-read deletes change rows WITHOUT changing the
+            # file set: add the files whose covering-dv set differs
+            # between the snapshots to the per-side scan (per-file dv
+            # coverage keeps this O(changed files), not O(table))
+            def _cover(dv):
+                m: dict = {}
+                for dv_rel, cov in dv.items():
+                    for r in cov:
+                        m.setdefault(r, set()).add(dv_rel)
+                return m
+
+            ca, cb = _cover(dv_a), _cover(dv_b)
+            mf_a = set(self._manifest_files(table, at=seq_a) or [])
+            mf_b = set(self._manifest_files(table, at=seq_b) or [])
+            changed = {r for r in (mf_a | mf_b)
+                       if ca.get(r, set()) != cb.get(r, set())}
+            only_a = sorted(set(only_a) | (changed & mf_a))
+            only_b = sorted(set(only_b) | (changed & mf_b))
         p = self._path(table)
         all_rels = only_a + only_b
         if not all_rels:
@@ -1144,17 +1258,22 @@ class Warehouse:
             *[os.path.join(p, rel) for rel in all_rels]
         ).limit(0)
 
-        def _side(rels: list[str]) -> DataFrame:
+        def _side(rels: list[str], dv_map: dict) -> DataFrame:
             if not rels:
                 return probe
-            return self.spark.read.option("basePath", p).parquet(
+            df = self.spark.read.option("basePath", p).parquet(
                 *[os.path.join(p, rel) for rel in rels]
             ).select(*probe.columns)
+            if dv_map:
+                df = self._dv_apply(df, table, dv_map, rels)
+            return df
 
         from ..operators.cdc import snapshot_diff
 
         return snapshot_diff(
-            _side(only_a), _side(only_b), key_cols,
+            _side(only_a, self._dv_state(table, at=seq_a)),
+            _side(only_b, self._dv_state(table, at=seq_b)),
+            key_cols,
             change_col="_change_type",
         )
 
@@ -1303,6 +1422,11 @@ class Warehouse:
                     return reader.option("basePath", p).parquet(*allf).limit(0)
             files = [os.path.join(p, rel) for rel in rels]
             df = reader.option("basePath", p).parquet(*files)
+            dv_map = self._dv_state(table)
+            if dv_map:
+                # merge-on-read deletes: anti-join the deletion-vector
+                # rows covering the files actually read (broadcast)
+                df = self._dv_apply(df, table, dv_map, rels)
         else:
             df = reader.parquet(p)
         if schema is not None:
@@ -1398,6 +1522,12 @@ class Warehouse:
                 df = self.spark.read.option("basePath", p).parquet(
                     *[os.path.join(p, r) for r in selected]
                 )
+                dv_map = self._dv_state(table)
+                if dv_map:
+                    # fold merge-on-read deletes physically: the
+                    # rewrite keeps only live rows, so the folded dv
+                    # entries leave the map (and their files go below)
+                    df = self._dv_apply(df, table, dv_map, selected)
                 part_cols = self._rewrite_part_cols(table, df)
                 txn = Transaction(self)
                 txn.replace = True
@@ -1419,6 +1549,9 @@ class Warehouse:
                     for rel in untouched:
                         if rel in old_stats:
                             tstats[rel] = old_stats[rel]
+                survivors = self._dv_survivors(dv_map, set(selected))
+                if survivors:
+                    txn.dv[table] = survivors
                 try:
                     txn.commit()
                 except CommitConflict:
@@ -1430,6 +1563,11 @@ class Warehouse:
                 for rel in selected:
                     with contextlib.suppress(OSError):
                         os.remove(os.path.join(table_dir, rel))
+                # folded dv files: compaction is a vacuum op (retention
+                # advanced past every snapshot that referenced them)
+                for dv_rel in set(dv_map) - set(survivors):
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(table_dir, dv_rel))
                 # natural checkpoint moment: state was just folded to one
                 # replace entry, so the snapshot is at its smallest
                 with contextlib.suppress(Exception):
@@ -1588,7 +1726,8 @@ class Warehouse:
             self._invalidate_state()
             base_seq = self._latest_seq()
             old = list(self._manifest_files(table) or [])
-            df = self.read(table)
+            dv_map = self._dv_state(table)
+            df = self.read(table)  # dv-applied: the rewrite folds them
             keys = key_cols_fn(df)
             part_cols = self._rewrite_part_cols(table, df)
             # materialize the ordering expressions once: evaluated a
@@ -1628,6 +1767,9 @@ class Warehouse:
             for rel in old:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(table_dir, rel))
+            for dv_rel in dv_map:  # folded by the dv-applied full read
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(table_dir, dv_rel))
             with contextlib.suppress(Exception):
                 self.write_checkpoint()
             return
@@ -1736,12 +1878,21 @@ class Warehouse:
                 f"{table} has no commit-log history as of seq {seq}"
             )
         stats = self._manifest_stats(table, at=seq)
+        state_at = self._replay_state(at=seq)
         txn = Transaction(self)
         txn.replace = True
         txn.base_seq = self._latest_seq()
         txn.pending = {table: list(files)}
         if stats:
             txn.stats = {table: dict(stats)}
+        # a restore relinks the old snapshot wholesale: its partition
+        # layout and deletion-vector map come back with it
+        pb = state_at["partition_by"].get(table)
+        if pb:
+            txn.partition_by[table] = list(pb)
+        dv = state_at["dv"].get(table)
+        if dv:
+            txn.dv[table] = {k: list(v) for k, v in dv.items()}
         txn.commit()
 
     def merge_table(self, table: str, changes: DataFrame, key: str,
@@ -1813,37 +1964,65 @@ class Warehouse:
                 if sidecar:
                     self.vacuum_orphans(sidecar)
 
-    def _matched_files(self, table_dir: str, cand: list[str],
-                       matches) -> list[str]:
+    def _matched_files(self, table: str, cand: list[str], matches,
+                       dv_map: dict) -> list[str]:
         """Narrow a DML rewrite set to the files that ACTUALLY contain
-        matching rows (Delta's find-touched-files pass): scan the
-        candidates with the predicate and collect the distinct source
-        files — bounded output, one value per matched file; Catalyst
+        matching LIVE rows (Delta's find-touched-files pass): scan the
+        candidates with the predicate — deletion vectors applied, so a
+        row already deleted merge-on-read cannot re-trigger a rewrite
+        or a duplicate CDF delete — and collect the distinct source
+        files. Bounded output, one value per matched file; Catalyst
         prunes the scan to the predicate's columns. Matching is by
         file BASENAME: txn file names carry the writing transaction's
         uuid, so they are unique per table (a false collision could
         only ADD a file to the rewrite set, never lose one)."""
-        import urllib.parse
-
-        df = self.spark.read.option("basePath", table_dir).parquet(
-            *[os.path.join(table_dir, r) for r in cand])
+        p = self._path(table)
+        df = self.spark.read.option("basePath", p).parquet(
+            *[os.path.join(p, r) for r in cand])
+        live = self._dv_apply(df, table, dv_map, cand,
+                              keep_file_col="__dv_f")
         hit = {
-            os.path.basename(urllib.parse.unquote(r[0]))
-            for r in df.where(matches)
-            .select(F.input_file_name()).distinct().collect()
+            str(r[0]) for r in
+            live.where(matches).select("__dv_f").distinct().collect()
         }
         return [r for r in cand if os.path.basename(r) in hit]
 
+    @staticmethod
+    def _dv_survivors(dv_map: dict, rewritten: set) -> dict:
+        """The dv entries still needed after ``rewritten`` data files
+        leave the manifest: coverage shrinks to the files that remain
+        (their rows were folded into the rewrite); entries with no
+        remaining coverage drop out of the map (the dv FILE stays on
+        disk for time travel until a vacuum op reclaims it)."""
+        out = {}
+        for dv_rel, cov in dv_map.items():
+            left = [r for r in cov if r not in rewritten]
+            if left:
+                out[dv_rel] = left
+        return out
+
     def delete_where(self, table: str, condition, *,
                      prune: dict | None = None, cdf: bool = False,
-                     cdf_table: str | None = None) -> int:
+                     cdf_table: str | None = None,
+                     mode: str = "rewrite") -> int:
         """DELETE FROM ``table`` WHERE ``condition`` as ONE atomic
         replace commit (the Delta ``DELETE`` analog) — file-level:
-        only files that ACTUALLY hold matching rows are rewritten
+        only files that ACTUALLY hold matching rows are touched
         (stats/partition pruning first, then a find-touched-files scan
         with the predicate), every other file is carried into the new
         manifest verbatim with its recorded stats, so a selective
-        delete on a 100 TB table rewrites a sliver, not the table.
+        delete on a 100 TB table touches a sliver, not the table.
+
+        ``mode="rewrite"`` (default) rewrites the touched files without
+        the matching rows. ``mode="dv"`` is MERGE-ON-READ (the Delta
+        deletion-vector analog): no data file is rewritten at all — the
+        matched rows are recorded in a per-file deletion-vector sidecar
+        referenced by the commit entry, and every read path
+        (``read`` / ``read_at`` / ``table_diff``) anti-joins them out;
+        the next ``compact()`` / ``cluster_table()`` (or an eager DML
+        rewrite of the covered files) folds them physically. Scattered
+        single-row deletes across a 100 TB table cost one tiny sidecar
+        write instead of rewriting every touched file.
 
         ``condition`` is a Column (or SQL string) evaluated per row;
         NULL counts as not-matching (SQL DELETE semantics). ``prune``
@@ -1862,8 +2041,10 @@ class Warehouse:
         delete re-reads and retries. ``cdf=True`` appends the deleted
         rows — ``change_type='delete'``, tagged with the transaction
         id — to the table's CDF sidecar in the SAME commit, so
-        CDF-driven rollups absorb the delete exactly. Returns the
-        number of rows deleted (0 = no commit was written)."""
+        CDF-driven rollups absorb the delete exactly (both modes).
+        Returns the number of rows deleted (0 = no commit)."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError("mode must be 'rewrite' or 'dv'")
         if prune is None:
             prune = derive_prune_bounds(self.spark, condition) or None
         if isinstance(condition, str):
@@ -1881,6 +2062,7 @@ class Warehouse:
             base_seq = self._latest_seq()
             mf = list(self._manifest_files(table) or [])
             stats = self._manifest_stats(table)
+            dv_map = self._dv_state(table)
             if prune:
                 cand = [r for r in mf
                         if _file_may_match(r, stats.get(r), prune)]
@@ -1888,32 +2070,50 @@ class Warehouse:
                 cand = mf
             if not cand:
                 return 0
-            cand = self._matched_files(p, cand, matches)
+            cand = self._matched_files(table, cand, matches, dv_map)
             if not cand:
-                return 0  # no file holds a matching row: no commit
+                return 0  # no file holds a matching live row: no commit
             untouched = [r for r in mf if r not in set(cand)]
             df = self.spark.read.option("basePath", p).parquet(
                 *[os.path.join(p, r) for r in cand])
-            doomed = df.where(matches).persist()
+            live = self._dv_apply(df, table, dv_map, cand,
+                                  keep_file_col="_src")
+            doomed = live.where(matches).persist()
             try:
                 n = doomed.count()
                 if n == 0:
                     return 0  # nothing matched: no commit, no rewrite
-                kept = df.where(~matches)
-                part_cols = self._rewrite_part_cols(table, df)
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
-                txn.append(kept, table, partition_by=part_cols or None)
-                if untouched:
-                    txn.pending[table] = untouched + txn.pending[table]
-                    tstats = txn.stats.setdefault(table, {})
-                    for rel in untouched:
-                        if rel in stats:
-                            tstats[rel] = stats[rel]
+                if mode == "dv":
+                    dv_rel = self._write_dv_file(table, doomed)
+                    txn.pending[table] = list(mf)
+                    if stats:
+                        txn.stats[table] = dict(stats)
+                    pb = self.table_partition_by(table)
+                    if pb:
+                        txn.partition_by[table] = pb
+                    new_dv = {k: list(v) for k, v in dv_map.items()}
+                    new_dv[dv_rel] = sorted(cand)
+                    txn.dv[table] = new_dv
+                else:
+                    kept = live.where(~matches).drop("_src")
+                    part_cols = self._rewrite_part_cols(table, df)
+                    txn.append(kept, table,
+                               partition_by=part_cols or None)
+                    if untouched:
+                        txn.pending[table] = untouched + txn.pending[table]
+                        tstats = txn.stats.setdefault(table, {})
+                        for rel in untouched:
+                            if rel in stats:
+                                tstats[rel] = stats[rel]
+                    survivors = self._dv_survivors(dv_map, set(cand))
+                    if survivors:
+                        txn.dv[table] = survivors
                 if sidecar:
                     txn.append_only.add(sidecar)
-                    feed = doomed.withColumn(
+                    feed = doomed.drop("_src").withColumn(
                         "change_type", F.lit("delete")
                     ).withColumn("_txn", F.lit(txn.txnid))
                     txn.append(feed, sidecar)
@@ -1932,14 +2132,20 @@ class Warehouse:
 
     def update_where(self, table: str, condition, assignments: dict, *,
                      prune: dict | None = None, cdf: bool = False,
-                     cdf_table: str | None = None) -> int:
+                     cdf_table: str | None = None,
+                     mode: str = "rewrite") -> int:
         """UPDATE ``table`` SET ``assignments`` WHERE ``condition`` as
         ONE atomic replace commit (the Delta ``UPDATE`` analog), with
         the same file-level shape as ``delete_where``: only files that
-        might hold matching rows are rewritten (``prune`` must be a
-        NECESSARY condition for the predicate), untouched files carry
-        verbatim with their stats, superseded files stay readable
-        (logical replace), racing appends conflict and retry.
+        actually hold matching live rows are touched (derived prune +
+        find-touched-files), untouched files carry verbatim with their
+        stats, superseded files stay readable (logical replace), racing
+        appends conflict and retry.
+
+        ``mode="dv"`` is the merge-on-read UPDATE: the preimages are
+        recorded in a deletion-vector sidecar (no data file rewritten)
+        and the postimages are APPENDED as new data files in the same
+        commit — reads see old-minus-pre plus post, exactly the update.
 
         ``assignments`` maps column name -> Column or SQL string,
         evaluated against the PRE-update row (standard UPDATE: all SET
@@ -1950,6 +2156,8 @@ class Warehouse:
         in the SAME commit (``merge_table``'s feed shape, so CDF
         rollups absorb the update as -pre +post exactly). Returns rows
         updated (0 = no commit)."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError("mode must be 'rewrite' or 'dv'")
         if prune is None:
             prune = derive_prune_bounds(self.spark, condition) or None
         if isinstance(condition, str):
@@ -1968,14 +2176,14 @@ class Warehouse:
             base_seq = self._latest_seq()
             mf = list(self._manifest_files(table) or [])
             stats = self._manifest_stats(table)
+            dv_map = self._dv_state(table)
             cand = [r for r in mf
-                    if _file_may_match(r, stats.get(r), prune)] \
-                if prune else mf
+                    if _file_may_match(r, stats.get(r), prune)]                 if prune else mf
             if not cand:
                 return 0
-            cand = self._matched_files(p, cand, matches)
+            cand = self._matched_files(table, cand, matches, dv_map)
             if not cand:
-                return 0  # no file holds a matching row: no commit
+                return 0  # no file holds a matching live row: no commit
             untouched = [r for r in mf if r not in set(cand)]
             df = self.spark.read.option("basePath", p).parquet(
                 *[os.path.join(p, r) for r in cand])
@@ -1990,31 +2198,54 @@ class Warehouse:
                 .cast(df.schema[c].dataType)
                 for c, v in assignments.items()
             }
-            pre = df.where(matches).persist()
+            live = self._dv_apply(df, table, dv_map, cand,
+                                  keep_file_col="_src")
+            pre = live.where(matches).persist()
             try:
                 n = pre.count()
                 if n == 0:
                     return 0
                 post = pre.withColumns(sets)
-                new_rows = df.where(~matches).unionByName(post)
                 part_cols = self._rewrite_part_cols(table, df)
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
-                txn.append(new_rows, table, partition_by=part_cols or None)
-                if untouched:
-                    txn.pending[table] = untouched + txn.pending[table]
+                if mode == "dv":
+                    dv_rel = self._write_dv_file(table, pre)
+                    txn.append(post.drop("_src"), table,
+                               partition_by=part_cols or None)
+                    # new postimage files JOIN the untouched manifest
+                    txn.pending[table] = list(mf) + txn.pending[table]
                     tstats = txn.stats.setdefault(table, {})
-                    for rel in untouched:
+                    for rel in mf:
                         if rel in stats:
                             tstats[rel] = stats[rel]
+                    pb = self.table_partition_by(table)
+                    if pb:
+                        txn.partition_by[table] = pb
+                    new_dv = {k: list(v) for k, v in dv_map.items()}
+                    new_dv[dv_rel] = sorted(cand)
+                    txn.dv[table] = new_dv
+                else:
+                    new_rows = live.where(~matches).unionByName(post)                         .drop("_src")
+                    txn.append(new_rows, table,
+                               partition_by=part_cols or None)
+                    if untouched:
+                        txn.pending[table] = untouched + txn.pending[table]
+                        tstats = txn.stats.setdefault(table, {})
+                        for rel in untouched:
+                            if rel in stats:
+                                tstats[rel] = stats[rel]
+                    survivors = self._dv_survivors(dv_map, set(cand))
+                    if survivors:
+                        txn.dv[table] = survivors
                 if sidecar:
                     txn.append_only.add(sidecar)
-                    feed = pre.withColumn(
+                    feed = pre.drop("_src").withColumn(
                         "change_type", F.lit("update_preimage")
                     ).unionByName(
-                        post.withColumn("change_type",
-                                        F.lit("update_postimage"))
+                        post.drop("_src").withColumn(
+                            "change_type", F.lit("update_postimage"))
                     ).withColumn("_txn", F.lit(txn.txnid))
                     txn.append(feed, sidecar)
                 try:

@@ -470,6 +470,23 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                         )
         before = self._visible(wh, start)
         after = sorted(self._visible(wh, end) - before)
+        dv_map = wh._replay_state(at=_scan_hi(end))["dv"].get(self.table, {})
+        if dv_map:
+            covered = set().union(*dv_map.values()) & set(after)
+            if covered:
+                # merge-on-read deletes: the raw files this batch would
+                # emit contain rows a deletion vector removed — emitting
+                # them would resurrect deleted rows into the stream.
+                # Fail loudly (Delta's early DV-streaming posture);
+                # compact() folds the vectors physically, after which
+                # the snapshot plans normally.
+                raise RuntimeError(
+                    f"table {self.table} has merge-on-read deletion "
+                    f"vectors covering {len(covered)} file(s) this batch "
+                    "would emit; compact() the table to fold them (or "
+                    "use eager delete_where mode='rewrite') before "
+                    "streaming it"
+                )
         table_dir = os.path.join(self.root, self.table)
         return [
             _FilePartition(os.path.join(table_dir, rel), _partition_pairs(rel))

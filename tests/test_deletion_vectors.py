@@ -1,0 +1,225 @@
+"""Merge-on-read DML (deletion vectors): delete_where/update_where
+mode="dv" record matched rows in a per-file sidecar referenced by the
+commit entry instead of rewriting data files; every read path
+anti-joins them out; compaction folds them physically.
+
+Reference has no DML at all — this is the engine's 100 TB lever for
+scattered selective deletes (Delta deletion-vector analog).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+    Warehouse,
+)
+
+
+def _wh8(spark, tmp_path, partitioned=False):
+    """8 files; ids [10i .. 10i+9]; one row in file i has v NULL."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with wh.transaction():
+        for i in range(8):
+            rows = spark.createDataFrame(
+                [(10 * i + j,
+                  None if j == 9 else float(j),
+                  dt.date(2021, 3, 1 + i % 4)) for j in range(10)],
+                "k long, v double, dt date",
+            )
+            wh.append(rows.coalesce(1), "t",
+                      partition_by=["dt"] if partitioned else None)
+    return wh
+
+
+class TestDvDelete:
+    def test_no_data_file_rewrite_and_row_exact(self, spark, tmp_path):
+        """A dv delete touching 1 file of 8 writes NO data-file rewrite
+        (manifest file set identical) and reads exactly match the
+        eager-rewrite result."""
+        wh = _wh8(spark, tmp_path)
+        before = list(wh._manifest_files("t"))
+        n = wh.delete_where("t", "k IN (42, 45)", mode="dv")
+        assert n == 2
+        assert list(wh._manifest_files("t")) == before  # zero rewrites
+        got = sorted(r["k"] for r in wh.read("t").collect())
+        # eager differential on an identical table
+        wh2 = _wh8(spark, tmp_path / "eager")
+        assert wh2.delete_where("t", "k IN (42, 45)") == 2
+        expect = sorted(r["k"] for r in wh2.read("t").collect())
+        assert got == expect == [k for k in range(80) if k not in (42, 45)]
+        # the dv sidecar lives in a hidden dir, referenced by the entry
+        dv_map = wh._dv_state("t")
+        assert len(dv_map) == 1
+        (dv_rel, cov), = dv_map.items()
+        assert dv_rel.startswith("_dv/") and len(cov) == 1
+
+    def test_null_rows_and_duplicates_delete_exactly(self, spark, tmp_path):
+        """The anti-join is null-safe (a doomed row with NULL columns
+        still matches its dv counterpart) and removes duplicate
+        identical rows like the eager path does."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = spark.createDataFrame(
+            [(1, None), (1, None), (2, 5.0), (3, None)],
+            "k long, v double")
+        with wh.transaction():
+            wh.append(rows.coalesce(1), "t")
+        # v IS NULL matches k=1 (x2, duplicates) and k=3
+        assert wh.delete_where("t", "v IS NULL", mode="dv") == 3
+        assert [r["k"] for r in wh.read("t").collect()] == [2]
+
+    def test_time_travel_and_stacked_dvs(self, spark, tmp_path):
+        wh = _wh8(spark, tmp_path)
+        pre = wh._latest_seq()
+        assert wh.delete_where("t", "k = 11", mode="dv") == 1
+        mid = wh._latest_seq()
+        assert wh.delete_where("t", "k IN (12, 55)", mode="dv") == 2
+        # head sees both deletes; each snapshot sees its own dv state
+        assert wh.read("t").count() == 77
+        assert wh.read_at("t", pre).count() == 80
+        assert wh.read_at("t", mid).count() == 79
+        # deleting an already-dv-deleted row is a no-op (no commit)
+        head = wh._latest_seq()
+        assert wh.delete_where("t", "k = 11", mode="dv") == 0
+        assert wh._latest_seq() == head
+
+    def test_compaction_folds_dvs(self, spark, tmp_path):
+        wh = _wh8(spark, tmp_path)
+        assert wh.delete_where("t", "k IN (42, 45)", mode="dv") == 2
+        dv_files = [os.path.join(str(tmp_path / "wh" / "t"), r)
+                    for r in wh._dv_state("t")]
+        assert all(os.path.exists(f) for f in dv_files)
+        wh.compact("t")
+        assert wh._dv_state("t") == {}
+        assert not any(os.path.exists(f) for f in dv_files)  # reclaimed
+        got = sorted(r["k"] for r in wh.read("t").collect())
+        assert got == [k for k in range(80) if k not in (42, 45)]
+
+    def test_eager_dml_folds_covered_files(self, spark, tmp_path):
+        """An eager rewrite of a dv-covered file folds that file's dv
+        rows (they never resurrect) and keeps dv entries covering other
+        files alive."""
+        wh = _wh8(spark, tmp_path)
+        assert wh.delete_where("t", "k IN (42, 71)", mode="dv") == 2
+        # eager delete touches file 4 (ids 40..49) only
+        assert wh.delete_where("t", "k = 44") == 1
+        got = sorted(r["k"] for r in wh.read("t").collect())
+        assert got == [k for k in range(80) if k not in (42, 44, 71)]
+        # surviving dv entry covers only the file NOT rewritten
+        dv_map = wh._dv_state("t")
+        covs = sorted(c for cov in dv_map.values() for c in cov)
+        assert len(covs) == 1  # the k=71 file's coverage survives
+
+    def test_cdf_delete_feeds_rollup_exactly(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = _wh8(spark, tmp_path)
+        aggs = {"v": ["sum", "count"]}
+        assert rollup.bootstrap_rollup(wh, "agg_t", ["dt"], aggs,
+                                       wh.read("t"))
+        assert wh.delete_where("t", "k IN (42, 45)", mode="dv",
+                               cdf=True) == 2
+        feed = wh.read("t__cdf")
+        assert feed.count() == 2
+        assert {r["change_type"] for r in feed.collect()} == {"delete"}
+        assert rollup.apply_rollup_cdf_batch(
+            wh, "agg_t", ["dt"], aggs, feed, 0)
+        got = {r["dt"]: (r["v_sum"], r["v_count"])
+               for r in wh.read("agg_t").collect()}
+        expect = {r["dt"]: (r["s"], r["c"])
+                  for r in wh.read("t").groupBy("dt").agg(
+                      F.sum("v").alias("s"),
+                      F.count("v").alias("c")).collect()}
+        assert got == expect
+
+    def test_table_diff_sees_dv_deletes(self, spark, tmp_path):
+        wh = _wh8(spark, tmp_path)
+        a = wh._latest_seq()
+        assert wh.delete_where("t", "k = 42", mode="dv") == 1
+        b = wh._latest_seq()
+        diff = wh.table_diff("t", a, b, ["k"]).collect()
+        assert [(r["k"], r["_change_type"]) for r in diff] == \
+            [(42, "delete")]
+
+    def test_restore_carries_dv_state(self, spark, tmp_path):
+        wh = _wh8(spark, tmp_path)
+        assert wh.delete_where("t", "k = 42", mode="dv") == 1
+        at_dv = wh._latest_seq()
+        assert wh.delete_where("t", "k = 43", mode="dv") == 1
+        wh.restore("t", at_dv)
+        assert wh.read("t").count() == 79  # k=42 gone, k=43 back
+        assert sorted(r["k"] for r in
+                      wh.read("t").where("k IN (42,43)").collect()) == [43]
+
+
+class TestDvUpdate:
+    def test_merge_on_read_update(self, spark, tmp_path):
+        """mode='dv' UPDATE: preimages into the dv sidecar, postimages
+        appended as new files — no old data file rewritten."""
+        wh = _wh8(spark, tmp_path)
+        before = set(wh._manifest_files("t"))
+        n = wh.update_where("t", "k = 13", {"v": "v + 100"}, mode="dv")
+        assert n == 1
+        after = set(wh._manifest_files("t"))
+        assert before <= after          # nothing rewritten/removed
+        assert len(after - before) == 1  # one postimage file appended
+        assert {r["v"] for r in wh.read("t").where("k = 13").collect()} \
+            == {103.0}
+        assert wh.read("t").count() == 80  # row count conserved
+
+    def test_dv_update_cdf_pairs(self, spark, tmp_path):
+        wh = _wh8(spark, tmp_path)
+        assert wh.update_where("t", "k = 13", {"v": "v * 2"},
+                               mode="dv", cdf=True) == 1
+        feed = wh.read("t__cdf").collect()
+        types = sorted(r["change_type"] for r in feed)
+        assert types == ["update_postimage", "update_preimage"]
+        vals = {r["change_type"]: r["v"] for r in feed}
+        assert vals == {"update_preimage": 3.0, "update_postimage": 6.0}
+
+
+class TestDvPartitionedAndStream:
+    def test_partitioned_table_dv_then_compact(self, spark, tmp_path):
+        wh = _wh8(spark, tmp_path, partitioned=True)
+        assert wh.delete_where("t", "k = 42", mode="dv") == 1
+        assert wh.table_partition_by("t") == ["dt"]  # spec preserved
+        wh.compact("t")
+        assert wh.table_partition_by("t") == ["dt"]
+        assert all(r.startswith("dt=") for r in wh._manifest_files("t"))
+        assert wh.read("t").count() == 79
+
+    @pytest.mark.slow
+    def test_stream_refuses_dv_covered_snapshot(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            table_stream as ts,
+        )
+
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(spark.createDataFrame([(1,), (2,)], "k long")
+                      .coalesce(1), "t")
+        assert wh.delete_where("t", "k = 2", mode="dv") == 1
+        q = (ts.stream_table(spark, root, "t")
+             .writeStream.foreachBatch(lambda df, _i: df.collect())
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception, match="deletion vector|merge-on-read"):
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
+        # after compaction the vectors are folded and the stream plans
+        wh.compact("t")
+        rows = []
+        q2 = (ts.stream_table(spark, root, "t")
+              .writeStream.foreachBatch(lambda df, _i: rows.extend(df.collect()))
+              .option("checkpointLocation", str(tmp_path / "ck2"))
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(120)
+        assert sorted(r["k"] for r in rows) == [1]

@@ -178,3 +178,17 @@ def test_session_native_single_exchange(spark, sf01):
     no lag/cumsum double-window pass."""
     plan = _plan(QD["window_session_native"].spark(spark, sf01))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q21_semi_anti_no_cartesian(spark, sf01):
+    """The EXISTS + NOT EXISTS chain must run as keyed LeftSemi /
+    LeftAnti hash joins on the pre-aggregated fact — never a cartesian:
+    the suppkey inequality rides the orderkey equi-join as a residual
+    condition."""
+    df = QD["tpch_q21_shape"].spark(spark, sf01)
+    df.collect()  # final adaptive plan
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # supplier/nation dim side
