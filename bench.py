@@ -829,6 +829,7 @@ def main() -> None:
             break  # no small SF available: single-query JVM warmup only
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
+    quiet_gate = _quiet_window_gate(spark)
     detail: dict[str, dict] = {}
     for name in names:
         n = max(trials, WATCHLIST_TRIALS) if name in WATCHLIST else trials
@@ -912,6 +913,7 @@ def main() -> None:
         "queries_detail": detail,
         "bench_trials": trials,
         "calibration": calibration,
+        "quiet_window": quiet_gate,
         "normalized": normalized,
         "extended": extended,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -932,6 +934,45 @@ def main() -> None:
         out["replay"] = replay
     print(json.dumps(out))
     print(_compact_line(out))
+
+
+def _quiet_window_gate(spark, threshold: float = 1.05,
+                       max_wait_sec: float = 120.0) -> dict:
+    """Round-9 verdict item #7: don't time the headline queries into a
+    noisy environment window. Probe the machine BEFORE the headline
+    loop; while the probe factor vs the r06 anchors exceeds
+    ``threshold``, wait and re-probe (bounded — the driver's bench run
+    must terminate). Records every factor seen; when the window never
+    quiets, the headline run proceeds anyway with an explicit note —
+    value_normalized remains the cross-round-comparable number."""
+    waited = 0.0
+    history: list[float] = []
+    while True:
+        try:
+            cal = _calibration(spark, 1)
+            ratios = [cal[k]["median"] / REF_PROBES[k]
+                      for k in ("cpu_probe", "shuffle_probe")]
+            factor = (ratios[0] * ratios[1]) ** 0.5
+        except Exception as e:  # noqa: BLE001
+            return {"error": str(e)[:200], "history": history}
+        history.append(round(factor, 4))
+        if factor <= threshold or waited >= max_wait_sec:
+            out = {
+                "factor_at_start": history[0],
+                "factor_gate": round(factor, 4),
+                "history": history,
+                "waited_sec": round(waited, 1),
+                "quiet": factor <= threshold,
+            }
+            if factor > threshold:
+                out["note"] = (
+                    f"machine stayed {factor:.2f}x the r06 probe anchors "
+                    f"after {waited:.0f}s of waiting; headline recorded "
+                    "anyway - read value_normalized for comparisons"
+                )
+            return out
+        time.sleep(15)
+        waited += 15
 
 
 def _normalize(total: float, timings: dict, calibration: dict) -> dict:
@@ -981,6 +1022,7 @@ def _compact_line(out: dict) -> str:
         },
         "machine_factor": (out.get("normalized") or {}).get("machine_factor"),
         "value_normalized": (out.get("normalized") or {}).get("value"),
+        "quiet_gate": (out.get("quiet_window") or {}).get("factor_gate"),
         "replay": {
             k: v for k, v in out.get("replay", {}).items()
             if isinstance(v, (int, float))

@@ -978,13 +978,19 @@ class Warehouse:
         if not covering:
             return lhs if keep_file_col else df
         p = self._path(table)
-        dv = self.spark.read.parquet(
+        dv_raw = self.spark.read.parquet(
             *[os.path.join(p, r) for r in covering]
-        ).select(
-            "_src", *[F.col(c).alias(f"__dv_{c}") for c in df.columns]
+        )
+        # additive schema evolution after the delete: a column the dv
+        # rows predate is NULL in every file they cover (old files), so
+        # matching on the SHARED columns still identifies exactly the
+        # recorded physical rows — (file, shared-row) is sufficient
+        shared = [c for c in df.columns if c in dv_raw.columns]
+        dv = dv_raw.select(
+            "_src", *[F.col(c).alias(f"__dv_{c}") for c in shared]
         )
         cond = lhs[fcol] == dv["_src"]
-        for c in df.columns:
+        for c in shared:
             cond = cond & lhs[c].eqNullSafe(dv[f"__dv_{c}"])
         out = lhs.join(F.broadcast(dv), cond, "left_anti")
         return out if keep_file_col else out.drop(fcol)
@@ -1320,6 +1326,27 @@ class Warehouse:
                 if rel not in keep:
                     with contextlib.suppress(OSError):
                         os.remove(os.path.join(dirpath, fn))
+                        removed += 1
+        # deletion-vector sidecars: keep every dv file ANY still-readable
+        # snapshot's dv map references (state at the readable base, plus
+        # each retained entry's recorded map — same window as above);
+        # a dv file staged by a crashed commit is never referenced
+        keep_dv = set(self._replay_state(at=base)["dv"].get(t, {})) \
+            if base else set()
+        keep_dv |= set(self._dv_state(t))
+        for seq in self._list_log()[0]:
+            if seq > base:
+                entry = self._load_entry(seq)
+                if entry is not None:
+                    keep_dv.update(entry.get("dv", {}).get(t, {}))
+        dv_dir = os.path.join(table_dir, "_dv")
+        if os.path.isdir(dv_dir):
+            for fn in os.listdir(dv_dir):
+                if not fn.endswith(".parquet"):
+                    continue
+                if os.path.join("_dv", fn) not in keep_dv:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(dv_dir, fn))
                         removed += 1
         return removed
 

@@ -223,3 +223,85 @@ class TestDvPartitionedAndStream:
               .trigger(availableNow=True).start())
         q2.awaitTermination(120)
         assert sorted(r["k"] for r in rows) == [1]
+
+
+class TestDvLogMaintenance:
+    def test_dv_state_survives_expire_log(self, spark, tmp_path):
+        """expire_log folds entries into a checkpoint: the dv map (and
+        the partition spec) must ride the checkpoint, not just the
+        folded entries."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        for day in (1, 2):
+            rows = spark.createDataFrame(
+                [(day * 10 + j, float(j), dt.date(2021, 3, day))
+                 for j in range(4)],
+                "k long, v double, dt date")
+            with wh.transaction():
+                wh.append(rows.coalesce(1), "t", partition_by=["dt"])
+        assert wh.delete_where("t", "k = 12", mode="dv") == 1
+        # several more commits, then fold everything below the head
+        for i in range(4):
+            with wh.transaction():
+                wh.append(spark.createDataFrame([(100 + i, 0.0,
+                                                  dt.date(2021, 3, 3))],
+                                                "k long, v double, dt date")
+                          .coalesce(1), "t", partition_by=["dt"])
+        wh.write_checkpoint()
+        wh.expire_log(keep_entries=1)
+        wh2 = Warehouse(spark, str(tmp_path / "wh"))
+        assert wh2._dv_state("t")  # survived the fold
+        assert wh2.table_partition_by("t") == ["dt"]
+        got = sorted(r["k"] for r in wh2.read("t").collect())
+        assert 12 not in got and len(got) == 11
+
+    def test_crashed_dv_write_is_harmless(self, spark, tmp_path):
+        """A dv file staged but never referenced by a committed entry
+        (crash between write and commit) is invisible to every read."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                     "k long, v double")
+        with wh.transaction():
+            wh.append(rows.coalesce(1), "t")
+        # simulate the orphan: a dv file on disk, no entry references it
+        doomed = wh.read("t").where("k = 1").withColumn(
+            "_src", F.lit("txn-nonexistent.parquet"))
+        wh._write_dv_file("t", doomed)
+        assert wh._dv_state("t") == {}
+        assert wh.read("t").count() == 2  # both rows still visible
+
+    def test_vacuum_reclaims_orphaned_dv_files_keeps_referenced(
+            self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                     "k long, v double")
+        with wh.transaction():
+            wh.append(rows.coalesce(1), "t")
+        assert wh.delete_where("t", "k = 1", mode="dv") == 1
+        referenced = list(wh._dv_state("t"))
+        # plus an orphan from a "crashed" dv write
+        orphan = wh._write_dv_file(
+            "t", wh.read("t").withColumn("_src", F.lit("x.parquet")))
+        tdir = str(tmp_path / "wh" / "t")
+        assert wh.vacuum_orphans("t") == 1  # only the orphan goes
+        assert not os.path.exists(os.path.join(tdir, orphan))
+        assert all(os.path.exists(os.path.join(tdir, r))
+                   for r in referenced)
+        assert [r["k"] for r in wh.read("t").collect()] == [2]
+
+    def test_dv_survives_additive_schema_evolution(self, spark, tmp_path):
+        """A column added AFTER a dv delete: mergeSchema reads keep
+        applying the vector (matching on the shared columns — the
+        covered old files are NULL in the new column by construction)."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                            "k long, v double")
+                      .coalesce(1), "t")
+        assert wh.delete_where("t", "k = 1", mode="dv") == 1
+        with wh.transaction():
+            wh.append(spark.createDataFrame([(3, 3.0, "x")],
+                                            "k long, v double, tag string")
+                      .coalesce(1), "t")
+        got = {(r["k"], r["tag"]) for r in
+               wh.read("t", merge_schema=True).collect()}
+        assert got == {(2, None), (3, "x")}
