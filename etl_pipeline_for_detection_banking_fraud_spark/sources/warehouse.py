@@ -2097,7 +2097,9 @@ class Warehouse:
                 cand = mf
             if not cand:
                 return 0
-            cand = self._matched_files(table, cand, matches, dv_map)
+            if len(cand) > 1:  # one candidate can't narrow further;
+                # the doomed-count pass below already proves emptiness
+                cand = self._matched_files(table, cand, matches, dv_map)
             if not cand:
                 return 0  # no file holds a matching live row: no commit
             untouched = [r for r in mf if r not in set(cand)]
@@ -2208,7 +2210,8 @@ class Warehouse:
                     if _file_may_match(r, stats.get(r), prune)]                 if prune else mf
             if not cand:
                 return 0
-            cand = self._matched_files(table, cand, matches, dv_map)
+            if len(cand) > 1:
+                cand = self._matched_files(table, cand, matches, dv_map)
             if not cand:
                 return 0  # no file holds a matching live row: no commit
             untouched = [r for r in mf if r not in set(cand)]

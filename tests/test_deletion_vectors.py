@@ -305,3 +305,21 @@ class TestDvLogMaintenance:
         got = {(r["k"], r["tag"]) for r in
                wh.read("t", merge_schema=True).collect()}
         assert got == {(2, None), (3, "x")}
+
+    def test_partition_scoped_compact_folds_only_covered_partition(
+            self, spark, tmp_path):
+        """compact(where=) with DVs: the selected partition's vectors
+        fold (file reclaimed when coverage empties), the other
+        partition's coverage survives and keeps applying."""
+        wh = _wh8(spark, tmp_path, partitioned=True)
+        # k=42 lives in dt=2021-03-01 (i=4), k=71 in dt=2021-03-04 (i=7)
+        assert wh.delete_where("t", "k = 42", mode="dv") == 1
+        assert wh.delete_where("t", "k = 71", mode="dv") == 1
+        assert len(wh._dv_state("t")) == 2
+        wh.compact("t", where={"dt": "2021-03-01"})
+        dv_map = wh._dv_state("t")
+        assert len(dv_map) == 1  # only the 03-04 vector survives
+        covs = [c for cov in dv_map.values() for c in cov]
+        assert all("dt=2021-03-04" in c for c in covs)
+        got = sorted(r["k"] for r in wh.read("t").collect())
+        assert got == [k for k in range(80) if k not in (42, 71)]
