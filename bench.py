@@ -904,6 +904,10 @@ def main() -> None:
         table_stream = _table_stream_bench(spark, sf_dir)
     except Exception as e:
         table_stream = {"error": str(e)[:300]}
+    try:
+        dml_dv = _dml_dv_bench(spark, sf_dir)
+    except Exception as e:
+        dml_dv = {"error": str(e)[:300]}
     normalized = _normalize(total, timings, calibration)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -930,10 +934,76 @@ def main() -> None:
         out["zorder"] = zorder
     if table_stream:
         out["table_stream"] = table_stream
+    if dml_dv:
+        out["dml_dv"] = dml_dv
     if replay:
         out["replay"] = replay
     print(json.dumps(out))
     print(_compact_line(out))
+
+
+def _dml_dv_bench(spark, sf_dir: str, n_files: int = 32) -> dict:
+    """Eager vs merge-on-read DELETE (round 9): a scattered predicate
+    matching ~0.1% of rows in EVERY file of a 32-file lineitem table.
+    The eager path must rewrite all touched files; the dv path writes
+    one tiny sidecar and zero data files — the 100 TB shape for
+    scattered selective deletes. Also records the read-time cost of a
+    live vector (broadcast anti-join) and the compact that folds it."""
+    import shutil
+    import tempfile
+
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    out: dict = {}
+    cond = "l_partkey % 997 = 0"
+    roots = []
+    try:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+        def build() -> Warehouse:
+            root = tempfile.mkdtemp(prefix="bench_dml_")
+            roots.append(root)
+            wh = Warehouse(spark, root)
+            with wh.transaction():
+                wh.append(li.repartition(n_files), "t")
+            return wh
+
+        eager = build()
+        before = set(eager._manifest_files("t"))
+        t0 = time.perf_counter()
+        n1 = eager.delete_where("t", cond)
+        out["eager_delete_sec"] = round(time.perf_counter() - t0, 4)
+        out["eager_files_rewritten"] = len(before - set(
+            eager._manifest_files("t")))
+
+        mor = build()
+        before = set(mor._manifest_files("t"))
+        t0 = time.perf_counter()
+        n2 = mor.delete_where("t", cond, mode="dv")
+        out["dv_delete_sec"] = round(time.perf_counter() - t0, 4)
+        out["dv_files_rewritten"] = len(before - set(
+            mor._manifest_files("t")))
+        out["rows_deleted"] = n2
+        if n1 != n2:
+            out["error"] = f"row mismatch eager={n1} dv={n2}"
+
+        t0 = time.perf_counter()
+        c_live = mor.read("t").count()
+        out["read_with_live_dv_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        mor.compact("t", target_files_per_partition=n_files)
+        out["compact_fold_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        c_folded = mor.read("t").count()
+        out["read_after_fold_sec"] = round(time.perf_counter() - t0, 4)
+        if c_live != c_folded:
+            out["error"] = f"count drift live={c_live} folded={c_folded}"
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+    return out
 
 
 def _quiet_window_gate(spark, threshold: float = 1.05,
@@ -1028,8 +1098,14 @@ def _compact_line(out: dict) -> str:
             if isinstance(v, (int, float))
         },
         "sf1_queries": (out.get("sf1") or {}).get("queries", {}),
+        "dml_dv": {
+            k: v for k, v in (out.get("dml_dv") or {}).items()
+            if k in ("eager_delete_sec", "eager_files_rewritten",
+                     "dv_delete_sec", "dv_files_rewritten",
+                     "compact_fold_sec")
+        },
     }
-    for drop in ("sf1_queries", "replay", "queries"):
+    for drop in ("sf1_queries", "dml_dv", "replay", "queries"):
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= 1500:
             return line
