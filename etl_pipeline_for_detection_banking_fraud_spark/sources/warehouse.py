@@ -1460,6 +1460,21 @@ class Warehouse:
             df = df.select(*[f.name for f in schema.fields])
         return df
 
+    def read_where(self, table: str, condition,
+                   schema: T.StructType | None = None,
+                   merge_schema: bool = False) -> DataFrame:
+        """``read`` + row filter with file skipping derived from the
+        predicate: conjunctive ``col op literal`` / BETWEEN / IN terms
+        become ``prune`` bounds automatically (``derive_prune_bounds``,
+        the same pass DML uses), so a selective read opens only the
+        files whose footer stats / partition values might match —
+        no hand-written bounds, and correctness never depends on the
+        derivation (the row filter always applies)."""
+        prune = derive_prune_bounds(self.spark, condition) or None
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self.read(table, schema=schema, merge_schema=merge_schema,
+                         prune=prune).where(cond)
+
     # -- versioned rewrite tables -------------------------------------------
 
     def rewrite(self, df: DataFrame, table: str, keep_versions: int = 3) -> None:

@@ -323,3 +323,69 @@ class TestDvLogMaintenance:
         assert all("dt=2021-03-04" in c for c in covs)
         got = sorted(r["k"] for r in wh.read("t").collect())
         assert got == [k for k in range(80) if k not in (42, 71)]
+
+
+class TestDvOtherRewrites:
+    def test_merge_table_folds_dvs(self, spark, tmp_path):
+        """A CDC merge reads the dv-applied state and replaces the file
+        set — the vectors fold into the merge result and leave the head
+        map (old snapshots stay readable with their own dv state)."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")],
+                "k long, ver long, v string").coalesce(1), "t")
+        assert wh.delete_where("t", "k = 2", mode="dv") == 1
+        pre = wh._latest_seq()
+        ch = spark.createDataFrame([(3, 2, "c2", "u")],
+                                   "k long, ver long, v string, op string")
+        wh.merge_table("t", ch, key="k", version_cols=("ver",),
+                       payload_cols=("v",))
+        assert wh._dv_state("t") == {}
+        got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+        assert got == {1: "a", 3: "c2"}  # k=2 stays deleted post-merge
+        assert wh.read_at("t", pre).count() == 2  # old dv state intact
+
+    def test_cluster_table_folds_and_reclaims_dvs(self, spark, tmp_path):
+        wh = _wh8(spark, tmp_path)
+        assert wh.delete_where("t", "k = 42", mode="dv") == 1
+        dv_files = [os.path.join(str(tmp_path / "wh" / "t"), r)
+                    for r in wh._dv_state("t")]
+        wh.cluster_table("t", "k", n_files=4)
+        assert wh._dv_state("t") == {}
+        assert not any(os.path.exists(f) for f in dv_files)
+        got = sorted(r["k"] for r in wh.read("t").collect())
+        assert got == [k for k in range(80) if k != 42]
+
+    def test_dv_update_on_partitioned_table(self, spark, tmp_path):
+        wh = _wh8(spark, tmp_path, partitioned=True)
+        n = wh.update_where("t", "k = 13", {"v": "v + 100"}, mode="dv")
+        assert n == 1
+        assert wh.table_partition_by("t") == ["dt"]
+        # postimage file landed under its hive dir
+        assert all(r.startswith("dt=") for r in wh._manifest_files("t"))
+        assert {r["v"] for r in wh.read("t").where("k = 13").collect()} \
+            == {103.0}
+
+
+class TestReadWhere:
+    def test_read_where_derives_file_skipping(self, spark, tmp_path):
+        import datetime as dt2
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        for day in (1, 2, 3):
+            rows = spark.createDataFrame(
+                [(day * 10 + j, float(j), dt2.date(2021, 3, day))
+                 for j in range(4)],
+                "k long, v double, dt date")
+            with wh.transaction():
+                wh.append(rows.coalesce(1), "t", partition_by=["dt"])
+        df = wh.read_where("t", "dt = '2021-03-02' AND v >= 1")
+        # pruning reached the file list: only the matching partition read
+        files = df.inputFiles()
+        assert files and all("dt=2021-03-02" in f for f in files)
+        assert sorted(r["k"] for r in df.collect()) == [21, 22, 23]
+        # Column conditions derive too
+        df2 = wh.read_where("t", (F.col("k") >= 30) & (F.col("k") < 40))
+        assert sorted(r["k"] for r in df2.collect()) == [30, 31, 32, 33]
+        assert len(df2.inputFiles()) == 1  # footer stats skipped 2 files
