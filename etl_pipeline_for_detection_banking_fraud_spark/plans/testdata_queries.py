@@ -770,37 +770,20 @@ def sessionize(spark, sf_dir):
 # row plus the local parity suite (tests/test_oracle_parity.py runs every
 # catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
-    # new in r9 — never reported: add new catalog entries HERE, above
+    # new in r10 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
-    "tpch_q21_shape",
-    # r09 rotation: the 16 entries whose newest evidence is r06 (they
-    # tailed past the ~50-entry cap in r08) lead — nothing may go >2
-    # rounds stale — then the r07-reported block; whatever tails past
-    # the cap stays r07-fresh and must lead the r10 rotation
-    "snapshot_diff", "split_leakage_safe", "string_funcs",
-    "text_char_entropy", "text_fingerprint", "text_lang_id",
-    "text_pii_redact", "text_quality", "text_tfidf_topk",
-    "text_token_stats", "timeband_self_join", "timeband_window",
-    "topk_per_group", "union_except", "unpivot_melt", "zscore_outliers",
-    # newest evidence r07
-    "events_funnel", "events_retention", "events_pathing",
-    "window_hopping", "date_parts", "scalar_subquery",
-    "case_when_bucketing", "json_extract", "tpch_q3_shape",
-    "quantiles_exact", "cube_agg", "anti_join", "approx_stats_bounds",
-    "array_funcs", "between_filter", "cast_project", "cdc_upsert",
-    "concat_coalesce", "corpus_mix", "date_arith", "dedup_clusters_star",
-    "dedup_minhash_incr", "dedup_ngram_incr", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs", "dq_checks",
-    "embedding_centroids", "embedding_quantize", "freq_items_bounds",
-    "full_outer_join", "graph_pagerank", "histogram_equiwidth",
-    "intersect_key", "interval_overlap_join", "join_chain", "kmeans_iter2",
-    "left_join_count", "min_max_date", "multimodal_image", "null_filters",
-    "nullsafe_neq", "pack_sequences", "range_frame_window",
-    "ratio_to_report", "row_counts", "scan_filter_project", "semi_join",
+    # (r10 additions appended by the round's commits)
+    # r10 rotation: the 17 entries whose newest evidence is r07 (they
+    # tailed past the ~50-entry cap in r09) lead — nothing may go >2
+    # rounds stale — then the r08-reported block; whatever tails past
+    # the cap stays r08-fresh and must lead the r11 rotation
+    "histogram_equiwidth", "intersect_key", "interval_overlap_join",
+    "join_chain", "kmeans_iter2", "left_join_count", "min_max_date",
+    "multimodal_image", "null_filters", "nullsafe_neq",
+    "pack_sequences", "range_frame_window", "ratio_to_report",
+    "row_counts", "scan_filter_project", "semi_join",
     "semi_join_prefilter",
-]
-_REPORT_LAST = [
-    # reported green in r08 — freshest evidence, can wait
+    # newest evidence r08
     "tpch_q5_shape", "tpch_q17_shape", "window_session_native",
     "approx_distinct_bounds", "tpch_q18_shape", "text_bigram_topk",
     "skew_salted_agg", "string_agg_ordered", "text_chunk",
@@ -810,12 +793,33 @@ _REPORT_LAST = [
     "dedup_chunk_level", "dedup_clusters", "dedup_containment",
     "dedup_exact", "dedup_keep_canonical", "dedup_minhash_lsh",
     "distinct_count_agg", "distinct_pairs", "first_per_group",
-    "fuzzy_match_pairs", "global_topk", "group_median_mad", "groupby_agg",
-    "grouping_sets_agg", "lead_lag_window", "multimodal_features",
-    "pivot_agg", "rank_funcs", "rollup_agg", "running_window",
-    "sample_hash", "sample_stratified_n", "sample_weighted", "scd2_apply",
-    "sessionize", "sim_ann_ivf", "sim_ann_lsh", "sim_cosine_pairs",
-    "sim_cosine_pairs_lsh", "sim_cosine_topk", "skew_salted_join",
+    "fuzzy_match_pairs", "global_topk", "group_median_mad",
+    "groupby_agg", "grouping_sets_agg", "lead_lag_window",
+    "multimodal_features", "pivot_agg", "rank_funcs", "rollup_agg",
+    "running_window", "sample_hash", "sample_stratified_n",
+    "sample_weighted", "scd2_apply", "sessionize", "sim_ann_ivf",
+    "sim_ann_lsh", "sim_cosine_pairs", "sim_cosine_pairs_lsh",
+    "sim_cosine_topk", "skew_salted_join",
+]
+_REPORT_LAST = [
+    # reported green in r09 — freshest evidence, can wait
+    "anti_join", "approx_stats_bounds", "array_funcs",
+    "between_filter", "case_when_bucketing", "cast_project",
+    "cdc_upsert", "concat_coalesce", "corpus_mix", "cube_agg",
+    "date_arith", "date_parts", "dedup_clusters_star",
+    "dedup_minhash_incr", "dedup_ngram_incr", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs",
+    "dq_checks", "embedding_centroids", "embedding_quantize",
+    "events_funnel", "events_pathing", "events_retention",
+    "freq_items_bounds", "full_outer_join", "graph_pagerank",
+    "json_extract", "quantiles_exact", "scalar_subquery",
+    "snapshot_diff", "split_leakage_safe", "string_funcs",
+    "text_char_entropy", "text_fingerprint", "text_lang_id",
+    "text_pii_redact", "text_quality", "text_tfidf_topk",
+    "text_token_stats", "timeband_self_join", "timeband_window",
+    "topk_per_group", "tpch_q21_shape", "tpch_q3_shape",
+    "union_except", "unpivot_melt", "window_hopping",
+    "zscore_outliers",
 ]
 
 
