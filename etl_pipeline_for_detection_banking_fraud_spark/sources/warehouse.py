@@ -58,6 +58,7 @@ import re
 import shutil
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,6 +136,13 @@ class Transaction:
         # FULL deletion-vector map as of this commit (replace entries
         # replace it wholesale; writers carry surviving entries forward)
         self.dv: dict[str, dict[str, list[str]]] = {}
+        # (staged_abs, final_abs) deletion-vector sidecars to publish at
+        # commit: dv files are written DOT-PREFIXED (invisible to
+        # vacuum_orphans' dv sweep) and renamed to their final _dv/ name
+        # only after conflict detection passes — so a concurrent
+        # writer's conflict-retry vacuum cannot delete an in-flight
+        # DML's dv file out from under its commit (it never sees it)
+        self.dv_renames: list[tuple[str, str]] = []
 
     def append(self, df: DataFrame, table: str,
                partition_by: list[str] | None = None) -> None:
@@ -224,6 +232,14 @@ class Transaction:
                 os.fsync(f.fileno())
             seq = _next_seq(log_dir)
             self._check_conflicts(log_dir, seq, tmp)
+            # publish staged dv sidecars only now, after conflict
+            # detection: the visible-but-unreferenced window shrinks to
+            # the link claim below (same exposure as staged data files);
+            # a conflict raised past this point strands them as plain
+            # vacuumable orphans, never a referenced-but-missing file
+            for staged, final in self.dv_renames:
+                os.replace(staged, final)
+            self.dv_renames = []
             while True:
                 final = os.path.join(log_dir, f"{seq:09d}.json")
                 try:
@@ -301,6 +317,12 @@ class Transaction:
     def _finish(self) -> None:
         self._done = True
         shutil.rmtree(self._stage_root, ignore_errors=True)
+        # un-published dv sidecars (abort, or a conflict before the
+        # rename point) were never visible: remove the dot-staged files
+        for staged, _ in self.dv_renames:
+            with contextlib.suppress(OSError):
+                os.remove(staged)
+        self.dv_renames = []
         if self.wh._active_txn is self:
             self.wh._active_txn = None
 
@@ -443,11 +465,15 @@ def derive_prune_bounds(spark, condition) -> dict:
     that removes the "caller must hand a NECESSARY condition" footgun:
     every returned bound comes from a TOP-LEVEL conjunct of the
     predicate (``col op literal`` / ``BETWEEN`` / ``IN``), so a row
-    matching the predicate always lies inside the bounds. Anything not
-    recognized (OR, NOT, casts, column-vs-column, unsupported literal
-    types) contributes nothing — the result stays necessary, just less
-    sharp. Returns {} when nothing can be derived (callers then scan
-    every candidate file; correctness never depends on this).
+    matching the predicate always lies inside the bounds. A top-level
+    OR conjunct whose every disjunct is a recognized simple term on the
+    SAME column contributes the union interval (``dt = X OR dt = Y`` →
+    [min, max] — still necessary). Anything else not recognized
+    (mixed-column OR, NOT, casts, column-vs-column, struct fields,
+    unsupported literal types) contributes nothing — the result stays
+    necessary, just less sharp. Returns {} when nothing can be derived
+    (callers then scan every candidate file; correctness never depends
+    on this).
 
     Walks the UNRESOLVED Catalyst tree (py4j): a SQL string through the
     session parser, a Column through ``SparkSession.expression``. Any
@@ -475,7 +501,15 @@ def derive_prune_bounds(spark, condition) -> dict:
     def _attr(e):
         if _cls(e) != "UnresolvedAttribute":
             raise ValueError("not an attribute")
-        return str(e.name()).split(".")[-1].lower()
+        parts = e.nameParts()
+        if parts.length() != 1:
+            # qualified (t.x) or struct-field (s.x) reference: its LAST
+            # part may collide with an unrelated top-level column that
+            # has stats or is a partition key, and a bound attributed
+            # there would NOT be a necessary condition — skip the term
+            # (costs sharpness, never correctness)
+            raise ValueError("multi-part attribute: not a top-level column")
+        return str(parts.apply(0)).lower()
 
     def _conjuncts(e):
         kind = _cls(e)
@@ -485,9 +519,40 @@ def derive_prune_bounds(spark, condition) -> dict:
             return _conjuncts(l) + _conjuncts(r)
         return [e]
 
+    def _disjuncts(e):
+        kind = _cls(e)
+        if kind == "Or" or (kind == "UnresolvedFunction"
+                            and _fn_name(e).lower() == "or"):
+            l, r = _children(e)
+            return _disjuncts(l) + _disjuncts(r)
+        return [e]
+
     def _term(e):
         """(col, lo, hi) for one conjunct, or None when unrecognized."""
         kind = _cls(e)
+        if kind == "Or" or (kind == "UnresolvedFunction"
+                            and _fn_name(e).lower() == "or"):
+            # a top-level OR whose every disjunct bounds the SAME column
+            # contributes the union interval — still a necessary
+            # condition (common shape: dt = X OR dt = Y). Any disjunct
+            # that is unrecognized, compound, or bounds a different
+            # column poisons the whole term (None), never the bounds.
+            terms = []
+            for d in _disjuncts(e):
+                try:
+                    t = _term(d)
+                except Exception:
+                    return None
+                if t is None or (terms and t[0] != terms[0][0]):
+                    return None
+                terms.append(t)
+            los = [t[1] for t in terms]
+            his = [t[2] for t in terms]
+            lo = None if any(v is None for v in los) else min(los)
+            hi = None if any(v is None for v in his) else max(his)
+            if lo is None and hi is None:
+                return None
+            return (terms[0][0], lo, hi)
         op = None
         if kind in _CMP:
             op = _CMP[kind]
@@ -970,7 +1035,11 @@ class Warehouse:
         column carrying each surviving row's source-file basename (for
         callers that need it downstream, e.g. the DML narrowing pass);
         None drops it."""
-        fcol = keep_file_col or "__dv_f"
+        fcol = keep_file_col
+        if fcol is None:
+            fcol = "__dv_f"
+            while fcol in df.columns:  # never clobber a table column
+                fcol = "_" + fcol
         covering = sorted(
             r for r, cov in dv_map.items() if set(cov) & set(rels)
         )
@@ -978,7 +1047,12 @@ class Warehouse:
         if not covering:
             return lhs if keep_file_col else df
         p = self._path(table)
-        dv_raw = self.spark.read.parquet(
+        # mergeSchema: dv files written before and after an additive
+        # schema change carry different footers; without the merge,
+        # Spark infers from an arbitrary file and a narrower winner
+        # would silently shrink the shared-column match set below
+        # (over-deleting rows that differ only in the newer column)
+        dv_raw = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(p, r) for r in covering]
         )
         # additive schema evolution after the delete: a column the dv
@@ -995,12 +1069,57 @@ class Warehouse:
         out = lhs.join(F.broadcast(dv), cond, "left_anti")
         return out if keep_file_col else out.drop(fcol)
 
-    def _write_dv_file(self, table: str, doomed_src: DataFrame) -> str:
+    def _dv_split_read(self, build, table: str, dv_map: dict,
+                       rels: list[str],
+                       keep_file_col: str | None = None) -> DataFrame:
+        """Per-file deletion-vector application: split ``rels`` into
+        dv-covered and uncovered files so ONLY covered files pay the
+        anti-join — the uncovered branch is a plain scan (no join, no
+        ``input_file_name`` evaluation unless the caller asked for the
+        file column). ``build(rels_subset)`` constructs the DataFrame
+        reading exactly those files with the caller's reader options.
+        At scale this is the difference between every read of a 100 TB
+        table anti-joining all rows because ONE file has a dv, and the
+        join touching only that file's rows. The two branches union by
+        name (missing columns null-filled) so additive schema evolution
+        across the split reads like the single-scan path."""
+        covered: set = set()
+        for cov in dv_map.values():
+            covered.update(cov)
+        cov_rels = [r for r in rels if r in covered]
+        if not cov_rels:
+            df = build(rels)
+            return df.withColumn(keep_file_col, _basename_col()) \
+                if keep_file_col else df
+        unc_rels = [r for r in rels if r not in covered]
+        if not unc_rels:
+            return self._dv_apply(build(rels), table, dv_map, rels,
+                                  keep_file_col=keep_file_col)
+        cov_base = build(cov_rels)
+        fcol = keep_file_col
+        if fcol is None:
+            fcol = "__dv_f"
+            while fcol in cov_base.columns:
+                fcol = "_" + fcol
+        cov_df = self._dv_apply(cov_base, table, dv_map, cov_rels,
+                                keep_file_col=fcol)
+        unc_df = build(unc_rels).withColumn(fcol, _basename_col())
+        out = cov_df.unionByName(unc_df, allowMissingColumns=True)
+        return out if keep_file_col else out.drop(fcol)
+
+    def _write_dv_file(self, table: str, doomed_src: DataFrame,
+                       txn: "Transaction") -> str:
         """Persist one deletion-vector parquet (the doomed rows plus
         their ``_src`` source-file basenames) under ``<table>/_dv/`` —
         an underscore directory, invisible to data-file walks and plain
         parquet reads; visibility is gated by the commit entry that
-        references it. Returns the dv file's table-relative path."""
+        references it. The file lands DOT-PREFIXED (``.stage-dv-…``) and
+        is renamed to its final name by ``txn.commit()`` only after
+        conflict detection passes: a concurrent writer's conflict-retry
+        ``vacuum_orphans`` sweeps only non-hidden ``_dv/*.parquet``, so
+        it can never delete this in-flight sidecar and leave the commit
+        referencing a missing file. Returns the dv file's FINAL
+        table-relative path (what the commit entry records)."""
         p = self._path(table)
         dvdir = os.path.join(p, "_dv")
         os.makedirs(dvdir, exist_ok=True)
@@ -1010,8 +1129,9 @@ class Warehouse:
         for fn in sorted(os.listdir(stage)):
             if fn.endswith(".parquet") and not fn.startswith((".", "_")):
                 name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
-                os.replace(os.path.join(stage, fn),
-                           os.path.join(dvdir, name))
+                staged = os.path.join(dvdir, f".stage-{name}")
+                os.replace(os.path.join(stage, fn), staged)
+                txn.dv_renames.append((staged, os.path.join(dvdir, name)))
                 break
         shutil.rmtree(stage, ignore_errors=True)
         if name is None:
@@ -1167,12 +1287,15 @@ class Warehouse:
                     f"table {table} empty as of seq {seq} and no schema given"
                 )
             return self.spark.createDataFrame([], schema=schema)
-        df = self.spark.read.option("basePath", p).parquet(
-            *[os.path.join(p, rel) for rel in mf]
-        )
+        def _build(rs: list[str]) -> DataFrame:
+            return self.spark.read.option("basePath", p).parquet(
+                *[os.path.join(p, rel) for rel in rs])
+
         dv_map = self._dv_state(table, at=seq)
         if dv_map:
-            df = self._dv_apply(df, table, dv_map, mf)
+            df = self._dv_split_read(_build, table, dv_map, mf)
+        else:
+            df = _build(mf)
         if schema is not None:
             df = df.select(*[f.name for f in schema.fields])
         return df
@@ -1267,12 +1390,15 @@ class Warehouse:
         def _side(rels: list[str], dv_map: dict) -> DataFrame:
             if not rels:
                 return probe
-            df = self.spark.read.option("basePath", p).parquet(
-                *[os.path.join(p, rel) for rel in rels]
-            ).select(*probe.columns)
+
+            def _build(rs: list[str]) -> DataFrame:
+                return self.spark.read.option("basePath", p).parquet(
+                    *[os.path.join(p, rel) for rel in rs]
+                ).select(*probe.columns)
+
             if dv_map:
-                df = self._dv_apply(df, table, dv_map, rels)
-            return df
+                return self._dv_split_read(_build, table, dv_map, rels)
+            return _build(rels)
 
         from ..operators.cdc import snapshot_diff
 
@@ -1341,12 +1467,24 @@ class Warehouse:
                     keep_dv.update(entry.get("dv", {}).get(t, {}))
         dv_dir = os.path.join(table_dir, "_dv")
         if os.path.isdir(dv_dir):
+            now = time.time()
             for fn in os.listdir(dv_dir):
                 if not fn.endswith(".parquet"):
                     continue
+                fp = os.path.join(dv_dir, fn)
+                if fn.startswith((".", "_")):
+                    # dot-staged sidecar of an IN-FLIGHT DML (published
+                    # by rename at its commit) — invisible to the sweep;
+                    # only a crashed writer's stage older than an hour
+                    # is reclaimed (no live commit can still adopt it)
+                    with contextlib.suppress(OSError):
+                        if now - os.path.getmtime(fp) > 3600:
+                            os.remove(fp)
+                            removed += 1
+                    continue
                 if os.path.join("_dv", fn) not in keep_dv:
                     with contextlib.suppress(OSError):
-                        os.remove(os.path.join(dv_dir, fn))
+                        os.remove(fp)
                         removed += 1
         return removed
 
@@ -1447,13 +1585,18 @@ class Warehouse:
                         return self.spark.createDataFrame([], schema=schema)
                     allf = [os.path.join(p, r) for r in (mf or []) + pend]
                     return reader.option("basePath", p).parquet(*allf).limit(0)
-            files = [os.path.join(p, rel) for rel in rels]
-            df = reader.option("basePath", p).parquet(*files)
+            def _build(rs: list[str]) -> DataFrame:
+                return reader.option("basePath", p).parquet(
+                    *[os.path.join(p, r) for r in rs])
+
             dv_map = self._dv_state(table)
             if dv_map:
                 # merge-on-read deletes: anti-join the deletion-vector
-                # rows covering the files actually read (broadcast)
-                df = self._dv_apply(df, table, dv_map, rels)
+                # rows covering the files actually read (broadcast) —
+                # per-file: files no dv covers scan without the join
+                df = self._dv_split_read(_build, table, dv_map, rels)
+            else:
+                df = _build(rels)
         else:
             df = reader.parquet(p)
         if schema is not None:
@@ -1561,15 +1704,20 @@ class Warehouse:
                     return  # nothing matches: no-op, no commit
                 untouched = [r for r in old if r not in set(selected)]
                 p = self._path(table)
-                df = self.spark.read.option("basePath", p).parquet(
-                    *[os.path.join(p, r) for r in selected]
-                )
+
+                def _build(rs: list[str]) -> DataFrame:
+                    return self.spark.read.option("basePath", p).parquet(
+                        *[os.path.join(p, r) for r in rs])
+
+                df = _build(selected)
                 dv_map = self._dv_state(table)
                 if dv_map:
                     # fold merge-on-read deletes physically: the
                     # rewrite keeps only live rows, so the folded dv
-                    # entries leave the map (and their files go below)
-                    df = self._dv_apply(df, table, dv_map, selected)
+                    # entries leave the map (and their files go below);
+                    # per-file split — uncovered files skip the join
+                    df = self._dv_split_read(_build, table, dv_map,
+                                             selected)
                 part_cols = self._rewrite_part_cols(table, df)
                 txn = Transaction(self)
                 txn.replace = True
@@ -2019,13 +2167,19 @@ class Warehouse:
         uuid, so they are unique per table (a false collision could
         only ADD a file to the rewrite set, never lose one)."""
         p = self._path(table)
-        df = self.spark.read.option("basePath", p).parquet(
-            *[os.path.join(p, r) for r in cand])
-        live = self._dv_apply(df, table, dv_map, cand,
-                              keep_file_col="__dv_f")
+
+        def _build(rs: list[str]) -> DataFrame:
+            return self.spark.read.option("basePath", p).parquet(
+                *[os.path.join(p, r) for r in rs])
+
+        fcol = "__dv_f"
+        while fcol in _build(cand[:1]).columns:  # footer-only probe
+            fcol = "_" + fcol
+        live = self._dv_split_read(_build, table, dv_map, cand,
+                                   keep_file_col=fcol)
         hit = {
             str(r[0]) for r in
-            live.where(matches).select("__dv_f").distinct().collect()
+            live.where(matches).select(fcol).distinct().collect()
         }
         return [r for r in cand if os.path.basename(r) in hit]
 
@@ -2046,7 +2200,8 @@ class Warehouse:
     def delete_where(self, table: str, condition, *,
                      prune: dict | None = None, cdf: bool = False,
                      cdf_table: str | None = None,
-                     mode: str = "rewrite") -> int:
+                     mode: str = "rewrite",
+                     dv_max_rows: int | None = 100_000) -> int:
         """DELETE FROM ``table`` WHERE ``condition`` as ONE atomic
         replace commit (the Delta ``DELETE`` analog) — file-level:
         only files that ACTUALLY hold matching rows are touched
@@ -2065,6 +2220,16 @@ class Warehouse:
         rewrite of the covered files) folds them physically. Scattered
         single-row deletes across a 100 TB table cost one tiny sidecar
         write instead of rewriting every touched file.
+
+        ``dv_max_rows`` keeps "tiny by design" TRUE by construction:
+        every read anti-joins the covering dv rows as a BROADCAST (and
+        the sidecar is written through one task), so a broad-predicate
+        merge-on-read delete would otherwise build a driver-OOM-sized
+        broadcast on every subsequent read. Past the cap (matched rows,
+        counted anyway for the return value) the delete falls back to
+        the eager rewrite with a warning — a large delete rewrites its
+        files once instead of taxing every future read (Delta's DV size
+        heuristic). ``None`` disables the guard (caller owns the risk).
 
         ``condition`` is a Column (or SQL string) evaluated per row;
         NULL counts as not-matching (SQL DELETE semantics). ``prune``
@@ -2118,20 +2283,43 @@ class Warehouse:
             if not cand:
                 return 0  # no file holds a matching live row: no commit
             untouched = [r for r in mf if r not in set(cand)]
-            df = self.spark.read.option("basePath", p).parquet(
-                *[os.path.join(p, r) for r in cand])
-            live = self._dv_apply(df, table, dv_map, cand,
-                                  keep_file_col="_src")
+
+            def _build(rs: list[str]) -> DataFrame:
+                return self.spark.read.option("basePath", p).parquet(
+                    *[os.path.join(p, r) for r in rs])
+
+            df = _build(cand)
+            if "_src" in df.columns:
+                raise ValueError(
+                    f"table {table} has a column named '_src', which "
+                    "DML reserves for the row-provenance file column "
+                    "(deletion-vector sidecars persist it); rename the "
+                    "column before running delete_where/update_where"
+                )
+            live = self._dv_split_read(_build, table, dv_map, cand,
+                                       keep_file_col="_src")
             doomed = live.where(matches).persist()
             try:
                 n = doomed.count()
                 if n == 0:
                     return 0  # nothing matched: no commit, no rewrite
+                eff_mode = mode
+                if mode == "dv" and dv_max_rows is not None \
+                        and n > dv_max_rows:
+                    warnings.warn(
+                        f"delete_where(mode='dv') on {table} matched "
+                        f"{n} rows > dv_max_rows={dv_max_rows}; falling "
+                        "back to eager rewrite so reads don't broadcast "
+                        "an oversized deletion vector (raise dv_max_rows "
+                        "or pass None to override)",
+                        stacklevel=2,
+                    )
+                    eff_mode = "rewrite"
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
-                if mode == "dv":
-                    dv_rel = self._write_dv_file(table, doomed)
+                if eff_mode == "dv":
+                    dv_rel = self._write_dv_file(table, doomed, txn)
                     txn.pending[table] = list(mf)
                     if stats:
                         txn.stats[table] = dict(stats)
@@ -2177,7 +2365,8 @@ class Warehouse:
     def update_where(self, table: str, condition, assignments: dict, *,
                      prune: dict | None = None, cdf: bool = False,
                      cdf_table: str | None = None,
-                     mode: str = "rewrite") -> int:
+                     mode: str = "rewrite",
+                     dv_max_rows: int | None = 100_000) -> int:
         """UPDATE ``table`` SET ``assignments`` WHERE ``condition`` as
         ONE atomic replace commit (the Delta ``UPDATE`` analog), with
         the same file-level shape as ``delete_where``: only files that
@@ -2190,6 +2379,10 @@ class Warehouse:
         recorded in a deletion-vector sidecar (no data file rewritten)
         and the postimages are APPENDED as new data files in the same
         commit — reads see old-minus-pre plus post, exactly the update.
+        ``dv_max_rows`` bounds the sidecar exactly as in
+        ``delete_where``: past the cap the update falls back to the
+        eager rewrite with a warning, keeping the per-read dv broadcast
+        tiny by construction (None disables).
 
         ``assignments`` maps column name -> Column or SQL string,
         evaluated against the PRE-update row (standard UPDATE: all SET
@@ -2230,8 +2423,19 @@ class Warehouse:
             if not cand:
                 return 0  # no file holds a matching live row: no commit
             untouched = [r for r in mf if r not in set(cand)]
-            df = self.spark.read.option("basePath", p).parquet(
-                *[os.path.join(p, r) for r in cand])
+
+            def _build(rs: list[str]) -> DataFrame:
+                return self.spark.read.option("basePath", p).parquet(
+                    *[os.path.join(p, r) for r in rs])
+
+            df = _build(cand)
+            if "_src" in df.columns:
+                raise ValueError(
+                    f"table {table} has a column named '_src', which "
+                    "DML reserves for the row-provenance file column "
+                    "(deletion-vector sidecars persist it); rename the "
+                    "column before running delete_where/update_where"
+                )
             bad = [c for c in assignments if c not in df.columns]
             if bad:
                 raise ValueError(
@@ -2243,20 +2447,32 @@ class Warehouse:
                 .cast(df.schema[c].dataType)
                 for c, v in assignments.items()
             }
-            live = self._dv_apply(df, table, dv_map, cand,
-                                  keep_file_col="_src")
+            live = self._dv_split_read(_build, table, dv_map, cand,
+                                       keep_file_col="_src")
             pre = live.where(matches).persist()
             try:
                 n = pre.count()
                 if n == 0:
                     return 0
+                eff_mode = mode
+                if mode == "dv" and dv_max_rows is not None \
+                        and n > dv_max_rows:
+                    warnings.warn(
+                        f"update_where(mode='dv') on {table} matched "
+                        f"{n} rows > dv_max_rows={dv_max_rows}; falling "
+                        "back to eager rewrite so reads don't broadcast "
+                        "an oversized deletion vector (raise dv_max_rows "
+                        "or pass None to override)",
+                        stacklevel=2,
+                    )
+                    eff_mode = "rewrite"
                 post = pre.withColumns(sets)
                 part_cols = self._rewrite_part_cols(table, df)
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
-                if mode == "dv":
-                    dv_rel = self._write_dv_file(table, pre)
+                if eff_mode == "dv":
+                    dv_rel = self._write_dv_file(table, pre, txn)
                     txn.append(post.drop("_src"), table,
                                partition_by=part_cols or None)
                     # new postimage files JOIN the untouched manifest

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -262,12 +263,21 @@ class TestDvLogMaintenance:
                                      "k long, v double")
         with wh.transaction():
             wh.append(rows.coalesce(1), "t")
-        # simulate the orphan: a dv file on disk, no entry references it
+        # simulate the crash: a dv file staged by a transaction that
+        # never commits — it stays DOT-PREFIXED (publish happens by
+        # rename inside commit()), so no read or vacuum ever sees it
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Transaction
         doomed = wh.read("t").where("k = 1").withColumn(
             "_src", F.lit("txn-nonexistent.parquet"))
-        wh._write_dv_file("t", doomed)
+        txn = Transaction(wh)
+        final_rel = wh._write_dv_file("t", doomed, txn)
+        staged, final = txn.dv_renames[0]
+        assert os.path.exists(staged)
+        assert os.path.basename(staged).startswith(".")
+        assert not os.path.exists(final)  # never published
         assert wh._dv_state("t") == {}
         assert wh.read("t").count() == 2  # both rows still visible
+        assert final_rel.endswith(os.path.basename(final))
 
     def test_vacuum_reclaims_orphaned_dv_files_keeps_referenced(
             self, spark, tmp_path):
@@ -278,14 +288,32 @@ class TestDvLogMaintenance:
             wh.append(rows.coalesce(1), "t")
         assert wh.delete_where("t", "k = 1", mode="dv") == 1
         referenced = list(wh._dv_state("t"))
-        # plus an orphan from a "crashed" dv write
+        # a PUBLISHED but unreferenced dv (conflict after the rename
+        # point): simulate by publishing a staged sidecar by hand
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Transaction
+        txn = Transaction(wh)
         orphan = wh._write_dv_file(
-            "t", wh.read("t").withColumn("_src", F.lit("x.parquet")))
+            "t", wh.read("t").withColumn("_src", F.lit("x.parquet")), txn)
+        staged, final = txn.dv_renames.pop()
+        os.replace(staged, final)
+        # plus an IN-FLIGHT staged sidecar (another writer mid-DML):
+        # vacuum must NOT touch it — that is the concurrency race this
+        # staging design closes
+        txn2 = Transaction(wh)
+        wh._write_dv_file(
+            "t", wh.read("t").withColumn("_src", F.lit("y.parquet")), txn2)
+        staged2, _ = txn2.dv_renames[0]
         tdir = str(tmp_path / "wh" / "t")
-        assert wh.vacuum_orphans("t") == 1  # only the orphan goes
+        assert wh.vacuum_orphans("t") == 1  # only the published orphan
         assert not os.path.exists(os.path.join(tdir, orphan))
+        assert os.path.exists(staged2)  # in-flight stage survives
         assert all(os.path.exists(os.path.join(tdir, r))
                    for r in referenced)
+        # a stage older than the crash-reclaim window IS swept
+        old = time.time() - 7200
+        os.utime(staged2, (old, old))
+        assert wh.vacuum_orphans("t") == 1
+        assert not os.path.exists(staged2)
         assert [r["k"] for r in wh.read("t").collect()] == [2]
 
     def test_dv_survives_additive_schema_evolution(self, spark, tmp_path):
@@ -389,3 +417,109 @@ class TestReadWhere:
         df2 = wh.read_where("t", (F.col("k") >= 30) & (F.col("k") < 40))
         assert sorted(r["k"] for r in df2.collect()) == [30, 31, 32, 33]
         assert len(df2.inputFiles()) == 1  # footer stats skipped 2 files
+
+
+class TestDvSizeGuard:
+    def test_oversized_dv_delete_falls_back_to_eager_rewrite(
+            self, spark, tmp_path):
+        """A merge-on-read delete matching more rows than dv_max_rows
+        lands as an eager rewrite (with a warning): the per-read dv
+        broadcast stays tiny by construction."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double")
+        with wh.transaction():
+            wh.append(rows.coalesce(2), "t")
+        before = set(wh._manifest_files("t"))
+        with pytest.warns(UserWarning, match="dv_max_rows"):
+            n = wh.delete_where("t", "k < 50", mode="dv", dv_max_rows=10)
+        assert n == 50
+        assert wh._dv_state("t") == {}  # no dv recorded
+        assert set(wh._manifest_files("t")) != before  # files rewritten
+        assert wh.read("t").count() == 50
+
+    def test_under_cap_dv_delete_stays_merge_on_read(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double")
+        with wh.transaction():
+            wh.append(rows.coalesce(2), "t")
+        before = set(wh._manifest_files("t"))
+        assert wh.delete_where("t", "k < 5", mode="dv",
+                               dv_max_rows=10) == 5
+        assert set(wh._manifest_files("t")) == before  # zero rewrites
+        assert len(wh._dv_state("t")) == 1
+        assert wh.read("t").count() == 95
+
+    def test_oversized_dv_update_falls_back(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "k long, v double")
+        with wh.transaction():
+            wh.append(rows.coalesce(1), "t")
+        with pytest.warns(UserWarning, match="dv_max_rows"):
+            n = wh.update_where("t", "k < 30", {"v": "v + 1000"},
+                                mode="dv", dv_max_rows=5)
+        assert n == 30
+        assert wh._dv_state("t") == {}
+        assert wh.read("t").where("v >= 1000").count() == 30
+
+    def test_reserved_src_column_rejected(self, spark, tmp_path):
+        """A table that legitimately has a `_src` column must not have
+        it clobbered by DML's provenance column — loud error instead of
+        silent data loss."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, _src string")
+        with wh.transaction():
+            wh.append(rows.coalesce(1), "t")
+        with pytest.raises(ValueError, match="_src"):
+            wh.delete_where("t", "k = 1", mode="dv")
+        with pytest.raises(ValueError, match="_src"):
+            wh.update_where("t", "k = 1", {"k": "k + 10"})
+        assert wh.read("t").count() == 2  # untouched
+
+
+class TestDvPerFileSkip:
+    def test_read_anti_joins_only_covered_files(self, spark, tmp_path):
+        """With a dv covering ONE of several files, the read plan
+        anti-joins only that file's scan; the other files stream
+        through a plain scan (no join) and union back in."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        for batch in range(4):
+            rows = spark.createDataFrame(
+                [(batch * 10 + j, float(j)) for j in range(5)],
+                "k long, v double")
+            with wh.transaction():
+                wh.append(rows.coalesce(1), "t")
+        assert wh.delete_where("t", "k = 12", mode="dv") == 1
+        cov = {r for cv in wh._dv_state("t").values() for r in cv}
+        assert len(cov) == 1  # narrowing found the single touched file
+        df = wh.read("t")
+        assert sorted(r["k"] for r in df.collect()) == \
+            sorted(set(range(0, 5)) | set(range(10, 15)) - {12}
+                   | set(range(20, 25)) | set(range(30, 35)))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE prints Final + Initial sections; inspect the final only
+        final = plan.split("== Initial Plan ==")[0]
+        # exactly one anti-join (the covered file's branch)...
+        assert final.count("LeftAnti") == 1
+        # ...and a union with a join-free branch for the other 3 files
+        assert "Union" in final
+
+    def test_split_read_survives_schema_evolution(self, spark, tmp_path):
+        """Covered (old, narrow) and uncovered (new, wide) files union
+        by name across the split: the evolved column reads as NULL for
+        old files, values for new — and the dv still applies."""
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(1, 1.0), (2, 2.0)], "k long, v double").coalesce(1), "t")
+        assert wh.delete_where("t", "k = 1", mode="dv") == 1
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(3, 3.0, "x")], "k long, v double, tag string"
+            ).coalesce(1), "t")
+        got = {(r["k"], r["tag"]) for r in
+               wh.read("t", merge_schema=True).collect()}
+        assert got == {(2, None), (3, "x")}

@@ -1229,8 +1229,9 @@ class TestDmlRewriteNarrowing:
             [10, 11, 12, 13, 14, 30, 31, 32, 33, 34]
 
     def test_derived_bounds_are_necessary_only(self, spark, tmp_path):
-        """OR / NOT / expressions never derive bounds (a sufficient-but-
-        not-necessary prune would silently keep matching rows alive)."""
+        """Mixed-column OR / NOT / expressions never derive bounds (a
+        sufficient-but-not-necessary prune would silently keep matching
+        rows alive)."""
         from etl_pipeline_for_detection_banking_fraud_spark.sources import (
             warehouse as W,
         )
@@ -1248,3 +1249,55 @@ class TestDmlRewriteNarrowing:
         assert W.derive_prune_bounds(
             spark, "dt BETWEEN '2021-01-01' AND '2021-02-01'") == \
             {"dt": ("2021-01-01", "2021-02-01")}
+
+    def test_derived_bounds_same_column_or_union(self, spark):
+        """A top-level OR whose every disjunct bounds the SAME column
+        contributes the union interval — still a necessary condition."""
+        from etl_pipeline_for_detection_banking_fraud_spark.sources import (
+            warehouse as W,
+        )
+        from pyspark.sql import functions as F
+
+        assert W.derive_prune_bounds(
+            spark, "dt = '2021-03-01' OR dt = '2021-03-03'") == \
+            {"dt": ("2021-03-01", "2021-03-03")}
+        # three-way, mixed shapes (equality + IN) still union
+        assert W.derive_prune_bounds(
+            spark, "k = 1 OR k IN (5, 7) OR k = 3") == {"k": (1, 7)}
+        # union with an open side stays open -> no bound derivable
+        assert W.derive_prune_bounds(spark, "k = 1 OR k > 9") == \
+            {"k": (1, None)}
+        # OR term composes with conjuncts around it
+        assert W.derive_prune_bounds(
+            spark, "(dt = '2021-03-01' OR dt = '2021-03-02') AND k >= 4"
+        ) == {"dt": ("2021-03-01", "2021-03-02"), "k": (4, None)}
+        # Column-API form derives the same union
+        assert W.derive_prune_bounds(
+            spark, (F.col("dt") == "2021-03-01")
+            | (F.col("dt") == "2021-03-03")) == \
+            {"dt": ("2021-03-01", "2021-03-03")}
+        # mixed-recognizable disjuncts poison the TERM, not the rest:
+        # one disjunct on another column -> {} for that term
+        assert W.derive_prune_bounds(
+            spark, "(dt = '2021-03-01' OR upper(n) = 'X') AND k = 2") == \
+            {"k": (2, 2)}
+        # And-of-Or nesting inside a disjunct degrades safely
+        assert W.derive_prune_bounds(
+            spark, "(k = 1 AND v = 2.0) OR k = 5") == {}
+
+    def test_derived_bounds_skip_multipart_attributes(self, spark):
+        """A struct-field / qualified reference (s.x, t.x) must NOT
+        derive a bound attributed to top-level column x — if such a
+        column exists with stats, the prune would not be a necessary
+        condition and DML would silently skip files holding matches."""
+        from etl_pipeline_for_detection_banking_fraud_spark.sources import (
+            warehouse as W,
+        )
+
+        assert W.derive_prune_bounds(spark, "s.x = 5") == {}
+        assert W.derive_prune_bounds(spark, "t.dt = '2021-03-01'") == {}
+        # but the plain single-part name still derives
+        assert W.derive_prune_bounds(spark, "x = 5") == {"x": (5, 5)}
+        # and a conjunct alongside a multi-part term still contributes
+        assert W.derive_prune_bounds(
+            spark, "s.x = 5 AND k = 2") == {"k": (2, 2)}
