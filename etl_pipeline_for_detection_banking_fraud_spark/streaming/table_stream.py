@@ -34,6 +34,19 @@ Semantics
   ``ignoreChanges`` contract (rewritten files re-emitted; consumer
   dedups downstream). The initial snapshot batch (start=0) is exempt —
   a snapshot has no double-delivery problem.
+- **Merge-on-read deletion vectors**: by default a batch whose files a
+  live dv covers fails loudly (emitting raw files would resurrect
+  deleted rows). ``on_dv=apply`` instead applies the dv anti-join
+  INSIDE the partition read — each emitted file is filtered to its
+  surviving rows executor-side (Arrow string-key anti-join, null-safe,
+  matching the batch reader's ``_dv_apply`` semantics), and dv-ONLY
+  replace commits (a ``delete_where(mode="dv")`` — file set unchanged)
+  tail through without tripping the replace guard. Rows emitted BEFORE
+  the delete landed are not retracted (streams can't retract — same
+  contract as Delta: a source delete is a change commit, not a
+  retraction); rows emitted after are exactly the survivors, and
+  restarts replay deterministically because the dv state is replayed
+  at the batch's own end offset.
 - **Expiry**: a stream that fell behind ``expire_log``'s horizon raises
   ``SnapshotExpired`` instead of silently re-snapshotting.
 
@@ -106,9 +119,39 @@ def _coerce(value: str, dt: T.DataType):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, part_values: list[tuple[str, str]]):
+    def __init__(self, path: str, part_values: list[tuple[str, str]],
+                 dv_paths: list[str] | None = None):
         self.path = path
         self.part_values = part_values
+        # absolute paths of the deletion-vector sidecars covering this
+        # file (on_dv="apply" only): the executor-side read anti-joins
+        # their rows out before emitting
+        self.dv_paths = dv_paths or []
+
+
+def _dv_row_keys(arrays: list) -> pa.Array:
+    """One string key per row over the given (already type-aligned)
+    Arrow columns — the null-safe composite equality both sides of the
+    streamed dv anti-join hash on. NULL becomes a sentinel (so NULL
+    matches NULL, mirroring the batch reader's ``eqNullSafe``), columns
+    join on an unprintable separator. Types both sides are cast to the
+    STREAM schema's arrow types first, so the textual form is identical
+    by construction (same cast kernel on both sides)."""
+    parts = []
+    for col in arrays:
+        try:
+            s = pc.cast(col, pa.string())
+        except (pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
+            # exotic type (nested/binary): slow-path repr — consistent
+            # because BOTH sides fall through the same branch
+            s = pa.array(
+                [None if v is None else repr(v) for v in col.to_pylist()],
+                type=pa.string(),
+            )
+        parts.append(s)
+    return pc.binary_join_element_wise(
+        *parts, "\x1f", null_handling="replace",
+        null_replacement="\x00null")
 
 
 def _base_seq(off: dict) -> int:
@@ -192,6 +235,9 @@ class _WarehouseStreamReader(DataSourceStreamReader):
         self.on_replace = options.get("on_replace", "fail")
         if self.on_replace not in ("fail", "reemit"):
             raise ValueError("on_replace must be 'fail' or 'reemit'")
+        self.on_dv = options.get("on_dv", "fail")
+        if self.on_dv not in ("fail", "apply"):
+            raise ValueError("on_dv must be 'fail' or 'apply'")
         self.tail_only = str(options.get("tail_only", "false")).lower() == "true"
         mft = options.get("max_files_per_trigger")
         self.max_files = None if mft in (None, "", "none") else int(mft)
@@ -461,6 +507,16 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                         # append_tables: this table rode a replace entry
                         # as an APPEND (e.g. a CDC merge's change-feed
                         # sidecar) — appends tail cleanly
+                        if self.on_dv == "apply" and \
+                                entry.get("dv", {}).get(self.table):
+                            prev = set(wh._manifest_files(
+                                self.table, at=seq - 1) or [])
+                            if set(entry["tables"][self.table]) == prev:
+                                # dv-ONLY commit (delete_where mode="dv"):
+                                # the file set is byte-identical, nothing
+                                # gets re-emitted, and files still to come
+                                # are dv-filtered at read — tails cleanly
+                                continue
                         raise RuntimeError(
                             f"commit {seq} REPLACED table {self.table} "
                             "(merge/compaction rewrite) mid-stream; "
@@ -470,26 +526,35 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                         )
         before = self._visible(wh, start)
         after = sorted(self._visible(wh, end) - before)
+        table_dir = os.path.join(self.root, self.table)
         dv_map = wh._replay_state(at=_scan_hi(end))["dv"].get(self.table, {})
+        cover: dict[str, list[str]] = {}
         if dv_map:
-            covered = set().union(*dv_map.values()) & set(after)
-            if covered:
+            emit = set(after)
+            for dv_rel, cov in dv_map.items():
+                for r in cov:
+                    if r in emit:
+                        cover.setdefault(r, []).append(
+                            os.path.join(table_dir, dv_rel))
+            if cover and self.on_dv != "apply":
                 # merge-on-read deletes: the raw files this batch would
                 # emit contain rows a deletion vector removed — emitting
                 # them would resurrect deleted rows into the stream.
-                # Fail loudly (Delta's early DV-streaming posture);
-                # compact() folds the vectors physically, after which
-                # the snapshot plans normally.
+                # Fail loudly by default; on_dv="apply" opts into the
+                # executor-side anti-join below (the batch reader's
+                # semantics), compact() folds the vectors physically.
                 raise RuntimeError(
                     f"table {self.table} has merge-on-read deletion "
-                    f"vectors covering {len(covered)} file(s) this batch "
-                    "would emit; compact() the table to fold them (or "
-                    "use eager delete_where mode='rewrite') before "
-                    "streaming it"
+                    f"vectors covering {len(cover)} file(s) this batch "
+                    "would emit; pass on_dv=apply to filter them during "
+                    "the streamed read, or compact() the table to fold "
+                    "them (or use eager delete_where mode='rewrite') "
+                    "before streaming it"
                 )
-        table_dir = os.path.join(self.root, self.table)
         return [
-            _FilePartition(os.path.join(table_dir, rel), _partition_pairs(rel))
+            _FilePartition(os.path.join(table_dir, rel),
+                           _partition_pairs(rel),
+                           dv_paths=sorted(cover.get(rel, [])))
             for rel in after
         ]
 
@@ -498,8 +563,38 @@ class _WarehouseStreamReader(DataSourceStreamReader):
 
     # data plane: executor-side Arrow batches -----------------------------
 
+    def _dv_key_set(self, partition: _FilePartition):
+        """(shared column names, key set) for this partition's covering
+        deletion vectors, or None when nothing applies. The dv rows are
+        filtered to THIS file's basename (one sidecar can cover many
+        files; ``_src`` scopes each row) and keyed over the columns the
+        dv and the stream schema share — additive schema evolution
+        after the delete leaves the new column out of the match, which
+        still identifies exactly the recorded physical rows (the
+        covered old files are NULL there by construction; same contract
+        as the batch reader)."""
+        if not partition.dv_paths:
+            return None
+        base = os.path.basename(partition.path)
+        tables = [pq.read_table(p) for p in partition.dv_paths]
+        dv = pa.concat_tables(tables, promote_options="permissive")
+        dv = dv.filter(pc.equal(dv.column("_src"), base))
+        shared = [f.name for f in self.arrow_schema
+                  if f.name in dv.column_names]
+        if dv.num_rows == 0 or not shared:
+            return None
+        cols = []
+        for name in shared:
+            col = dv.column(name).combine_chunks()
+            ftype = self.arrow_schema.field(name).type
+            if col.type != ftype:
+                col = pc.cast(col, ftype)
+            cols.append(col)
+        return shared, _dv_row_keys(cols)
+
     def read(self, partition: _FilePartition):
         part_map = dict(partition.part_values)
+        dv_keys = self._dv_key_set(partition)
         pf = pq.ParquetFile(partition.path)
         known = set(self.arrow_schema.names)
         extra = [n for n in pf.schema_arrow.names if n not in known]
@@ -539,13 +634,27 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                 if col.type != field.type:
                     col = pc.cast(col, field.type)
                 cols.append(col)
-            yield pa.RecordBatch.from_arrays(cols, schema=self.arrow_schema)
+            out = pa.RecordBatch.from_arrays(cols, schema=self.arrow_schema)
+            if dv_keys is not None:
+                # merge-on-read delete (on_dv="apply"): drop the rows a
+                # covering deletion vector recorded — string-key anti-
+                # join, null-safe, duplicates included (same physical
+                # rows the recording delete matched)
+                shared, keyset = dv_keys
+                rows = _dv_row_keys(
+                    [out.column(out.schema.get_field_index(n))
+                     for n in shared])
+                out = out.filter(pc.invert(
+                    pc.is_in(rows, value_set=keyset)))
+            yield out
 
 
 class WarehouseStreamDataSource(DataSource):
     """``spark.readStream.format("warehouse_stream")`` over a commit-log
     tracked warehouse table. Options: ``root`` (warehouse root path),
-    ``table``, ``on_replace`` (fail|reemit), ``tail_only`` (true skips
+    ``table``, ``on_replace`` (fail|reemit), ``on_dv`` (fail|apply —
+    apply filters merge-on-read deleted rows during the streamed read
+    instead of refusing dv-covered batches), ``tail_only`` (true skips
     the initial snapshot batch), ``max_files_per_trigger`` /
     ``max_bytes_per_trigger`` (admission control: bound every
     microbatch — including the initial snapshot — to at most N
@@ -602,7 +711,8 @@ def register(spark) -> None:
 
 
 def stream_table(spark, root: str, table: str, *,
-                 on_replace: str = "fail", tail_only: bool = False,
+                 on_replace: str = "fail", on_dv: str = "fail",
+                 tail_only: bool = False,
                  max_files_per_trigger: int | None = None,
                  max_bytes_per_trigger: int | None = None,
                  checkpoint_dir: str | None = None):
@@ -620,6 +730,11 @@ def stream_table(spark, root: str, table: str, *,
     which cap produced them, so restarts stay exactly-once and capped
     (the replayed batch re-seeds the planner's position — see
     ``_WarehouseStreamReader``).
+    ``on_dv="apply"`` streams tables that carry live merge-on-read
+    deletion vectors (an uncompacted ``delete_where(mode="dv")``):
+    every emitted file is filtered to its surviving rows inside the
+    partition read, and dv-only delete commits tail through without
+    tripping the replace guard. Default ``"fail"`` refuses loudly.
     Pass the query's checkpointLocation as ``checkpoint_dir`` when
     using admission caps: on a restart whose last batch committed,
     Spark plans the next batch WITHOUT replaying the old one, and only
@@ -636,6 +751,7 @@ def stream_table(spark, root: str, table: str, *,
         .option("root", root)
         .option("table", table)
         .option("on_replace", on_replace)
+        .option("on_dv", on_dv)
         .option("tail_only", str(tail_only).lower())
     )
     if max_files_per_trigger is not None:
