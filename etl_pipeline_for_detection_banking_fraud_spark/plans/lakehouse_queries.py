@@ -443,3 +443,89 @@ def dedup_chunk_level(spark, sf_dir):
     return chunking.dedup_chunks(
         _t(spark, sf_dir, "documents"), size=4
     )
+
+
+@_q(
+    "merge_conditional",
+    "conditional multi-clause MERGE (Delta MERGE INTO analog): WHEN "
+    "MATCHED AND cond UPDATE/DELETE, WHEN NOT MATCHED AND cond INSERT, "
+    "WHEN NOT MATCHED BY SOURCE DELETE — the reference's SCD2 "
+    "close-then-insert (incr_loading.py:79-101) generalized",
+    """
+    WITH t AS (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_custkey <= 1000
+    ), s AS (
+        SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+               sum(o_totalprice) AS spend
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT t.c_custkey AS tk, s.c_custkey AS sk, t.c_name,
+               t.c_acctbal, s.n_orders, s.spend
+        FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    )
+    SELECT coalesce(tk, sk) AS c_custkey,
+           CASE WHEN tk IS NOT NULL THEN c_name
+                ELSE 'new-' || sk END AS c_name,
+           CAST(CASE
+                WHEN tk IS NOT NULL AND sk IS NOT NULL
+                     AND spend > 150000 THEN c_acctbal + 1
+                WHEN tk IS NOT NULL THEN c_acctbal
+                ELSE spend END AS DOUBLE) AS c_acctbal
+    FROM m
+    WHERE CASE
+          WHEN tk IS NOT NULL AND sk IS NOT NULL
+               THEN NOT (spend <= 150000 AND n_orders <= 2)
+          WHEN tk IS NOT NULL THEN c_acctbal >= 0
+          ELSE sk <= 1200 END
+    """,
+)
+def merge_conditional(spark, sf_dir):
+    """Big-spender customers get a balance bump (first-clause-wins over
+    the low-order-count delete), quiet small customers are deleted,
+    unknown active custkeys under a cutoff insert as new rows, and
+    order-less customers in the red are purged — four clauses, one
+    full-outer join + one CASE projection (operators/merge.py; the
+    oracle states the same CASE algebra declaratively). The
+    transactional file-narrowed form is Warehouse.merge_when."""
+    from ..operators import merge as M
+
+    target = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 1000)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    source = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("o_totalprice").alias("spend"))
+    )
+    merged = M.merge_clauses(
+        target, source, ["c_custkey"],
+        matched=[
+            M.when_matched_update({"c_acctbal": "target.c_acctbal + 1"},
+                                  condition="source.spend > 150000"),
+            M.when_matched_delete(condition="source.n_orders <= 2"),
+        ],
+        not_matched=[
+            M.when_not_matched_insert(
+                {
+                    "c_custkey": "source.c_custkey",
+                    "c_name": F.concat(
+                        F.lit("new-"),
+                        F.col("source.c_custkey").cast("string")),
+                    "c_acctbal": "source.spend",
+                },
+                condition="source.c_custkey <= 1200",
+            ),
+        ],
+        not_matched_by_source=[
+            M.when_not_matched_by_source_delete(
+                condition="target.c_acctbal < 0"),
+        ],
+    )
+    return merged.select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )

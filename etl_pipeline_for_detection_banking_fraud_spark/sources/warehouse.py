@@ -2154,6 +2154,216 @@ class Warehouse:
                 if sidecar:
                     self.vacuum_orphans(sidecar)
 
+    def merge_when(self, table: str, source: DataFrame, on: list[str], *,
+                   matched: list[dict] | None = None,
+                   not_matched: list[dict] | None = None,
+                   not_matched_by_source: list[dict] | None = None,
+                   cdf: bool = False,
+                   cdf_table: str | None = None) -> dict:
+        """Conditional multi-clause MERGE INTO ``table`` USING
+        ``source`` ON equality of the ``on`` columns — the Delta
+        ``WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE, WHEN NOT
+        MATCHED [AND cond] THEN INSERT, WHEN NOT MATCHED BY SOURCE
+        [AND cond] THEN UPDATE/DELETE`` statement as ONE atomic replace
+        commit. Clause dicts come from ``operators.merge`` (or its
+        ``when_*`` helpers); conditions/SET/VALUES see the pair as
+        ``target.<col>`` / ``source.<col>``. The reference's SCD2
+        close-then-insert (incr_loading.py:79-101) is the two-clause
+        instance of this statement.
+
+        File-level, like ``delete_where``: candidate files are pruned
+        by the SOURCE's ON-key min/max (necessary bounds — a matching
+        target row must share a key with some source row), then a
+        find-touched-files semi-join keeps only files holding live
+        rows whose keys appear in the source; those files are rewritten
+        through ``operators.merge.MergePlan`` (one full-outer join +
+        one CASE projection), every other file carries verbatim with
+        its stats. ``NOT MATCHED BY SOURCE`` clauses can touch any
+        target row, so their presence makes every file a candidate
+        (the Delta posture; narrow such merges with selective
+        conditions at the caller if needed). Deletion vectors covering
+        rewritten files fold into the rewrite; vectors on untouched
+        files survive.
+
+        Guards: duplicate ON-keys in the source that match target rows
+        raise (the SQL MERGE cardinality violation — one target row
+        updated by two source rows is nondeterministic); a ``_src``-
+        style reserved-name clash cannot occur here (the merge join
+        uses alias-qualified columns only). ``cdf=True`` appends the
+        row-level changes (insert / delete / update_preimage /
+        update_postimage, tagged ``_txn``) to the table's CDF sidecar
+        in the SAME commit — ``delete_where``'s feed shape, so
+        CDF-driven rollups absorb the merge exactly. Returns
+        ``{"updated": n, "deleted": n, "inserted": n}`` (all zero =
+        no commit)."""
+        from ..operators import merge as M
+
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        nmbs = list(not_matched_by_source or [])
+        if not (matched or not_matched or nmbs):
+            raise ValueError("merge_when: no clauses given")
+        mf0 = self._manifest_files(table)
+        if mf0 is None:
+            raise ValueError(
+                f"merge_when: {table} is not commit-log tracked (no "
+                "manifest to carry untouched files through)"
+            )
+        if not mf0:
+            raise ValueError(
+                f"merge_when: {table} has no committed files — append "
+                "the initial data instead of merging into nothing"
+            )
+        sidecar = (cdf_table or f"{table}__cdf").lower() if cdf else None
+        # source ON-key bounds: a NECESSARY prune (any matched target
+        # row shares its key with a source row, so it lies in bounds)
+        aggs = []
+        for k in on:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        row = source.agg(*aggs).first()
+
+        def _iso(v):
+            return v.isoformat() if isinstance(
+                v, (datetime.date, datetime.datetime)) else v
+
+        prune = {}
+        for k in on:
+            lo, hi = _iso(row[f"__lo_{k}"]), _iso(row[f"__hi_{k}"])
+            if lo is not None and hi is not None and all(
+                    isinstance(v, (int, float, str)) and
+                    not isinstance(v, bool) for v in (lo, hi)):
+                prune[k] = (lo, hi)
+        # insert-only merges never rewrite target files: matched rows
+        # ride untouched in place, only the unmatched source rows land
+        # (as appended files inside the replace) — Delta's insert-only
+        # optimization, and it makes duplicate source keys benign there
+        # (both copies are simply "matched", neither inserts twice a
+        # target rewrite could duplicate)
+        rewrite_needed = bool(matched or nmbs)
+        dup_keys = (source.groupBy(*on).count()
+                    .where(F.col("count") > 1).drop("count"))
+        has_dups = bool(rewrite_needed and dup_keys.limit(1).count())
+        src_keys = source.select(*on).distinct()
+        for attempt in range(3):
+            self._invalidate_state()
+            base_seq = self._latest_seq()
+            mf = list(self._manifest_files(table) or [])
+            stats = self._manifest_stats(table)
+            dv_map = self._dv_state(table)
+            p = self._path(table)
+
+            def _build(rs: list[str]) -> DataFrame:
+                return self.spark.read.option("basePath", p).parquet(
+                    *[os.path.join(p, r) for r in rs])
+
+            cand = mf if nmbs or not prune else [
+                r for r in mf if _file_may_match(r, stats.get(r), prune)]
+            key_files: list[str] = []
+            if cand:
+                if nmbs:
+                    key_files = list(cand)  # every file may hold
+                    # source-unmatched rows those clauses touch
+                else:
+                    fcol = "__dv_f"
+                    while fcol in _build(cand[:1]).columns:
+                        fcol = "_" + fcol
+                    live_k = self._dv_split_read(
+                        _build, table, dv_map, cand, keep_file_col=fcol)
+                    hit = {
+                        str(r[0]) for r in live_k
+                        .join(src_keys, on, "left_semi")
+                        .select(fcol).distinct().collect()
+                    }
+                    key_files = [r for r in cand
+                                 if os.path.basename(r) in hit]
+            touched = sorted(key_files) if rewrite_needed else []
+            if key_files:
+                # the merge join must see every live row whose key the
+                # source matches (NOT MATCHED detection), even when an
+                # insert-only merge rewrites nothing
+                target_df = self._dv_split_read(
+                    _build, table, dv_map, sorted(key_files))
+            else:
+                # no file holds a matching key: matched/nmbs clauses
+                # are vacuous, only inserts can land — an empty,
+                # correctly-typed target side (newest file's schema)
+                target_df = _build(mf[-1:]).limit(0)
+            if has_dups and target_df.join(
+                    dup_keys, on, "left_semi").limit(1).count():
+                raise ValueError(
+                    "merge_when cardinality violation: multiple source "
+                    f"rows share an ON key that matches a {table} row — "
+                    "deduplicate the source (SQL MERGE would "
+                    "nondeterministically apply one of them)"
+                )
+            plan = M.MergePlan(target_df, source, list(on), matched,
+                               not_matched, nmbs)
+            tagged = plan.tagged.persist()
+            try:
+                by_tag = {
+                    r[0]: r[1] for r in tagged.groupBy(M._ACT)
+                    .agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+                n_upd = sum(by_tag.get(t, 0) for t in plan.update_tags)
+                n_del = sum(by_tag.get(t, 0) for t in plan.delete_tags)
+                n_ins = sum(by_tag.get(t, 0) for t in plan.insert_tags)
+                if n_upd == n_del == n_ins == 0:
+                    return {"updated": 0, "deleted": 0, "inserted": 0}
+                out = plan.project(tagged) if rewrite_needed else \
+                    plan.project(tagged.where(
+                        F.col(M._ACT).isin(plan.insert_tags)))
+                part_cols = self._rewrite_part_cols(table, target_df)
+                txn = Transaction(self)
+                txn.replace = True
+                txn.base_seq = base_seq
+                txn.append(out, table, partition_by=part_cols or None)
+                untouched = [r for r in mf if r not in set(touched)]
+                if untouched:
+                    txn.pending[table] = untouched + txn.pending[table]
+                    tstats = txn.stats.setdefault(table, {})
+                    for rel in untouched:
+                        if rel in stats:
+                            tstats[rel] = stats[rel]
+                survivors = self._dv_survivors(dv_map, set(touched))
+                if survivors:
+                    txn.dv[table] = survivors
+                if sidecar:
+                    txn.append_only.add(sidecar)
+                    act = F.col(M._ACT)
+                    feeds = []
+                    if plan.update_tags:
+                        upd = tagged.where(act.isin(plan.update_tags))
+                        feeds.append(plan.target_rows(upd).withColumn(
+                            "change_type", F.lit("update_preimage")))
+                        feeds.append(plan.project(upd).withColumn(
+                            "change_type", F.lit("update_postimage")))
+                    if plan.delete_tags:
+                        feeds.append(plan.target_rows(
+                            tagged.where(act.isin(plan.delete_tags))
+                        ).withColumn("change_type", F.lit("delete")))
+                    if plan.insert_tags:
+                        feeds.append(plan.project(
+                            tagged.where(act.isin(plan.insert_tags))
+                        ).withColumn("change_type", F.lit("insert")))
+                    feed = feeds[0]
+                    for f_ in feeds[1:]:
+                        feed = feed.unionByName(f_)
+                    txn.append(feed.withColumn("_txn", F.lit(txn.txnid)),
+                               sidecar)
+                try:
+                    txn.commit()
+                    return {"updated": n_upd, "deleted": n_del,
+                            "inserted": n_ins}
+                except CommitConflict:
+                    if attempt == 2:
+                        raise
+                    self.vacuum_orphans(table)
+                    if sidecar:
+                        self.vacuum_orphans(sidecar)
+            finally:
+                tagged.unpersist()
+        return {"updated": 0, "deleted": 0, "inserted": 0}
+
     def _matched_files(self, table: str, cand: list[str], matches,
                        dv_map: dict) -> list[str]:
         """Narrow a DML rewrite set to the files that ACTUALLY contain
