@@ -79,8 +79,34 @@ def flush_meta(wh: Warehouse, independent: bool = False) -> None:
     buf.clear()
 
 
+class CommittedBatches(set):
+    """The replay-detection set with a FLOOR: batch ids at or below
+    ``floor`` answer ``in`` as committed without being materialized.
+
+    Why: Spark's microbatch ids are monotone per query identity and the
+    sink writes markers in batch order, so a marker for batch N proves
+    every batch < N committed — the driver only ever re-offers the
+    tail. Materializing one int per batch ever logged made the sink's
+    first-microbatch read O(total batches) over a stream's lifetime;
+    the floor keeps it O(tail window) forever. ``add``/iteration work
+    on the explicit tail only (all the sink needs)."""
+
+    def __init__(self, ids=(), floor: int = -1):
+        super().__init__(ids)
+        self.floor = floor
+
+    def __contains__(self, batch_id) -> bool:  # type: ignore[override]
+        try:
+            if batch_id <= self.floor:
+                return True
+        except TypeError:
+            pass
+        return set.__contains__(self, batch_id)
+
+
 def logged_stream_batches(wh: Warehouse, table_name: str,
-                          query_id: str | None = None) -> set[int]:
+                          query_id: str | None = None,
+                          tail: int = 256) -> CommittedBatches:
     """Batch ids with a commit-marker row — the streaming sink's
     replay-detection set (read once, at the sink's first microbatch).
 
@@ -93,17 +119,32 @@ def logged_stream_batches(wh: Warehouse, table_name: str,
     than a duplicate); scoped markers let it proceed, and row-level
     duplicates across checkpoints are ``dedup_transactions_stream``'s
     job.  ``query_id=None`` matches the legacy unscoped format.
-    """
+
+    Bounded by construction: the marker ids are aggregated ENGINE-side
+    (max + the ``tail`` newest distinct ids collected); everything at
+    or below ``max - tail`` is answered by the floor (ids are monotone
+    per query identity — see ``CommittedBatches``). A months-long
+    stream's restart therefore reads O(tail) rows onto the driver, not
+    O(every batch ever committed)."""
     if not wh.exists(TABLE):
-        return set()
+        return CommittedBatches()
     prefix = f"COMMIT_{query_id}_" if query_id else "COMMIT_BATCH_"
-    rows = (
+    marked = (
         wh.read(TABLE)
         .where(
             (F.col("table_name") == table_name)
             & F.col("status").startswith(prefix)
         )
-        .select("status")
-        .collect()
+        .select(F.regexp_extract("status", r"_(\d+)$", 1)
+                .cast("long").alias("bid"))
+        .where(F.col("bid").isNotNull())
     )
-    return {int(r["status"].rsplit("_", 1)[1]) for r in rows}
+    mx = marked.agg(F.max("bid").alias("m")).first()["m"]
+    if mx is None:
+        return CommittedBatches()
+    floor = int(mx) - int(tail)
+    ids = {
+        int(r["bid"])
+        for r in marked.where(F.col("bid") > floor).distinct().collect()
+    }
+    return CommittedBatches(ids, floor)

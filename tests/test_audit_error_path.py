@@ -94,3 +94,54 @@ def test_failing_stage_writes_error_audit_row(spark, ref_data, tmp_path):
     # the successfully ingested stage before it still has its SUCCESS row
     ok = meta[meta.table_name == "stg_transactions"]
     assert list(ok.status) == ["SUCCESS"]
+
+
+class TestLoggedStreamBatchesBounded:
+    def test_ten_k_markers_bounded_driver_read(self, spark, tmp_path):
+        """A stream that committed 10k microbatches: the restart-time
+        marker read materializes only the tail window, answers
+        membership for every id via the floor, and stays exact at the
+        frontier."""
+        from etl_pipeline_for_detection_banking_fraud_spark import audit, schemas
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        qid = "q-abc"
+        n = 10_000
+        rows = [("stream_t", None, 1, f"COMMIT_{qid}_{b}")
+                for b in range(n) if b != 9_998]  # one uncommitted tail id
+        df = spark.createDataFrame(
+            rows, schema=schemas.META_LOADING).coalesce(4)
+        wh.append(df, audit.TABLE)
+
+        got = audit.logged_stream_batches(wh, "stream_t", qid)
+        # bounded: explicit tail only, never one int per batch
+        assert len(got) <= 256 + 1
+        assert got.floor == (n - 1) - 256
+        # membership: everything committed answers True...
+        assert 0 in got and 5_000 in got and 9_997 in got and 9_999 in got
+        # ...the uncommitted frontier id answers False...
+        assert 9_998 not in got
+        # ...and future ids are not committed
+        assert n in got is False or n not in got
+        # the sink's add() keeps working
+        got.add(10_000)
+        assert 10_000 in got
+
+    def test_empty_and_scoped_markers(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark import audit, schemas
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        assert 0 not in audit.logged_stream_batches(wh, "stream_t", "q")
+        rows = [("stream_t", None, 1, "COMMIT_other_3"),
+                ("stream_t", None, 1, "COMMIT_BATCH_7"),
+                ("other_t", None, 1, "COMMIT_q_5")]
+        wh.append(spark.createDataFrame(
+            rows, schema=schemas.META_LOADING).coalesce(1), audit.TABLE)
+        # query-scoped read ignores other query ids and tables
+        got = audit.logged_stream_batches(wh, "stream_t", "q")
+        assert 3 not in got and 5 not in got and 7 not in got
+        # legacy unscoped format still reads
+        legacy = audit.logged_stream_batches(wh, "stream_t", None)
+        assert 7 in legacy and 3 not in legacy
