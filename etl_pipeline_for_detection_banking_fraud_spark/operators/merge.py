@@ -41,8 +41,13 @@ from pyspark.sql import functions as F
 _T_FLAG, _S_FLAG, _ACT = "__merge_t", "__merge_s", "__merge_act"
 
 
-def when_matched_update(set: dict, condition=None) -> dict:  # noqa: A002
-    return {"when": "matched", "action": "update", "set": dict(set),
+def when_matched_update(set: dict | None = None,  # noqa: A002
+                        condition=None) -> dict:
+    """``set=None`` is UPDATE SET * : every target column takes the
+    same-named source column, keeping its value when the source lacks
+    it."""
+    return {"when": "matched", "action": "update",
+            "set": dict(set) if set is not None else None,
             "condition": condition}
 
 
@@ -104,7 +109,9 @@ class MergePlan:
 
     def __init__(self, target: DataFrame, source: DataFrame,
                  on: list[str], matched: list[dict],
-                 not_matched: list[dict], not_matched_by_source: list[dict]):
+                 not_matched: list[dict], not_matched_by_source: list[dict],
+                 target_alias: str = "target", source_alias: str = "source"):
+        self.t_alias, self.s_alias = target_alias, source_alias
         _validate("matched", matched, {"update", "delete"})
         _validate("not_matched", not_matched, {"insert"})
         _validate("not_matched_by_source", not_matched_by_source,
@@ -124,14 +131,14 @@ class MergePlan:
         self.matched = matched
         self.not_matched = not_matched
         self.nmbs = not_matched_by_source
-        t = target.withColumn(_T_FLAG, F.lit(True)).alias("target")
-        s = source.withColumn(_S_FLAG, F.lit(True)).alias("source")
+        t = target.withColumn(_T_FLAG, F.lit(True)).alias(target_alias)
+        s = source.withColumn(_S_FLAG, F.lit(True)).alias(source_alias)
         cond = None
         for k in on:
-            c = F.col(f"target.{k}") == F.col(f"source.{k}")
+            c = F.col(f"{target_alias}.{k}") == F.col(f"{source_alias}.{k}")
             cond = c if cond is None else (cond & c)
-        te = F.col(f"target.{_T_FLAG}").isNotNull()
-        se = F.col(f"source.{_S_FLAG}").isNotNull()
+        te = F.col(f"{target_alias}.{_T_FLAG}").isNotNull()
+        se = F.col(f"{source_alias}.{_S_FLAG}").isNotNull()
         act = (
             F.when(te & se, _chain(matched, "m", "keep"))
             .when(te, _chain(not_matched_by_source, "b", "keep"))
@@ -151,14 +158,19 @@ class MergePlan:
     def _value_for(self, cl: dict, name: str) -> Column:
         """The value a clause assigns to target column ``name``."""
         if cl["action"] == "update":
-            if name in cl["set"]:
-                return _as_col(cl["set"][name])
-            return F.col(f"target.{name}")
+            sets = cl.get("set")
+            if sets is None:  # UPDATE SET *
+                return F.col(f"{self.s_alias}.{name}") \
+                    if name in self.source_cols \
+                    else F.col(f"{self.t_alias}.{name}")
+            if name in sets:
+                return _as_col(sets[name])
+            return F.col(f"{self.t_alias}.{name}")
         # insert
         vals = cl.get("values")
         if vals is None:  # INSERT *
-            return F.col(f"source.{name}") if name in self.source_cols \
-                else F.lit(None)
+            return F.col(f"{self.s_alias}.{name}") \
+                if name in self.source_cols else F.lit(None)
         return _as_col(vals[name]) if name in vals else F.lit(None)
 
     def _tagged_clauses(self):
@@ -177,7 +189,8 @@ class MergePlan:
         )
         cols = []
         for f in self.fields:
-            e = F.when(F.col(_ACT) == "keep", F.col(f"target.{f.name}"))
+            e = F.when(F.col(_ACT) == "keep",
+                       F.col(f"{self.t_alias}.{f.name}"))
             for tag, cl in self._tagged_clauses():
                 if cl["action"] == "delete":
                     continue
@@ -188,8 +201,8 @@ class MergePlan:
     def target_rows(self, tagged: DataFrame) -> DataFrame:
         """The pre-merge image of the target rows in ``tagged``."""
         return tagged.select(
-            *[F.col(f"target.{f.name}").cast(f.dataType).alias(f.name)
-              for f in self.fields])
+            *[F.col(f"{self.t_alias}.{f.name}").cast(f.dataType)
+              .alias(f.name) for f in self.fields])
 
 
 def merge_clauses(target: DataFrame, source: DataFrame, on: list[str], *,

@@ -2159,7 +2159,9 @@ class Warehouse:
                    not_matched: list[dict] | None = None,
                    not_matched_by_source: list[dict] | None = None,
                    cdf: bool = False,
-                   cdf_table: str | None = None) -> dict:
+                   cdf_table: str | None = None,
+                   target_alias: str = "target",
+                   source_alias: str = "source") -> dict:
         """Conditional multi-clause MERGE INTO ``table`` USING
         ``source`` ON equality of the ``on`` columns — the Delta
         ``WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE, WHEN NOT
@@ -2297,7 +2299,9 @@ class Warehouse:
                     "nondeterministically apply one of them)"
                 )
             plan = M.MergePlan(target_df, source, list(on), matched,
-                               not_matched, nmbs)
+                               not_matched, nmbs,
+                               target_alias=target_alias,
+                               source_alias=source_alias)
             tagged = plan.tagged.persist()
             try:
                 by_tag = {

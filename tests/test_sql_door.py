@@ -1,0 +1,112 @@
+"""SQL door (sql_door.warehouse_sql): DELETE / UPDATE / MERGE INTO /
+INSERT / time travel / plain SELECT over auto-registered views —
+parsed by Spark's own SQL parser, routed through the transactional
+warehouse API. Closes the round-9 'no SQL door for DML/time travel'
+gap."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+    Warehouse,
+)
+from etl_pipeline_for_detection_banking_fraud_spark.sql_door import (
+    warehouse_sql,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with wh.transaction():
+        wh.append(spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(10)],
+            "k long, name string, v double").coalesce(2), "t")
+    return wh
+
+
+class TestSqlDml:
+    def test_delete_update_select(self, spark, wh):
+        assert warehouse_sql(wh, "DELETE FROM t WHERE k >= 8") == 2
+        assert warehouse_sql(
+            wh, "UPDATE t SET v = v + 100, name = 'u' WHERE k < 2") == 2
+        got = {r["k"]: (r["name"], r["v"])
+               for r in warehouse_sql(wh, "SELECT * FROM t").collect()}
+        assert len(got) == 8
+        assert got[0] == ("u", 100.0) and got[7] == ("n7", 7.0)
+        # full-table DELETE (no WHERE) is the Literal-true condition
+        assert warehouse_sql(wh, "DELETE FROM t") == 8
+        assert wh.read("t").count() == 0
+
+    def test_time_travel_version_and_timestamp(self, spark, wh):
+        v0 = wh._latest_seq()
+        ts0 = [s for s in wh.snapshots() if s["seq"] == v0][0]
+        warehouse_sql(wh, "DELETE FROM t WHERE k < 5")
+        assert warehouse_sql(
+            wh, f"SELECT count(*) AS n FROM t VERSION AS OF {v0}"
+        ).collect()[0]["n"] == 10
+        assert warehouse_sql(
+            wh, "SELECT count(*) AS n FROM t").collect()[0]["n"] == 5
+        if ts0.get("committed_at"):
+            q = (f"SELECT count(*) AS n FROM t TIMESTAMP AS OF "
+                 f"'{ts0['committed_at']}'")
+            assert warehouse_sql(wh, q).collect()[0]["n"] == 10
+
+    def test_insert_into_and_overwrite(self, spark, wh):
+        warehouse_sql(
+            wh, "INSERT INTO t SELECT 77 AS k, 'ins' AS name, 7.5 AS v")
+        assert wh.read("t").where("k = 77").count() == 1
+        warehouse_sql(
+            wh, "INSERT OVERWRITE t SELECT 1 AS k, 'only' AS name, 1.0 AS v")
+        assert [(r["k"], r["name"]) for r in wh.read("t").collect()] == \
+            [(1, "only")]
+        # overwrite is a logical replace: pre-overwrite snapshot readable
+        assert wh.read_at("t", wh._latest_seq() - 1).count() == 11
+
+    def test_merge_into_full_clause_surface(self, spark, wh):
+        spark.createDataFrame(
+            [(1, 11.0, "U"), (3, 0.0, "D"), (55, 5.0, "I"),
+             (999, 1.0, "I")],
+            "k long, nv double, op string").createOrReplaceTempView("chg")
+        res = warehouse_sql(wh, """
+            MERGE INTO t AS tg USING (SELECT * FROM chg) AS s
+            ON tg.k = s.k
+            WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.nv
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN NOT MATCHED AND s.k < 100
+                 THEN INSERT (k, name, v) VALUES (s.k, 'new', s.nv)
+            WHEN NOT MATCHED BY SOURCE AND tg.k = 7 THEN DELETE
+        """)
+        assert res == {"updated": 1, "deleted": 2, "inserted": 1}
+        got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+        assert got[1] == 11.0 and got[55] == 5.0
+        assert 3 not in got and 7 not in got and 999 not in got
+
+    def test_merge_star_actions(self, spark, wh):
+        spark.createDataFrame(
+            [(2, "star", 222.0), (66, "s66", 66.0)],
+            "k long, name string, v double").createOrReplaceTempView("chg2")
+        res = warehouse_sql(wh, """
+            MERGE INTO t USING chg2 ON t.k = chg2.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+        got = {r["k"]: (r["name"], r["v"]) for r in wh.read("t").collect()}
+        assert got[2] == ("star", 222.0) and got[66] == ("s66", 66.0)
+
+    def test_merge_rejects_non_equi_on(self, spark, wh):
+        spark.createDataFrame([(1, 1.0)], "k long, nv double") \
+            .createOrReplaceTempView("chg3")
+        with pytest.raises(ValueError, match="equi"):
+            warehouse_sql(wh, """
+                MERGE INTO t USING chg3 ON t.k > chg3.k
+                WHEN MATCHED THEN DELETE
+            """)
+
+    def test_existing_view_not_clobbered(self, spark, wh):
+        spark.createDataFrame([(1,)], "only long") \
+            .createOrReplaceTempView("t_custom")
+        df = warehouse_sql(wh, "SELECT * FROM t_custom")
+        assert df.columns == ["only"]
