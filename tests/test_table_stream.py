@@ -757,3 +757,29 @@ class TestDvStreaming:
             q.awaitTermination(120)
             if q.exception() is not None:
                 raise q.exception()
+
+    def test_on_dv_apply_composes_with_admission_caps(
+            self, spark, tmp_path):
+        """Capped snapshot chunks each anti-join their own files: the
+        dv filter is per-partition, so pacing and merge-on-read deletes
+        compose without special cases."""
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ck")
+        wh = Warehouse(spark, root)
+        for i in range(4):
+            with wh.transaction():
+                wh.append(_rows(spark, [10 * i + 1, 10 * i + 2], day=1)
+                          .coalesce(1), "events", partition_by=["dt"])
+        # dv rows scattered across two different files
+        assert wh.delete_where("events", "id IN (2, 21)", mode="dv") == 2
+        got = []
+        # drain in 1-file batches across several availableNow runs
+        # (Python sources fall back to single-batch under availableNow)
+        for _ in range(6):
+            got += _run_available(
+                spark,
+                ts.stream_table(spark, root, "events", on_dv="apply",
+                                max_files_per_trigger=1,
+                                checkpoint_dir=ckpt),
+                "dv_capped", ckpt)
+        assert sorted(r["id"] for r in got) == [1, 11, 12, 22, 31, 32]
