@@ -110,7 +110,11 @@ class MergePlan:
     def __init__(self, target: DataFrame, source: DataFrame,
                  on: list[str], matched: list[dict],
                  not_matched: list[dict], not_matched_by_source: list[dict],
-                 target_alias: str = "target", source_alias: str = "source"):
+                 target_alias: str = "target", source_alias: str = "source",
+                 exclude_cols: tuple = ()):
+        # exclude_cols: target columns carried through ``tagged`` for
+        # the transactional wrapper (row provenance like ``_src``) but
+        # excluded from every merge OUTPUT projection
         self.t_alias, self.s_alias = target_alias, source_alias
         _validate("matched", matched, {"update", "delete"})
         _validate("not_matched", not_matched, {"insert"})
@@ -126,7 +130,8 @@ class MergePlan:
         for flag in (_T_FLAG, _S_FLAG, _ACT):
             if flag in target.columns or flag in source.columns:
                 raise ValueError(f"column name {flag!r} is reserved by merge")
-        self.fields = list(target.schema.fields)
+        self.fields = [f for f in target.schema.fields
+                       if f.name not in exclude_cols]
         self.source_cols = list(source.columns)
         self.matched = matched
         self.not_matched = not_matched

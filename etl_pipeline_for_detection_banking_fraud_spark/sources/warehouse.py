@@ -2161,7 +2161,9 @@ class Warehouse:
                    cdf: bool = False,
                    cdf_table: str | None = None,
                    target_alias: str = "target",
-                   source_alias: str = "source") -> dict:
+                   source_alias: str = "source",
+                   mode: str = "rewrite",
+                   dv_max_rows: int | None = 100_000) -> dict:
         """Conditional multi-clause MERGE INTO ``table`` USING
         ``source`` ON equality of the ``on`` columns — the Delta
         ``WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE, WHEN NOT
@@ -2195,14 +2197,28 @@ class Warehouse:
         row-level changes (insert / delete / update_preimage /
         update_postimage, tagged ``_txn``) to the table's CDF sidecar
         in the SAME commit — ``delete_where``'s feed shape, so
-        CDF-driven rollups absorb the merge exactly. Returns
-        ``{"updated": n, "deleted": n, "inserted": n}`` (all zero =
-        no commit)."""
+        CDF-driven rollups absorb the merge exactly.
+
+        ``mode="dv"`` is the MERGE-ON-READ merge (the same lever
+        ``delete_where``/``update_where`` have): touched files are NOT
+        rewritten — updated/deleted rows' preimages land in a
+        deletion-vector sidecar, update postimages and inserts are
+        APPENDED in the same commit, reads see old−pre+post+new. A
+        scattered-key merge over a 100 TB table writes one sidecar +
+        the new rows instead of rewriting every touched file;
+        ``compact()`` folds later. ``dv_max_rows`` bounds the sidecar
+        exactly as in ``delete_where`` (over the cap: eager rewrite +
+        warning; None disables).
+
+        Returns ``{"updated": n, "deleted": n, "inserted": n}``
+        (all zero = no commit)."""
         from ..operators import merge as M
 
         matched = list(matched or [])
         not_matched = list(not_matched or [])
         nmbs = list(not_matched_by_source or [])
+        if mode not in ("rewrite", "dv"):
+            raise ValueError("mode must be 'rewrite' or 'dv'")
         if not (matched or not_matched or nmbs):
             raise ValueError("merge_when: no clauses given")
         mf0 = self._manifest_files(table)
@@ -2279,17 +2295,27 @@ class Warehouse:
                     key_files = [r for r in cand
                                  if os.path.basename(r) in hit]
             touched = sorted(key_files) if rewrite_needed else []
+            if "_src" in _build(mf[-1:]).columns:
+                raise ValueError(
+                    f"table {table} has a column named '_src', which "
+                    "DML reserves for the row-provenance file column "
+                    "(deletion-vector sidecars persist it); rename the "
+                    "column before running merge_when"
+                )
             if key_files:
                 # the merge join must see every live row whose key the
                 # source matches (NOT MATCHED detection), even when an
-                # insert-only merge rewrites nothing
+                # insert-only merge rewrites nothing. _src rides along
+                # for mode="dv" provenance (excluded from every output)
                 target_df = self._dv_split_read(
-                    _build, table, dv_map, sorted(key_files))
+                    _build, table, dv_map, sorted(key_files),
+                    keep_file_col="_src")
             else:
                 # no file holds a matching key: matched/nmbs clauses
                 # are vacuous, only inserts can land — an empty,
                 # correctly-typed target side (newest file's schema)
-                target_df = _build(mf[-1:]).limit(0)
+                target_df = _build(mf[-1:]).limit(0).withColumn(
+                    "_src", _basename_col())
             if has_dups and target_df.join(
                     dup_keys, on, "left_semi").limit(1).count():
                 raise ValueError(
@@ -2301,7 +2327,8 @@ class Warehouse:
             plan = M.MergePlan(target_df, source, list(on), matched,
                                not_matched, nmbs,
                                target_alias=target_alias,
-                               source_alias=source_alias)
+                               source_alias=source_alias,
+                               exclude_cols=("_src",))
             tagged = plan.tagged.persist()
             try:
                 by_tag = {
@@ -2313,24 +2340,78 @@ class Warehouse:
                 n_ins = sum(by_tag.get(t, 0) for t in plan.insert_tags)
                 if n_upd == n_del == n_ins == 0:
                     return {"updated": 0, "deleted": 0, "inserted": 0}
-                out = plan.project(tagged) if rewrite_needed else \
-                    plan.project(tagged.where(
-                        F.col(M._ACT).isin(plan.insert_tags)))
-                part_cols = self._rewrite_part_cols(table, target_df)
+                eff_mode = mode
+                if mode == "dv" and rewrite_needed and \
+                        dv_max_rows is not None and \
+                        (n_upd + n_del) > dv_max_rows:
+                    warnings.warn(
+                        f"merge_when(mode='dv') on {table} changed "
+                        f"{n_upd + n_del} rows > dv_max_rows="
+                        f"{dv_max_rows}; falling back to eager rewrite "
+                        "so reads don't broadcast an oversized deletion "
+                        "vector (raise dv_max_rows or pass None to "
+                        "override)",
+                        stacklevel=2,
+                    )
+                    eff_mode = "rewrite"
+                act = F.col(M._ACT)
+                if not rewrite_needed:
+                    out = plan.project(tagged.where(
+                        act.isin(plan.insert_tags)))
+                elif eff_mode == "dv":
+                    # merge-on-read: only NEW rows land as files —
+                    # update postimages + inserts; keeps stay in place
+                    out = plan.project(tagged.where(act.isin(
+                        plan.update_tags + plan.insert_tags)))
+                else:
+                    out = plan.project(tagged)
+                part_cols = self._rewrite_part_cols(
+                    table, _build(mf[-1:]))
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
                 txn.append(out, table, partition_by=part_cols or None)
-                untouched = [r for r in mf if r not in set(touched)]
-                if untouched:
-                    txn.pending[table] = untouched + txn.pending[table]
+                if eff_mode == "dv" and rewrite_needed:
+                    # nothing rewritten: EVERY existing file carries
+                    # verbatim (stats included), preimages of changed
+                    # rows go to a dv sidecar covering exactly the
+                    # files they came from; existing dv entries survive
+                    txn.pending[table] = list(mf) + txn.pending[table]
                     tstats = txn.stats.setdefault(table, {})
-                    for rel in untouched:
+                    for rel in mf:
                         if rel in stats:
                             tstats[rel] = stats[rel]
-                survivors = self._dv_survivors(dv_map, set(touched))
-                if survivors:
-                    txn.dv[table] = survivors
+                    pb = self.table_partition_by(table)
+                    if pb:
+                        txn.partition_by[table] = pb
+                    new_dv = {k: list(v) for k, v in dv_map.items()}
+                    if n_upd + n_del:
+                        changed = tagged.where(act.isin(
+                            plan.update_tags + plan.delete_tags))
+                        pre_src = changed.select(
+                            *[F.col(f"{target_alias}.{f.name}")
+                              .cast(f.dataType).alias(f.name)
+                              for f in plan.fields],
+                            F.col(f"{target_alias}._src").alias("_src"))
+                        dv_rel = self._write_dv_file(table, pre_src, txn)
+                        hit = {str(r[0]) for r in
+                               pre_src.select("_src").distinct().collect()}
+                        new_dv[dv_rel] = sorted(
+                            r for r in touched
+                            if os.path.basename(r) in hit)
+                    if new_dv:
+                        txn.dv[table] = new_dv
+                else:
+                    untouched = [r for r in mf if r not in set(touched)]
+                    if untouched:
+                        txn.pending[table] = untouched + txn.pending[table]
+                        tstats = txn.stats.setdefault(table, {})
+                        for rel in untouched:
+                            if rel in stats:
+                                tstats[rel] = stats[rel]
+                    survivors = self._dv_survivors(dv_map, set(touched))
+                    if survivors:
+                        txn.dv[table] = survivors
                 if sidecar:
                     txn.append_only.add(sidecar)
                     act = F.col(M._ACT)

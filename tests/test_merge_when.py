@@ -309,3 +309,86 @@ class TestWarehouseMergeWhen:
         assert got[(2, "p2-new")] == (day, inf, 1)  # new version
         assert got[(3, "p3")] == (day, inf, 1)      # brand new key
         assert got[(2, "old")][2] == 0              # history untouched
+
+
+class TestMergeWhenDvMode:
+    def _seed(self, spark, tmp_path, sub):
+        wh = Warehouse(spark, str(tmp_path / sub))
+        with wh.transaction():
+            wh.append(_target(spark).coalesce(2), "t")
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(9, "z", 90.0)], "k long, name string, v double")
+                .coalesce(1), "t")
+        return wh
+
+    def test_merge_on_read_rewrites_nothing_and_matches_eager(
+            self, spark, tmp_path):
+        clauses = dict(
+            matched=[
+                M.when_matched_update({"v": "source.nv"},
+                                      condition="source.op = 'U'"),
+                M.when_matched_delete(condition="source.op = 'D'"),
+            ],
+            not_matched=[M.when_not_matched_insert(
+                {"k": "source.k", "name": F.lit("new"), "v": "source.nv"})],
+        )
+        dv_wh = self._seed(spark, tmp_path, "dv")
+        eager_wh = self._seed(spark, tmp_path, "eager")
+        before = set(dv_wh._manifest_files("t"))
+        res = dv_wh.merge_when("t", _source(spark), ["k"], mode="dv",
+                               **clauses)
+        assert res == {"updated": 1, "deleted": 1, "inserted": 1}
+        after = set(dv_wh._manifest_files("t"))
+        assert before <= after            # nothing rewritten or removed
+        assert len(dv_wh._dv_state("t")) == 1
+        assert eager_wh.merge_when("t", _source(spark), ["k"],
+                                   **clauses) == res
+        got = sorted((r["k"], r["name"], r["v"])
+                     for r in dv_wh.read("t").collect())
+        expect = sorted((r["k"], r["name"], r["v"])
+                        for r in eager_wh.read("t").collect())
+        assert got == expect == [(1, "a", 10.0), (2, "b", 200.0),
+                                 (4, "new", 40.0), (9, "z", 90.0)]
+        # compact folds the vector physically; rows unchanged
+        dv_wh.compact("t")
+        assert dv_wh._dv_state("t") == {}
+        assert sorted((r["k"], r["v"]) for r in dv_wh.read("t").collect()) \
+            == [(1, 10.0), (2, 200.0), (4, 40.0), (9, 90.0)]
+
+    def test_dv_merge_stacks_on_existing_dv(self, spark, tmp_path):
+        wh = self._seed(spark, tmp_path, "wh")
+        assert wh.delete_where("t", "k = 1", mode="dv") == 1
+        res = wh.merge_when(
+            "t", _source(spark), ["k"], mode="dv",
+            matched=[M.when_matched_update({"v": "source.nv"},
+                                           condition="source.op = 'U'")])
+        assert res["updated"] == 1
+        assert len(wh._dv_state("t")) == 2  # both vectors live
+        got = sorted((r["k"], r["v"]) for r in wh.read("t").collect())
+        assert got == [(2, 200.0), (3, 30.0), (9, 90.0)]
+
+    def test_dv_merge_over_cap_falls_back(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(i, "x", float(i)) for i in range(50)],
+                "k long, name string, v double").coalesce(1), "t")
+        src = spark.createDataFrame(
+            [(i, float(1000 + i)) for i in range(40)], "k long, nv double")
+        with pytest.warns(UserWarning, match="dv_max_rows"):
+            res = wh.merge_when(
+                "t", src, ["k"], mode="dv", dv_max_rows=5,
+                matched=[M.when_matched_update({"v": "source.nv"})])
+        assert res["updated"] == 40
+        assert wh._dv_state("t") == {}  # eager rewrite, no sidecar
+        assert wh.read("t").where("v >= 1000").count() == 40
+
+    def test_dv_merge_time_travel(self, spark, tmp_path):
+        wh = self._seed(spark, tmp_path, "wh")
+        pre = wh._latest_seq()
+        wh.merge_when(
+            "t", _source(spark), ["k"], mode="dv",
+            matched=[M.when_matched_delete(condition="source.op = 'D'")])
+        assert wh.read("t").count() == 3
+        assert wh.read_at("t", pre).count() == 4  # snapshot unaffected
