@@ -229,6 +229,12 @@ def warehouse_sql(wh: Warehouse, stmt: str):
         t_alias, t_rel = _unalias(plan.targetTable())
         table = _ident(t_rel)
         s_alias, s_plan = _unalias(plan.sourceTable())
+        if s_alias is None and _cls(s_plan) == "UnresolvedRelation":
+            # bare `USING tbl`: the statement's expressions reference
+            # the source by its table name — that IS the alias
+            parts = [str(x) for x in _seq(s_plan.multipartIdentifier())]
+            if len(parts) == 1:
+                s_alias = parts[0]
         _register_relations(wh, spark, s_plan)
         source = _of_rows(spark, s_plan)
         on = _on_keys(plan.mergeCondition())

@@ -110,3 +110,19 @@ class TestSqlDml:
             .createOrReplaceTempView("t_custom")
         df = warehouse_sql(wh, "SELECT * FROM t_custom")
         assert df.columns == ["only"]
+
+    def test_merge_bare_using_table_name_is_the_alias(self, spark, wh):
+        """`USING chg` without AS: the statement references the source
+        as `chg.<col>` — the table name must become the merge alias."""
+        spark.createDataFrame([(1, 100.0), (99, 9.0)],
+                              "k long, nv double") \
+            .createOrReplaceTempView("chg")
+        res = warehouse_sql(wh, """
+            MERGE INTO t USING chg ON t.k = chg.k
+            WHEN MATCHED THEN UPDATE SET v = chg.nv
+            WHEN NOT MATCHED THEN INSERT (k, name, v)
+                 VALUES (chg.k, 'ins', chg.nv)
+        """)
+        assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+        got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+        assert got[1] == 100.0 and got[99] == 9.0
