@@ -1017,6 +1017,40 @@ def _dml_dv_bench(spark, sf_dir: str, n_files: int = 32) -> dict:
         out["read_after_fold_sec"] = round(time.perf_counter() - t0, 4)
         if c_live != c_folded:
             out["error"] = f"count drift live={c_live} folded={c_folded}"
+
+        # conditional MERGE, eager vs merge-on-read (round 10): the
+        # same scattered keys as an upsert source — update half,
+        # delete half, insert a disjoint tail. Eager rewrites every
+        # touched file; dv appends postimages + one sidecar.
+        from pyspark.sql import functions as F
+
+        src = (
+            li.where(F.expr(cond))
+            .select("l_orderkey", "l_linenumber",
+                    (F.col("l_quantity") + 1).alias("new_qty"),
+                    (F.col("l_partkey") % 2 == 0).alias("is_del"))
+        )
+        from etl_pipeline_for_detection_banking_fraud_spark.operators import (
+            merge as M,
+        )
+
+        clauses = dict(
+            matched=[
+                M.when_matched_delete(condition="source.is_del"),
+                M.when_matched_update({"l_quantity": "source.new_qty"}),
+            ],
+        )
+        for label, kw in (("merge_eager", {}), ("merge_dv",
+                                                {"mode": "dv"})):
+            wh = build()
+            before = set(wh._manifest_files("t"))
+            t0 = time.perf_counter()
+            res = wh.merge_when("t", src, ["l_orderkey", "l_linenumber"],
+                                **clauses, **kw)
+            out[f"{label}_sec"] = round(time.perf_counter() - t0, 4)
+            out[f"{label}_files_rewritten"] = len(
+                before - set(wh._manifest_files("t")))
+            out[f"{label}_changed"] = res["updated"] + res["deleted"]
     finally:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
