@@ -1148,12 +1148,16 @@ def _compact_line(out: dict) -> str:
             k: v for k, v in out.get("replay", {}).items()
             if isinstance(v, (int, float))
         },
+        "sf1_machine_factor": (out.get("sf1") or {}).get(
+            "sf1_machine_factor"),
         "sf1_queries": (out.get("sf1") or {}).get("queries", {}),
         "dml_dv": {
             k: v for k, v in (out.get("dml_dv") or {}).items()
             if k in ("eager_delete_sec", "eager_files_rewritten",
                      "dv_delete_sec", "dv_files_rewritten",
-                     "compact_fold_sec")
+                     "compact_fold_sec", "merge_eager_sec",
+                     "merge_eager_files_rewritten", "merge_dv_sec",
+                     "merge_dv_files_rewritten")
         },
     }
     for drop in ("sf1_queries", "dml_dv", "replay", "queries"):
