@@ -523,3 +523,58 @@ class TestDvPerFileSkip:
         got = {(r["k"], r["tag"]) for r in
                wh.read("t", merge_schema=True).collect()}
         assert got == {(2, None), (3, "x")}
+
+
+class TestDvConcurrentVacuum:
+    def test_inflight_dv_survives_another_writers_vacuum(
+            self, spark, tmp_path):
+        """The round-9 advisor race, pinned cross-instance: writer A is
+        mid-DML (dv staged, commit pending) when writer B — e.g. a
+        conflict-retry loop in another process — runs vacuum_orphans.
+        B must not delete A's in-flight sidecar; A's commit then
+        publishes it and reads work. Pre-fix, the sidecar landed
+        directly in _dv/ and B's vacuum removed it, leaving A's commit
+        referencing a missing file (every subsequent read died)."""
+        import os as _os
+
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            Transaction,
+        )
+
+        root = str(tmp_path / "wh")
+        a = Warehouse(spark, root)
+        with a.transaction():
+            a.append(spark.createDataFrame(
+                [(1, 1.0), (2, 2.0)], "k long, v double").coalesce(1), "t")
+        b = Warehouse(spark, root)  # independent handle, same log
+
+        # A: the exact inner steps of delete_where(mode="dv") up to the
+        # commit point
+        p = a._path("t")
+        mf = list(a._manifest_files("t"))
+
+        def _build(rs):
+            return spark.read.option("basePath", p).parquet(
+                *[_os.path.join(p, r) for r in rs])
+
+        live = a._dv_split_read(_build, "t", {}, mf, keep_file_col="_src")
+        txn = Transaction(a)
+        txn.replace = True
+        txn.base_seq = a._latest_seq()
+        txn.pending["t"] = list(mf)
+        dv_rel = a._write_dv_file("t", live.where("k = 1"), txn)
+        txn.dv["t"] = {dv_rel: sorted(mf)}
+
+        # B: concurrent vacuum sees no orphans and leaves the stage
+        assert b.vacuum_orphans("t") == 0
+        staged, final = txn.dv_renames[0]
+        assert _os.path.exists(staged)
+
+        # A commits: sidecar publishes atomically with the entry
+        txn.commit()
+        assert _os.path.exists(final)
+        assert [r["k"] for r in a.read("t").collect()] == [2]
+        assert [r["k"] for r in b.read("t").collect()] == [2]
+        # and a post-commit vacuum keeps the now-referenced sidecar
+        assert b.vacuum_orphans("t") == 0
+        assert _os.path.exists(final)
