@@ -299,6 +299,31 @@ def warehouse_sql(wh: Warehouse, stmt: str):
         with wh.transaction():
             wh.append(df, table, partition_by=part_by)
         return None
+    if kind == "CreateTableAsSelect":
+        parts = [str(x) for x in _seq(plan.name().nameParts())]
+        if len(parts) != 1:
+            raise ValueError(
+                f"warehouse tables are single-part names; got "
+                f"{'.'.join(parts)}"
+            )
+        table = parts[0]
+        if wh.exists(table):
+            if plan.ignoreIfExists():  # CREATE TABLE IF NOT EXISTS
+                return None
+            raise ValueError(f"CREATE TABLE: {table} already exists")
+        part_by = []
+        for t in _seq(plan.partitioning()):
+            if _cls(t) != "IdentityTransform":
+                raise ValueError(
+                    "only PARTITIONED BY (col, …) identity partitioning "
+                    f"is supported; got {_cls(t)}"
+                )
+            part_by += [str(x) for x in t.ref().fieldNames()]
+        _register_relations(wh, spark, plan.query())
+        df = _of_rows(spark, plan.query())
+        with wh.transaction():
+            wh.append(df, table, partition_by=part_by or None)
+        return None
     # plain query (or unsupported DDL — spark.sql reports it)
     _register_relations(wh, spark, plan)
     return spark.sql(stmt)

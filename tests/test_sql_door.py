@@ -126,3 +126,26 @@ class TestSqlDml:
         assert res == {"updated": 1, "deleted": 0, "inserted": 1}
         got = {r["k"]: r["v"] for r in wh.read("t").collect()}
         assert got[1] == 100.0 and got[99] == 9.0
+
+    def test_insert_values_form(self, spark, wh):
+        warehouse_sql(wh, "INSERT INTO t VALUES (55, 'val', 5.5)")
+        got = wh.read("t").where("k = 55").collect()
+        assert [(r["name"], r["v"]) for r in got] == [("val", 5.5)]
+
+    def test_create_table_as_select(self, spark, wh):
+        warehouse_sql(wh, """
+            CREATE TABLE t_big PARTITIONED BY (name)
+            AS SELECT k, name, v * 2 AS v2 FROM t WHERE k >= 8
+        """)
+        got = sorted((r["k"], r["v2"]) for r in wh.read("t_big").collect())
+        assert got == [(8, 16.0), (9, 18.0)]
+        # tracked + partitioned by the CTAS clause
+        assert wh.table_partition_by("t_big") == ["name"]
+        assert all(r.startswith("name=")
+                   for r in wh._manifest_files("t_big"))
+        with pytest.raises(ValueError, match="already exists"):
+            warehouse_sql(wh, "CREATE TABLE t_big AS SELECT 1 AS x")
+        # IF NOT EXISTS no-ops
+        warehouse_sql(
+            wh, "CREATE TABLE IF NOT EXISTS t_big AS SELECT 1 AS x")
+        assert wh.read("t_big").count() == 2
