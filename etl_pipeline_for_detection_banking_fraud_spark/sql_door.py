@@ -203,13 +203,48 @@ def _of_rows(spark, plan) -> DataFrame:
     return DataFrame(jdf, spark)
 
 
+# Delta-dialect maintenance statements Spark's grammar lacks — handled
+# before the parser, exactly the statements a Delta user would type
+_MAINT = re.compile(
+    r"^\s*(DESCRIBE\s+HISTORY|VACUUM|OPTIMIZE)\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _maintenance(wh: Warehouse, stmt: str):
+    """(handled, result) — handled False means 'not a maintenance
+    statement, keep parsing'."""
+    m = _MAINT.match(stmt)
+    if not m:
+        return False, None
+    op, table = m.group(1).upper().split()[0], m.group(2)
+    if op == "DESCRIBE":  # DESCRIBE HISTORY t -> the commit log
+        import json as _json
+
+        rows = wh.snapshots()
+        return True, wh.spark.createDataFrame(
+            [(s["seq"], s.get("txn"), s.get("op"),
+              s.get("committed_at"), _json.dumps(s.get("tables", {})))
+             for s in rows],
+            "version long, txn string, operation string, "
+            "committed_at string, tables string")
+    if op == "VACUUM":
+        return True, wh.vacuum_orphans(table)
+    wh.compact(table)  # OPTIMIZE t
+    return True, None
+
+
 def warehouse_sql(wh: Warehouse, stmt: str):
     """Execute one SQL statement against the warehouse (module
     docstring for the supported surface). Returns what the Python API
     returns: rows affected (DELETE/UPDATE), the
-    updated/deleted/inserted counts dict (MERGE), None (INSERT), or
-    the result DataFrame (queries)."""
+    updated/deleted/inserted counts dict (MERGE), None (INSERT /
+    OPTIMIZE), files removed (VACUUM), or the result DataFrame
+    (queries, DESCRIBE HISTORY)."""
     spark = wh.spark
+    handled, maint = _maintenance(wh, stmt)
+    if handled:
+        return maint
     stmt = _rewrite_time_travel(wh, spark, stmt)
     parser = spark._jsparkSession.sessionState().sqlParser()
     plan = parser.parsePlan(stmt)

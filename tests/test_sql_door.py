@@ -149,3 +149,16 @@ class TestSqlDml:
         warehouse_sql(
             wh, "CREATE TABLE IF NOT EXISTS t_big AS SELECT 1 AS x")
         assert wh.read("t_big").count() == 2
+
+    def test_maintenance_statements(self, spark, wh):
+        warehouse_sql(wh, "DELETE FROM t WHERE k = 0")
+        hist = warehouse_sql(wh, "DESCRIBE HISTORY t")
+        rows = hist.orderBy("version").collect()
+        assert [r["operation"] for r in rows] == ["add", "replace"]
+        assert rows[-1]["committed_at"] is not None
+        # OPTIMIZE compacts the 2-file table into 1
+        assert len(wh._manifest_files("t")) >= 1
+        warehouse_sql(wh, "OPTIMIZE t")
+        assert len(wh._manifest_files("t")) == 1
+        assert wh.read("t").count() == 9
+        assert warehouse_sql(wh, "VACUUM t") >= 0
