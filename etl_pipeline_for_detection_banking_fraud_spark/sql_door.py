@@ -209,11 +209,20 @@ _MAINT = re.compile(
     r"^\s*(DESCRIBE\s+HISTORY|VACUUM|OPTIMIZE)\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_RESTORE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF"
+    r"\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _maintenance(wh: Warehouse, stmt: str):
     """(handled, result) — handled False means 'not a maintenance
     statement, keep parsing'."""
+    r = _RESTORE.match(stmt)
+    if r:  # RESTORE [TABLE] t TO VERSION AS OF n (Delta RESTORE)
+        wh.restore(r.group(1), int(r.group(2)))
+        return True, None
     m = _MAINT.match(stmt)
     if not m:
         return False, None

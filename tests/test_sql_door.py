@@ -162,3 +162,10 @@ class TestSqlDml:
         assert len(wh._manifest_files("t")) == 1
         assert wh.read("t").count() == 9
         assert warehouse_sql(wh, "VACUUM t") >= 0
+
+    def test_restore_statement(self, spark, wh):
+        v0 = wh._latest_seq()
+        warehouse_sql(wh, "DELETE FROM t WHERE k < 5")
+        assert wh.read("t").count() == 5
+        warehouse_sql(wh, f"RESTORE TABLE t TO VERSION AS OF {v0}")
+        assert wh.read("t").count() == 10
