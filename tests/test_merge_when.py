@@ -392,3 +392,48 @@ class TestMergeWhenDvMode:
             matched=[M.when_matched_delete(condition="source.op = 'D'")])
         assert wh.read("t").count() == 3
         assert wh.read_at("t", pre).count() == 4  # snapshot unaffected
+
+
+class TestMergeCdfRollup:
+    def test_rollup_absorbs_merge_feed_exactly(self, spark, tmp_path):
+        """merge_when(cdf=True) feeds the same change shape as
+        delete_where/update_where: a CDF-maintained rollup absorbs the
+        merge (update + delete + insert in one txn) exactly."""
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            rollup,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = spark.createDataFrame(
+            [(i, "g%d" % (i % 2), float(i)) for i in range(10)],
+            "k long, g string, v double")
+        with wh.transaction():
+            wh.append(rows.coalesce(2), "t")
+        aggs = {"v": ["sum", "count"]}
+        assert rollup.bootstrap_rollup(wh, "agg_t", ["g"], aggs,
+                                       wh.read("t"))
+        src = spark.createDataFrame(
+            [(1, 100.0, "U"), (2, 0.0, "D"), (77, 7.0, "I")],
+            "k long, nv double, op string")
+        res = wh.merge_when(
+            "t", src, ["k"],
+            matched=[
+                M.when_matched_update({"v": "source.nv"},
+                                      condition="source.op = 'U'"),
+                M.when_matched_delete(condition="source.op = 'D'"),
+            ],
+            not_matched=[M.when_not_matched_insert(
+                {"k": "source.k", "g": F.lit("g1"), "v": "source.nv"})],
+            cdf=True,
+        )
+        assert res == {"updated": 1, "deleted": 1, "inserted": 1}
+        feed = wh.read("t__cdf")
+        assert rollup.apply_rollup_cdf_batch(
+            wh, "agg_t", ["g"], aggs, feed, 0)
+        got = {r["g"]: (r["v_sum"], r["v_count"])
+               for r in wh.read("agg_t").collect()}
+        expect = {r["g"]: (r["s"], r["c"])
+                  for r in wh.read("t").groupBy("g").agg(
+                      F.sum("v").alias("s"),
+                      F.count("v").alias("c")).collect()}
+        assert got == expect
