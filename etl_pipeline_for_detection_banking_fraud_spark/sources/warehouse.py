@@ -91,6 +91,15 @@ class SnapshotVacuumed(RuntimeError):
     after it remain fully readable."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A write (or ``add_constraint(validate=True)`` over existing
+    data) produced rows for which a table CHECK constraint evaluates to
+    FALSE — SQL semantics: TRUE and NULL pass, only FALSE violates (the
+    Delta ``ADD CONSTRAINT ... CHECK`` contract). The transaction never
+    published: staged files are invisible orphans for
+    ``vacuum_orphans``, and the table is byte-identical to before."""
+
+
 class Transaction:
     """Pending multi-table append set; see module docstring. Created via
     ``Warehouse.begin()`` / ``Warehouse.transaction()``."""
@@ -143,6 +152,36 @@ class Transaction:
         # writer's conflict-retry vacuum cannot delete an in-flight
         # DML's dv file out from under its commit (it never sees it)
         self.dv_renames: list[tuple[str, str]] = []
+        # table -> {"add": {name: check_sql}, "drop": [names]} —
+        # CHECK-constraint metadata deltas this commit carries
+        # (``add_constraint``/``drop_constraint``); a METADATA channel
+        # independent of the file ops, applied in log order and NOT
+        # reset by replaces (constraints survive compact/cluster/DML,
+        # the Delta contract)
+        self.constraints: dict[str, dict] = {}
+        # table -> declared-schema JSON (ALTER TABLE ADD COLUMNS) —
+        # metadata channel like ``constraints``: applied in log order,
+        # survives replaces, read back by ``_declared_schema``
+        self.schema_updates: dict[str, str] = {}
+        # False disables in-write CHECK enforcement for this txn (used
+        # by add_constraint's own metadata commit; rewrites of already-
+        # validated data keep it True — re-checking valid rows is one
+        # vectorized predicate per row, noise next to the write itself)
+        self.enforce_constraints = True
+
+    def _constrained(self, df: DataFrame, cons: dict[str, str]) -> DataFrame:
+        """Wrap ``df`` so the WRITE JOB ITSELF raises on the first row
+        violating any CHECK constraint — zero extra Spark jobs (Delta's
+        CheckInvariant approach, expressed with ``assert_true`` inside
+        an always-true filter). SQL CHECK semantics: NULL passes, so
+        the tested condition is ``coalesce(expr, true)``."""
+        guard = None
+        for name in sorted(cons):
+            ok = F.coalesce(F.expr(cons[name]).cast("boolean"), F.lit(True))
+            msg = F.lit(f"[CHECK constraint {name}] ({cons[name]}) violated")
+            g = F.coalesce(F.assert_true(ok, msg), F.lit(True))
+            guard = g if guard is None else (guard & g)
+        return df.filter(guard) if guard is not None else df
 
     def append(self, df: DataFrame, table: str,
                partition_by: list[str] | None = None) -> None:
@@ -162,12 +201,53 @@ class Transaction:
         table = table.lower()
         if partition_by:
             self.partition_by[table] = list(partition_by)
+        decl = self.wh._declared_schema(table)
+        if decl is not None:
+            # declared-schema table: an appended column the declaration
+            # does not know would be INVISIBLE to every read (reads
+            # resolve against the declaration) — reject it loudly; a
+            # type drift on a shared column would poison the file set.
+            # Missing declared columns are fine: reads fill typed NULLs.
+            declared = {f.name.lower(): f.dataType for f in decl.fields}
+            part = {c.lower() for c in (partition_by or [])} | \
+                {c.lower() for c in self.wh.table_partition_by(table)}
+            for f in df.schema.fields:
+                want = declared.get(f.name.lower())
+                if want is None:
+                    raise ValueError(
+                        f"append to {table!r}: column {f.name!r} is not "
+                        "in the table's declared schema — run "
+                        "add_columns (ALTER TABLE ADD COLUMNS) first"
+                    )
+                if f.name.lower() not in part and want != f.dataType:
+                    raise ValueError(
+                        f"append to {table!r}: column {f.name!r} is "
+                        f"{f.dataType.simpleString()} but the declared "
+                        f"schema says {want.simpleString()}"
+                    )
         self._n += 1
         stage = os.path.join(self._stage_root, str(self._n))
+        cons = {}
+        if self.enforce_constraints:
+            cons = self.wh._replay_state().get(
+                "constraints", {}).get(table, {})
+            if cons:
+                df = self._constrained(df, cons)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(stage)
+        try:
+            w.parquet(stage)
+        except Exception as e:  # noqa: BLE001 — classify, then re-raise
+            m = re.search(r"\[CHECK constraint (\w+)\]", str(e))
+            if cons and m:
+                shutil.rmtree(stage, ignore_errors=True)
+                name = m.group(1)
+                raise ConstraintViolation(
+                    f"write to {table!r} violates CHECK constraint "
+                    f"{name} ({cons.get(name)}); nothing was committed"
+                ) from e
+            raise
         table_dir = self.wh._path(table)
         files = self.pending.setdefault(table, [])
         if not files and self.wh._manifest_files(table) is None and (
@@ -223,6 +303,10 @@ class Transaction:
                 entry["partition_by"] = self.partition_by
             if self.dv:
                 entry["dv"] = self.dv
+            if self.constraints:
+                entry["constraints"] = self.constraints
+            if self.schema_updates:
+                entry["schema"] = self.schema_updates
             if self.vacuum:
                 entry["vacuum"] = True
             tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
@@ -825,6 +909,20 @@ class Warehouse:
                     state["dv"].setdefault(table, {}).update(
                         {k: list(v) for k, v in dv[table].items()}
                     )
+        # constraints are TABLE METADATA, not file-set state: applied in
+        # log order on a channel of their own, never reset by replaces
+        # (a compact/cluster/DML rewrite keeps the table's constraints)
+        for table, spec in entry.get("constraints", {}).items():
+            cur = state["constraints"].setdefault(table, {})
+            cur.update(spec.get("add", {}))
+            for nm in spec.get("drop", []):
+                cur.pop(nm, None)
+            if not cur:
+                state["constraints"].pop(table, None)
+        # declared schemas (ALTER TABLE ADD COLUMNS): same metadata
+        # contract — log order, replace-proof
+        for table, sj in entry.get("schema", {}).items():
+            state["schema"][table] = sj
 
     def _replay_state(self, at: int | None = None) -> dict:
         """Replay the commit log into {tables: {t: [files]}, stats,
@@ -851,7 +949,8 @@ class Warehouse:
                     self._state_cache[0] == head:
                 return self._state_cache[1]
             state: dict = {"tables": {}, "stats": {}, "retention": {},
-                           "partition_by": {}, "dv": {}}
+                           "partition_by": {}, "dv": {},
+                           "constraints": {}, "schema": {}}
             start = 0
             for cseq in reversed(ckpt_seqs):
                 ck = self._load_checkpoint(cseq)
@@ -864,6 +963,9 @@ class Warehouse:
                                          ck.get("partition_by", {}).items()},
                         "dv": {t: {k: list(f) for k, f in v.items()}
                                for t, v in ck.get("dv", {}).items()},
+                        "constraints": {t: dict(v) for t, v in
+                                        ck.get("constraints", {}).items()},
+                        "schema": dict(ck.get("schema", {})),
                     }
                     start = cseq
                     break
@@ -1156,6 +1258,160 @@ class Warehouse:
                     keys.append(k)
         return keys
 
+    def _declared_schema(self, table: str,
+                         at: int | None = None) -> T.StructType | None:
+        """The table's DECLARED schema (recorded by ``add_columns`` —
+        the ALTER TABLE ADD COLUMNS channel), replayed as of ``at``.
+        None for tables that never evolved: their schema is whatever
+        the parquet footers say, exactly as before."""
+        j = self._replay_state(at=at).get("schema", {}).get(table.lower())
+        if not j:
+            return None
+        return T.StructType.fromJson(json.loads(j))
+
+    def _tracked_read(self, table: str, rels: list[str],
+                      at: int | None = None,
+                      merge_schema: bool = False) -> DataFrame:
+        """``spark.read`` over committed relpaths with ``basePath``
+        hive-partition recovery. When the table has a DECLARED schema
+        (``add_columns``), the scan resolves against IT: parquet
+        by-name resolution fills files that predate an added column
+        with typed NULLs, and NO footer-merge job runs — the Delta
+        read-the-schema-from-the-log contract, which also keeps every
+        maintenance rewrite (compact / cluster / DML) from silently
+        dropping a column only the newest files carry."""
+        p = self._path(table)
+        reader = self.spark.read
+        decl = self._declared_schema(table, at=at)
+        if decl is not None:
+            reader = reader.schema(decl)
+        elif merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.option("basePath", p).parquet(
+            *[os.path.join(p, r) for r in rels])
+
+    def add_columns(self, table: str, cols: dict[str, str]) -> None:
+        """``ALTER TABLE table ADD COLUMNS (name type, ...)`` —
+        metadata-ONLY commit (no file is touched, Delta's contract):
+        the table's declared schema grows by ``cols`` (name -> DDL type
+        string, e.g. ``{"score": "double"}``); every read from this
+        commit on resolves against the declared schema, so existing
+        files surface the new columns as typed NULLs and new appends
+        may carry them physically. Time travel below this commit
+        replays the OLD schema. Rejects duplicates of existing
+        columns."""
+        table = table.lower()
+        decl = self._declared_schema(table)
+        if decl is None:
+            if not self.exists(table):
+                raise FileNotFoundError(
+                    f"add_columns: table {table!r} does not exist")
+            decl = self.read(table).schema
+        have = {f.name.lower() for f in decl.fields}
+        fields = list(decl.fields)
+        for name, typ in cols.items():
+            if name.lower() in have:
+                raise ValueError(
+                    f"add_columns: column {name!r} already exists "
+                    f"on {table!r}")
+            if name.startswith(("_", ".")):
+                raise ValueError(
+                    f"add_columns: {name!r} is a reserved/hidden name")
+            fields.append(T.StructField(
+                name, T._parse_datatype_string(typ), True))
+            have.add(name.lower())
+        new_schema = T.StructType(fields)
+        txn = self.begin()
+        try:
+            txn.enforce_constraints = False  # metadata-only commit
+            if self._manifest_files(table) is None:
+                # adopt a legacy table (same contract as add_constraint)
+                txn.pending[table] = _data_files(self._path(table))
+            txn.schema_updates = {table: new_schema.json()}
+            txn.commit()
+        except BaseException:
+            if not txn._done:
+                txn.abort()
+            raise
+
+    def tables(self) -> list[str]:
+        """Sorted names of every commit-log tracked table (the SHOW
+        TABLES surface). Legacy directories not yet adopted into the
+        log are not listed — they have no transactional metadata."""
+        return sorted(self._replay_state()["tables"].keys())
+
+    def table_constraints(self, table: str) -> dict[str, str]:
+        """The table's live CHECK constraints ``{name: check_sql}`` —
+        commit-log metadata (Delta's ``delta.constraints.*`` analog),
+        surviving compact/cluster/DML/restore rewrites and replayed
+        identically by every reader process."""
+        return dict(self._replay_state().get(
+            "constraints", {}).get(table.lower(), {}))
+
+    def add_constraint(self, table: str, name: str, check_sql: str,
+                       validate: bool = True) -> None:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (check_sql)``: record
+        a CHECK constraint in the commit log; every subsequent write to
+        the table (append / DML rewrite / MERGE / streaming sink — they
+        all funnel through ``Transaction.append``) enforces it INSIDE
+        the write job via ``assert_true`` — zero extra Spark jobs — and
+        a violating write raises :class:`ConstraintViolation` with
+        nothing committed. SQL semantics: NULL passes, only FALSE
+        violates.
+
+        ``validate=True`` (Delta's contract) first proves the EXISTING
+        rows satisfy the check (one count over the dv-aware read) so
+        later rewrites can assume validity; ``validate=False`` skips
+        that scan — callers accept that a pre-existing violating row
+        will fail the next maintenance rewrite of its file. A legacy
+        (pre-commit-log) table is adopted into the log by this call,
+        exactly like a first transactional append."""
+        table, name = table.lower(), name.lower()
+        # syntax-check now (parse only — no analysis, no data touched)
+        # so a typo fails THIS call, not some later write
+        self.spark._jsparkSession.sessionState().sqlParser() \
+            .parseExpression(check_sql)
+        if validate and (self._manifest_files(table) is not None
+                         or _data_files(self._path(table))):
+            ok = F.coalesce(F.expr(check_sql).cast("boolean"), F.lit(True))
+            n = self.read(table).where(~ok).count()
+            if n:
+                raise ConstraintViolation(
+                    f"cannot add CHECK constraint {name} to {table!r}: "
+                    f"{n} existing row(s) violate ({check_sql})"
+                )
+        txn = self.begin()
+        try:
+            txn.enforce_constraints = False  # metadata-only commit
+            if self._manifest_files(table) is None:
+                # adopt a legacy table's current files so the flip to
+                # commit-log reads loses nothing (same contract as the
+                # first transactional append)
+                txn.pending[table] = _data_files(self._path(table))
+            txn.constraints = {table: {"add": {name: check_sql}}}
+            txn.commit()
+        except BaseException:
+            if not txn._done:
+                txn.abort()
+            raise
+
+    def drop_constraint(self, table: str, name: str) -> None:
+        """``ALTER TABLE DROP CONSTRAINT name`` — metadata-only commit;
+        raises ``KeyError`` for an unknown constraint name."""
+        table, name = table.lower(), name.lower()
+        if name not in self.table_constraints(table):
+            raise KeyError(
+                f"table {table!r} has no constraint named {name!r}")
+        txn = self.begin()
+        try:
+            txn.enforce_constraints = False
+            txn.constraints = {table: {"drop": [name]}}
+            txn.commit()
+        except BaseException:
+            if not txn._done:
+                txn.abort()
+            raise
+
     def _rewrite_part_cols(self, table: str, df: DataFrame) -> list[str]:
         """Partition columns a maintenance rewrite of ``table`` must
         write with: the recorded spec, restricted to columns the
@@ -1288,8 +1544,9 @@ class Warehouse:
                 )
             return self.spark.createDataFrame([], schema=schema)
         def _build(rs: list[str]) -> DataFrame:
-            return self.spark.read.option("basePath", p).parquet(
-                *[os.path.join(p, rel) for rel in rs])
+            # schema as declared AT that snapshot: time travel below an
+            # ADD COLUMNS commit replays the pre-evolution schema
+            return self._tracked_read(table, rs, at=seq)
 
         dv_map = self._dv_state(table, at=seq)
         if dv_map:
@@ -1383,18 +1640,19 @@ class Warehouse:
                 f"{table} empty (or unchanged with zero files) at both "
                 f"snapshots — nothing to diff"
             )
-        probe = self.spark.read.option("basePath", p).parquet(
-            *[os.path.join(p, rel) for rel in all_rels]
-        ).limit(0)
+        # both sides read with the NEWER snapshot's declared schema so a
+        # column added between the two diffs as NULL-vs-value, not as a
+        # schema mismatch
+        at_new = max(seq_a, seq_b)
+        probe = self._tracked_read(table, all_rels, at=at_new).limit(0)
 
         def _side(rels: list[str], dv_map: dict) -> DataFrame:
             if not rels:
                 return probe
 
             def _build(rs: list[str]) -> DataFrame:
-                return self.spark.read.option("basePath", p).parquet(
-                    *[os.path.join(p, rel) for rel in rs]
-                ).select(*probe.columns)
+                return self._tracked_read(
+                    table, rs, at=at_new).select(*probe.columns)
 
             if dv_map:
                 return self._dv_split_read(_build, table, dv_map, rels)
@@ -1520,6 +1778,15 @@ class Warehouse:
         if self._active_txn is not None and not self._active_txn._done:
             self._active_txn.append(df, table, partition_by)
             return
+        if self._manifest_files(table.lower()) is not None:
+            # the table is commit-log tracked: a raw directory append
+            # would write files no manifest references (invisible to
+            # every read) — route through a one-entry transaction
+            # instead, which also enforces the table's CHECK
+            # constraints inside the write job
+            with self.transaction() as txn:
+                txn.append(df, table, partition_by)
+            return
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -1583,11 +1850,13 @@ class Warehouse:
                     # columns into the empty result.
                     if schema is not None:
                         return self.spark.createDataFrame([], schema=schema)
-                    allf = [os.path.join(p, r) for r in (mf or []) + pend]
-                    return reader.option("basePath", p).parquet(*allf).limit(0)
+                    return self._tracked_read(
+                        table, (mf or []) + pend,
+                        merge_schema=merge_schema).limit(0)
+
             def _build(rs: list[str]) -> DataFrame:
-                return reader.option("basePath", p).parquet(
-                    *[os.path.join(p, r) for r in rs])
+                return self._tracked_read(table, rs,
+                                          merge_schema=merge_schema)
 
             dv_map = self._dv_state(table)
             if dv_map:
@@ -1706,8 +1975,7 @@ class Warehouse:
                 p = self._path(table)
 
                 def _build(rs: list[str]) -> DataFrame:
-                    return self.spark.read.option("basePath", p).parquet(
-                        *[os.path.join(p, r) for r in rs])
+                    return self._tracked_read(table, rs)
 
                 df = _build(selected)
                 dv_map = self._dv_state(table)
@@ -2271,8 +2539,7 @@ class Warehouse:
             p = self._path(table)
 
             def _build(rs: list[str]) -> DataFrame:
-                return self.spark.read.option("basePath", p).parquet(
-                    *[os.path.join(p, r) for r in rs])
+                return self._tracked_read(table, rs)
 
             cand = mf if nmbs or not prune else [
                 r for r in mf if _file_may_match(r, stats.get(r), prune)]
@@ -2464,8 +2731,7 @@ class Warehouse:
         p = self._path(table)
 
         def _build(rs: list[str]) -> DataFrame:
-            return self.spark.read.option("basePath", p).parquet(
-                *[os.path.join(p, r) for r in rs])
+            return self._tracked_read(table, rs)
 
         fcol = "__dv_f"
         while fcol in _build(cand[:1]).columns:  # footer-only probe
@@ -2580,8 +2846,7 @@ class Warehouse:
             untouched = [r for r in mf if r not in set(cand)]
 
             def _build(rs: list[str]) -> DataFrame:
-                return self.spark.read.option("basePath", p).parquet(
-                    *[os.path.join(p, r) for r in rs])
+                return self._tracked_read(table, rs)
 
             df = _build(cand)
             if "_src" in df.columns:
@@ -2720,8 +2985,7 @@ class Warehouse:
             untouched = [r for r in mf if r not in set(cand)]
 
             def _build(rs: list[str]) -> DataFrame:
-                return self.spark.read.option("basePath", p).parquet(
-                    *[os.path.join(p, r) for r in rs])
+                return self._tracked_read(table, rs)
 
             df = _build(cand)
             if "_src" in df.columns:

@@ -36,6 +36,7 @@ views (existing temp views of the same name are left alone), so plain
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame
@@ -214,6 +215,16 @@ _RESTORE = re.compile(
     r"\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# OPTIMIZE t ZORDER BY (a, b)  — Delta's multi-dimensional clustering
+_ZORDER = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s+ZORDER\s+BY\s*"
+    r"\(?\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+# DESCRIBE DETAIL t — Delta's table-metadata one-rower (Spark's own
+# grammar reads this as DESCRIBE <column 'detail'>, so pre-parse it)
+_DETAIL = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
 
 
 def _maintenance(wh: Warehouse, stmt: str):
@@ -223,6 +234,36 @@ def _maintenance(wh: Warehouse, stmt: str):
     if r:  # RESTORE [TABLE] t TO VERSION AS OF n (Delta RESTORE)
         wh.restore(r.group(1), int(r.group(2)))
         return True, None
+    z = _ZORDER.match(stmt)
+    if z:  # OPTIMIZE t ZORDER BY (a, b)
+        cols = [c.strip() for c in z.group(2).split(",")]
+        wh.zorder_table(z.group(1), cols)
+        return True, None
+    d = _DETAIL.match(stmt)
+    if d:  # DESCRIBE DETAIL t — Delta's one-row table summary
+        import json as _json
+
+        table = d.group(1).lower()
+        rels = wh._manifest_files(table) or []
+        tdir = wh._path(table)
+        size = 0
+        for rel in rels:
+            try:
+                size += os.path.getsize(os.path.join(tdir, rel))
+            except OSError:
+                pass
+        row = (
+            table, tdir, "parquet",
+            _json.dumps(wh.table_partition_by(table)),
+            len(rels), size,
+            _json.dumps(wh.table_constraints(table)),
+            wh._latest_seq(),
+        )
+        return True, wh.spark.createDataFrame(
+            [row],
+            "name string, location string, format string, "
+            "partition_columns string, num_files long, "
+            "size_bytes long, constraints string, version long")
     m = _MAINT.match(stmt)
     if not m:
         return False, None
@@ -258,6 +299,74 @@ def warehouse_sql(wh: Warehouse, stmt: str):
     parser = spark._jsparkSession.sessionState().sqlParser()
     plan = parser.parsePlan(stmt)
     kind = _cls(plan)
+    if kind == "AddCheckConstraint":
+        # ALTER TABLE t ADD CONSTRAINT name CHECK (cond) — Spark 4's
+        # own grammar; the node's child is Filter(UnresolvedRelation)
+        # (the validation scan shape), the constraint carries its
+        # original condition SQL verbatim
+        cc = plan.checkConstraint()
+        rel = plan.child()
+        while _cls(rel) not in ("UnresolvedRelation", "UnresolvedTable"):
+            rel = rel.child()
+        wh.add_constraint(_ident(rel), str(cc.name()), str(cc.condition()))
+        return None
+    if kind == "AddColumns":
+        # ALTER TABLE t ADD COLUMNS (x INT, ...) — metadata-only
+        # declared-schema evolution; existing files read the new
+        # columns as typed NULLs
+        cols: dict[str, str] = {}
+        for c in _seq(plan.columnsToAdd()):
+            parts = [str(x) for x in _seq(c.name())]
+            if len(parts) != 1:
+                raise ValueError(
+                    f"ADD COLUMNS: nested field {'.'.join(parts)!r} "
+                    "not supported")
+            cols[parts[0]] = str(c.dataType().simpleString())
+        wh.add_columns(_ident(plan.table()), cols)
+        return None
+    if kind == "DropConstraint":
+        wh.drop_constraint(_ident(plan.child()), str(plan.name()))
+        return None
+    if kind == "AlterColumns":
+        # only the nullability form maps to warehouse semantics:
+        # SET NOT NULL -> a named CHECK (col IS NOT NULL) constraint,
+        # DROP NOT NULL -> drop it (the Delta NOT NULL invariant)
+        table = _ident(plan.table())
+        for spec in _seq(plan.specs()):
+            parts = [str(x) for x in _seq(spec.column().name())]
+            if len(parts) != 1:
+                raise ValueError(
+                    f"ALTER COLUMN: nested field {'.'.join(parts)!r} "
+                    "not supported")
+            col = parts[0]
+            nb = spec.newNullability()
+            if not nb.isDefined():
+                raise ValueError(
+                    "only ALTER COLUMN ... SET/DROP NOT NULL is "
+                    "supported by the warehouse SQL door")
+            if nb.get():  # DROP NOT NULL
+                wh.drop_constraint(table, f"nn__{col}")
+            else:  # SET NOT NULL
+                wh.add_constraint(table, f"nn__{col}",
+                                  f"{col} IS NOT NULL")
+        return None
+    if kind == "ShowTables":
+        rows = [(t, len(wh._manifest_files(t) or []),
+                 ",".join(wh.table_partition_by(t)))
+                for t in wh.tables()]
+        return spark.createDataFrame(
+            rows or [("", 0, "")],
+            "table_name string, num_files int, partitioned_by string"
+        ).where(F.col("table_name") != "")
+    if kind == "DescribeRelation":
+        table = _ident(plan.relation())
+        part = set(wh.table_partition_by(table))
+        schema = wh.read(table).schema
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString(),
+              "partition" if f.name in part else "")
+             for f in schema.fields],
+            "col_name string, data_type string, comment string")
     if kind == "DeleteFromTable":
         table = _ident(plan.table())
         cond = _opt(plan.condition())

@@ -695,6 +695,15 @@ def _resolve_schema(options: dict) -> tuple[T.StructType, list[str]]:
             "least one commit before opening a stream on it"
         )
     rel = rels[-1]
+    decl = wh._declared_schema(table)
+    if decl is not None:
+        # the table DECLARED its schema (ALTER TABLE ADD COLUMNS): the
+        # stream resolves against the declaration — a column no file
+        # carries yet still streams (as typed NULLs via the additive-
+        # evolution fill in read()), matching the batch reader exactly
+        part_fields = [k for k, _ in _partition_pairs(rel)
+                       if k in decl.names]
+        return decl, part_fields
     footer = pq.ParquetFile(os.path.join(root, table, rel)).schema_arrow
     spark_schema = from_arrow_schema(footer)
     part_fields = []
