@@ -50,6 +50,7 @@ pure Python because those jars aren't in this image. Properties:
 from __future__ import annotations
 
 import collections
+import base64
 import contextlib
 import datetime
 import json
@@ -163,6 +164,9 @@ class Transaction:
         # metadata channel like ``constraints``: applied in log order,
         # survives replaces, read back by ``_declared_schema``
         self.schema_updates: dict[str, str] = {}
+        # table -> bloom-filter config (``set_bloom_filter``) — same
+        # metadata contract as constraints/schema
+        self.bloom_cols: dict[str, dict] = {}
         # False disables in-write CHECK enforcement for this txn (used
         # by add_constraint's own metadata commit; rewrites of already-
         # validated data keep it True — re-checking valid rows is one
@@ -258,6 +262,7 @@ class Transaction:
             # commit-log reads
             files.extend(_data_files(table_dir))
         k = 0
+        new_rels: list[str] = []
         for dirpath, dirnames, fnames in os.walk(stage):
             dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
             for fn in sorted(fnames):
@@ -272,10 +277,73 @@ class Transaction:
                 os.replace(os.path.join(dirpath, fn), os.path.join(dst_dir, new_name))
                 rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
                 files.append(rel)
+                new_rels.append(rel)
                 st = _file_stats(os.path.join(table_dir, rel))
                 if st:
                     self.stats.setdefault(table, {})[rel] = st
         shutil.rmtree(stage, ignore_errors=True)
+        self._record_blooms(table, new_rels)
+
+    def _record_blooms(self, table: str, new_rels: list[str]) -> None:
+        """Per-file Bloom bitsets for the table's configured bloom
+        columns (the Delta bloom-filter-index analog), computed in ONE
+        column-pruned Spark job over the files THIS append staged and
+        stored under the reserved ``__bloom`` key of each file's stats
+        dict — so every replace path that carries stats verbatim
+        (compact untouched files, DML, restore) carries the blooms with
+        them for free, and files REWRITTEN by any path get fresh blooms
+        here. Point-lookup pruning (``lo == hi``) then skips files
+        whose bitset provably lacks the value — sharper than min/max on
+        high-cardinality identifiers, where every file's range overlaps
+        every probe. Hash: ``xxhash64('col#i', cast(col as string))``
+        per of k seeds — positions for a probe value are computed with
+        the SAME Spark expressions (``_bloom_positions``), so there is
+        no cross-language hash to drift."""
+        cfg = self.wh._replay_state().get("bloom_cols", {}).get(table)
+        if not cfg or not new_rels:
+            return
+        m, kk = int(cfg["m"]), int(cfg["k"])
+        p = self.wh._path(table)
+        src = self.wh.spark.read.parquet(
+            *[os.path.join(p, r) for r in new_rels])
+        frames = []
+        for c in cfg["cols"]:
+            if c not in src.columns:
+                continue  # e.g. a hive partition column: lives in the
+                # relpath, pruned by the partition-value check instead
+            pos = [
+                F.pmod(F.xxhash64(F.lit(f"{c}#{i}"),
+                                  F.col(c).cast("string")),
+                       F.lit(m)).cast("int")
+                for i in range(kk)
+            ]
+            frames.append(
+                src.where(F.col(c).isNotNull())
+                   .select(_basename_col().alias("__f"),
+                           F.lit(c).alias("__c"),
+                           F.explode(F.array(*pos)).alias("__p"))
+            )
+        if not frames:
+            return
+        allf = frames[0]
+        for fr in frames[1:]:
+            allf = allf.unionByName(fr)
+        rows = (allf.distinct()
+                    .groupBy("__f", "__c")
+                    .agg(F.collect_set("__p").alias("ps"))
+                    .collect())  # bounded: <= files x cols rows, <= m ints each
+        by_base = {os.path.basename(r): r for r in new_rels}
+        tstats = self.stats.setdefault(table, {})
+        for row in rows:
+            rel = by_base.get(row["__f"])
+            if rel is None:
+                continue
+            bits = bytearray(m // 8)
+            for pp in row["ps"]:
+                bits[pp >> 3] |= 1 << (pp & 7)
+            fstats = tstats.setdefault(rel, {})
+            fstats.setdefault("__bloom", {})[row["__c"]] = \
+                base64.b64encode(bytes(bits)).decode("ascii")
 
     def commit(self) -> None:
         """Atomically publish every pending append as ONE commit-log
@@ -307,6 +375,8 @@ class Transaction:
                 entry["constraints"] = self.constraints
             if self.schema_updates:
                 entry["schema"] = self.schema_updates
+            if self.bloom_cols:
+                entry["bloom_cols"] = self.bloom_cols
             if self.vacuum:
                 entry["vacuum"] = True
             tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
@@ -474,7 +544,8 @@ def _file_stats(path: str) -> dict:
         return {}
 
 
-def _file_may_match(rel: str, fs: dict | None, prune: dict) -> bool:
+def _file_may_match(rel: str, fs: dict | None, prune: dict,
+                    bloom_pos: dict | None = None) -> bool:
     """False only when the file PROVABLY contains no row within the
     pruned ``{col: (lo, hi)}`` bounds: its recorded footer [min, max]
     for a pruned column is disjoint from [lo, hi], or a hive partition
@@ -509,6 +580,21 @@ def _file_may_match(rel: str, fs: dict | None, prune: dict) -> bool:
             except TypeError:
                 pass  # bound/stat type mismatch (e.g. a string bound
                 # against numeric stats): cannot prove disjoint — keep
+    # Bloom check (point lookups): ``bloom_pos`` maps col -> the k bit
+    # positions of the probed value (computed once per query by
+    # ``Warehouse._bloom_positions`` with the SAME Spark hash exprs the
+    # writer used). Any unset bit proves the file never saw the value.
+    # Files without a bitset for the column (pre-config files) are kept
+    # — strict superset contract, like missing min/max stats.
+    if bloom_pos:
+        bl = (fs or {}).get("__bloom") or {}
+        for col, ps in bloom_pos.items():
+            blob = bl.get(col)
+            if not blob:
+                continue
+            bits = base64.b64decode(blob)
+            if any(not (bits[p >> 3] >> (p & 7)) & 1 for p in ps):
+                return False
     return True
 
 
@@ -923,6 +1009,8 @@ class Warehouse:
         # contract — log order, replace-proof
         for table, sj in entry.get("schema", {}).items():
             state["schema"][table] = sj
+        for table, cfg in entry.get("bloom_cols", {}).items():
+            state["bloom_cols"][table] = cfg
 
     def _replay_state(self, at: int | None = None) -> dict:
         """Replay the commit log into {tables: {t: [files]}, stats,
@@ -950,7 +1038,8 @@ class Warehouse:
                 return self._state_cache[1]
             state: dict = {"tables": {}, "stats": {}, "retention": {},
                            "partition_by": {}, "dv": {},
-                           "constraints": {}, "schema": {}}
+                           "constraints": {}, "schema": {},
+                           "bloom_cols": {}}
             start = 0
             for cseq in reversed(ckpt_seqs):
                 ck = self._load_checkpoint(cseq)
@@ -966,6 +1055,7 @@ class Warehouse:
                         "constraints": {t: dict(v) for t, v in
                                         ck.get("constraints", {}).items()},
                         "schema": dict(ck.get("schema", {})),
+                        "bloom_cols": dict(ck.get("bloom_cols", {})),
                     }
                     start = cseq
                     break
@@ -1333,6 +1423,91 @@ class Warehouse:
             if not txn._done:
                 txn.abort()
             raise
+
+    def set_bloom_filter(self, table: str, cols: list[str],
+                         m: int = 8192, k: int = 6) -> None:
+        """Configure per-file Bloom bitsets for ``cols`` (the Delta
+        bloom-filter-index analog): every write from this commit on
+        records, beside each new file's min/max stats, an ``m``-bit /
+        ``k``-hash bitset of the column's values — and equality probes
+        (``prune={col: (v, v)}``, which ``derive_prune_bounds`` emits
+        for ``col = v`` DML/read predicates) skip files whose bitset
+        provably lacks the value. Sharper than min/max on
+        high-cardinality identifiers where every file's range overlaps
+        every probe. EXISTING files carry no bitset and are always
+        kept; run ``compact()``/``OPTIMIZE`` to backfill. Sizing: fpp
+        ~= (1 - e^(-k*n/m))^k for n distinct values per file — the
+        8192/6 default holds ~1% fpp to n~1000 and degrades gracefully
+        (false positives only cost a read, never rows). Cost: one
+        column-pruned Spark job per write over just-staged files;
+        ~m/8 bytes of commit-entry JSON per file per column."""
+        table = table.lower()
+        if m % 8 or m <= 0 or k <= 0:
+            raise ValueError("m must be a positive multiple of 8, k > 0")
+        schema = {f.name: f.dataType.simpleString()
+                  for f in self.read(table).schema.fields}
+        missing = [c for c in cols if c not in schema]
+        if missing:
+            raise ValueError(
+                f"set_bloom_filter: {missing} not columns of {table!r}")
+        txn = self.begin()
+        try:
+            txn.enforce_constraints = False  # metadata-only commit
+            txn.bloom_cols = {table: {
+                "cols": list(cols), "m": int(m), "k": int(k),
+                # the column types pin the probe-side canonicalization:
+                # a probe value is cast to the COLUMN's type, then to
+                # string, exactly like the written column was
+                "types": {c: schema[c] for c in cols},
+            }}
+            txn.commit()
+        except BaseException:
+            if not txn._done:
+                txn.abort()
+            raise
+
+    def table_bloom_filter(self, table: str) -> dict | None:
+        """The table's bloom-filter config, or None."""
+        cfg = self._replay_state().get("bloom_cols", {}).get(table.lower())
+        return dict(cfg) if cfg else None
+
+    def _bloom_positions(self, table: str, prune: dict | None) -> dict:
+        """For each EQUALITY prune bound (``lo == hi``) on a configured
+        bloom column: the k bit positions of the probe value, computed
+        with the same Spark expressions the writer hashed with (one
+        local 1-row job — no cross-language hash reimplementation to
+        drift). A probe that does not CAST cleanly to the column's type
+        contributes nothing (the file set is kept)."""
+        cfg = self._replay_state().get("bloom_cols", {}).get(table.lower())
+        if not cfg or not prune:
+            return {}
+        m, kk = int(cfg["m"]), int(cfg["k"])
+        types = cfg.get("types", {})
+        exprs, keys = [], []
+        for col, (lo, hi) in prune.items():
+            if col not in cfg["cols"] or lo is None or lo != hi:
+                continue
+            base = F.lit(lo)
+            t = types.get(col)
+            if t:
+                base = base.cast(t)
+            base = base.cast("string")
+            exprs.append(base.isNull().alias(f"n{len(keys)}"))
+            for i in range(kk):
+                exprs.append(
+                    F.pmod(F.xxhash64(F.lit(f"{col}#{i}"), base),
+                           F.lit(m)).cast("int").alias(
+                               f"p{len(keys)}_{i}"))
+            keys.append(col)
+        if not keys:
+            return {}
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        out = {}
+        for j, col in enumerate(keys):
+            if row[f"n{j}"]:
+                continue  # un-castable probe: no bloom pruning
+            out[col] = [row[f"p{j}_{i}"] for i in range(kk)]
+        return out
 
     def tables(self) -> list[str]:
         """Sorted names of every commit-log tracked table (the SHOW
@@ -1838,9 +2013,10 @@ class Warehouse:
                 # still applies its own row filter — pruning is a
                 # strict superset contract, never a row filter
                 stats = self._manifest_stats(table)
+                bpos = self._bloom_positions(table, prune)
                 rels = [
                     rel for rel in rels
-                    if _file_may_match(rel, stats.get(rel), prune)
+                    if _file_may_match(rel, stats.get(rel), prune, bpos)
                 ]
                 if not rels:
                     # every file skipped: empty frame with the table's
@@ -2541,8 +2717,10 @@ class Warehouse:
             def _build(rs: list[str]) -> DataFrame:
                 return self._tracked_read(table, rs)
 
+            bpos = self._bloom_positions(table, prune)
             cand = mf if nmbs or not prune else [
-                r for r in mf if _file_may_match(r, stats.get(r), prune)]
+                r for r in mf
+                if _file_may_match(r, stats.get(r), prune, bpos)]
             key_files: list[str] = []
             if cand:
                 if nmbs:
@@ -2832,8 +3010,9 @@ class Warehouse:
             stats = self._manifest_stats(table)
             dv_map = self._dv_state(table)
             if prune:
+                bpos = self._bloom_positions(table, prune)
                 cand = [r for r in mf
-                        if _file_may_match(r, stats.get(r), prune)]
+                        if _file_may_match(r, stats.get(r), prune, bpos)]
             else:
                 cand = mf
             if not cand:
@@ -2974,8 +3153,10 @@ class Warehouse:
             mf = list(self._manifest_files(table) or [])
             stats = self._manifest_stats(table)
             dv_map = self._dv_state(table)
+            bpos = self._bloom_positions(table, prune) if prune else {}
             cand = [r for r in mf
-                    if _file_may_match(r, stats.get(r), prune)]                 if prune else mf
+                    if _file_may_match(r, stats.get(r), prune, bpos)
+                    ] if prune else mf
             if not cand:
                 return 0
             if len(cand) > 1:
