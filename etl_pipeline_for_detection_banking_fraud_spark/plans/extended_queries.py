@@ -1341,3 +1341,155 @@ def tpch_q21_shape(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+@_q(
+    "tpch_q7_shape",
+    "TPC-H Q7 shape: volume shipping between two nations — the same "
+    "dimension (nation) joined twice in different ROLES (supplier "
+    "side vs customer side), a symmetric OR pair filter, and a "
+    "year-bucketed grouped revenue",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_shape(spark, sf_dir):
+    """Scale shape: nation appears TWICE — as the supplier's nation and
+    the customer's nation — so both roles ride broadcasts (25 rows
+    each) and the symmetric pair predicate is applied AFTER both are
+    attached, exactly once, on the joined frame (pushing each side's
+    half-filter independently would wrongly keep NATION_1/NATION_1
+    pairs). supplier is small enough to broadcast with its nation
+    pre-attached; the only exchanges are the canonical ones —
+    lineitem<->orders on orderkey, orders<->customer on custkey, and
+    the final tiny group-by. The l_shipdate band is pushed to the
+    lineitem scan. Decimal-exact revenue accumulation keeps the sum
+    bit-stable across partition counts and engines (oracle-exact).
+    Reference parity: multi-role dimension joins per SURVEY §2 J1/J2
+    (the reference joins its terminal dim twice in rule 3,
+    fraud_detection.py:61-75)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & \
+        F.col("cust_nation").isin("NATION_1", "NATION_2") & \
+        (F.col("supp_nation") != F.col("cust_nation"))
+    sn = (
+        s.join(F.broadcast(
+            n.select(F.col("n_nationkey").alias("s_nk"),
+                     F.col("n_name").alias("supp_nation"))
+             .where(F.col("supp_nation").isin("NATION_1", "NATION_2"))),
+            s.s_nationkey == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cn = (
+        c.join(F.broadcast(
+            n.select(F.col("n_nationkey").alias("c_nk"),
+                     F.col("n_name").alias("cust_nation"))
+             .where(F.col("cust_nation").isin("NATION_1", "NATION_2"))),
+            c.c_nationkey == F.col("c_nk"))
+        .select("c_custkey", "cust_nation")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(28,10)")
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q9_shape",
+    "TPC-H Q9 shape: product-line profit by nation and year — a "
+    "LIKE-filtered part dimension fans the fact down, supplier "
+    "attaches the nation, orders attaches the year (re-keyed to the "
+    "testdata columns: no partsupp table, profit = revenue)",
+    """
+    SELECT nation, o_year,
+           CAST(sum(CAST(amount AS DECIMAL(28,10))) AS DOUBLE)
+               AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_shape(spark, sf_dir):
+    """Scale shape: the part dimension is filtered by an un-pushable
+    LIKE '%...%' BEFORE it broadcasts (a contains-filter never prunes
+    at the scan, but shrinking the broadcast side is the next best
+    thing — the fact rows it cannot match die at the join, not at the
+    aggregate); supplier+nation pre-join into a second broadcast
+    sliver. The only exchange left is lineitem<->orders on orderkey
+    plus the ~nations x years group-by. At 100 TB part is O(SF) — AQE
+    keeps the broadcast while it fits and falls back to a shuffle
+    join beyond, with the same filtered cardinality win. Decimal-
+    exact profit accumulation (oracle-exact). Reference parity: star
+    fan-out + grouped metric per SURVEY §2 J1/A-family
+    (fraud_detection.py:21-38's dim-join + aggregate shape)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    pw = p.where(F.col("p_name").like("%widget%")).select("p_partkey")
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(pw), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(28,10)")
+            ).cast("double").alias("sum_profit")
+        )
+    )

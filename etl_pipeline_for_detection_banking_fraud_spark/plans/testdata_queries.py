@@ -772,7 +772,7 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r10 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
-    "merge_conditional",
+    "merge_conditional", "tpch_q7_shape", "tpch_q9_shape",
     # r10 rotation: the 17 entries whose newest evidence is r07 (they
     # tailed past the ~50-entry cap in r09) lead — nothing may go >2
     # rounds stale — then the r08-reported block; whatever tails past

@@ -192,3 +192,29 @@ def test_tpch_q21_semi_anti_no_cartesian(spark, sf01):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan  # supplier/nation dim side
+
+
+def test_tpch_q7_dual_role_dims_broadcast(spark, sf01):
+    """Nation joined twice in different roles: both role slivers (and
+    supplier) broadcast, the shipdate band reaches the lineitem scan,
+    no cartesian from the symmetric pair predicate."""
+    df = QD["tpch_q7_shape"].spark(spark, sf01)
+    df.collect()  # final adaptive plan
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_shipdate" in seg[:400] for seg in pushed[1:])
+
+
+def test_tpch_q9_like_filtered_part_broadcasts(spark, sf01):
+    """The LIKE-filtered part sliver and the supplier+nation sliver
+    both broadcast; the only join that may shuffle is
+    lineitem<->orders on orderkey."""
+    df = QD["tpch_q9_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
