@@ -225,6 +225,32 @@ _ZORDER = re.compile(
 # grammar reads this as DESCRIBE <column 'detail'>, so pre-parse it)
 _DETAIL = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+# table_changes('t', since_seq) inside any SELECT — Delta's CDF
+# table-valued function; rewritten to a temp view of read_changes()
+_TABLE_CHANGES = re.compile(
+    r"table_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_table_changes(wh: Warehouse, spark, stmt: str) -> str:
+    """Replace every ``table_changes('t', n)`` call with a registered
+    temp view of ``wh.read_changes('t', n)`` — the Delta CDF
+    table-valued function, usable anywhere a relation is (joins,
+    CTEs, aggregates over the change feed)."""
+    def _sub(m: re.Match) -> str:
+        table, since = m.group(1).lower(), int(m.group(2))
+        view = f"__changes_{table}_{since}"
+        df = wh.read_changes(table, since)
+        # Delta's SQL surface names the tag column _change_type; the
+        # stored sidecar calls it change_type — rename for SQL users
+        if "change_type" in df.columns and \
+                "_change_type" not in df.columns:
+            df = df.withColumnRenamed("change_type", "_change_type")
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _TABLE_CHANGES.sub(_sub, stmt)
 
 
 def _maintenance(wh: Warehouse, stmt: str):
@@ -296,6 +322,7 @@ def warehouse_sql(wh: Warehouse, stmt: str):
     if handled:
         return maint
     stmt = _rewrite_time_travel(wh, spark, stmt)
+    stmt = _rewrite_table_changes(wh, spark, stmt)
     parser = spark._jsparkSession.sessionState().sqlParser()
     plan = parser.parsePlan(stmt)
     kind = _cls(plan)

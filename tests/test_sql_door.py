@@ -169,3 +169,37 @@ class TestSqlDml:
         assert wh.read("t").count() == 5
         warehouse_sql(wh, f"RESTORE TABLE t TO VERSION AS OF {v0}")
         assert wh.read("t").count() == 10
+
+
+class TestTableChanges:
+    def test_table_changes_function(self, spark, wh):
+        """Delta's table_changes('t', since) TVF: usable anywhere a
+        relation is, Delta-named _change_type column, rows exactly the
+        CDF sidecar entries after the given commit."""
+        base = wh.snapshots()[-1]["seq"]
+        assert warehouse_sql(
+            wh, "DELETE FROM t WHERE k = 9") == 1  # no cdf: not in feed
+        wh.delete_where("t", "k = 8", cdf=True)
+        wh.update_where("t", "k = 1", {"v": "101.0"}, cdf=True)
+        rows = warehouse_sql(
+            wh,
+            f"SELECT _change_type, k, v FROM table_changes('t', {base}) "
+            "ORDER BY _change_type, k").collect()
+        got = [(r["_change_type"], r["k"], r["v"]) for r in rows]
+        assert got == [("delete", 8, 8.0),
+                       ("update_postimage", 1, 101.0),
+                       ("update_preimage", 1, 1.0)]
+        # aggregable like any relation
+        n = warehouse_sql(
+            wh,
+            f"SELECT count(*) AS n FROM table_changes('t', {base}) "
+            "WHERE _change_type = 'delete'").collect()[0]["n"]
+        assert n == 1
+        # a later since excludes earlier changes
+        mid = wh.snapshots()[-1]["seq"] - 1
+        later = warehouse_sql(
+            wh,
+            f"SELECT _change_type FROM table_changes('t', {mid})"
+        ).collect()
+        assert {r["_change_type"] for r in later} == {
+            "update_preimage", "update_postimage"}
