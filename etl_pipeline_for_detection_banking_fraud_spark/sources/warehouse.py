@@ -302,6 +302,23 @@ class Transaction:
         cfg = self.wh._replay_state().get("bloom_cols", {}).get(table)
         if not cfg or not new_rels:
             return
+        try:
+            self._record_blooms_inner(table, new_rels, cfg)
+        except Exception as e:  # noqa: BLE001
+            # blooms are an OPTIMIZATION, never a correctness
+            # dependency (missing bitset = file always kept): a failed
+            # bloom job must not fail the write it follows. All-or-
+            # nothing per file: bits are only recorded after the
+            # collect succeeds, so a failure can never leave a partial
+            # bitset that would falsely prune.
+            warnings.warn(
+                f"bloom-filter stats collection failed for {table!r} "
+                f"({e}); the {len(new_rels)} new file(s) carry no "
+                "bitset and will never be bloom-pruned"
+            )
+
+    def _record_blooms_inner(self, table: str, new_rels: list[str],
+                             cfg: dict) -> None:
         m, kk = int(cfg["m"]), int(cfg["k"])
         p = self.wh._path(table)
         src = self.wh.spark.read.parquet(
