@@ -513,14 +513,19 @@ def _file_stats(path: str) -> dict:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
-        out: dict[str, list] = {}
+        # footer row count under a reserved key: metadata-only COUNT(*)
+        # (``count_rows``) and DESCRIBE DETAIL read it; the [min,max]
+        # consumers look up real column names only, so it never collides
+        out: dict = {"__rows": md.num_rows}
         dropped: set[str] = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 name = col.path_in_schema
-                if "." in name or name in dropped:  # nested: skip
+                if "." in name or name in dropped or \
+                        name in ("__rows", "__bloom"):  # nested or
+                    # reserved-key collision: skip
                     continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
@@ -1440,6 +1445,39 @@ class Warehouse:
             if not txn._done:
                 txn.abort()
             raise
+
+    def count_rows(self, table: str, at: int | None = None) -> int:
+        """COUNT(*) from manifest metadata (the Delta/Iceberg
+        count-from-stats fast path): commit entries record each file's
+        parquet-footer row count (``__rows``), so counting a 100 TB
+        table is a driver-side sum over the replayed stats — zero Spark
+        jobs, zero data reads. Falls back to the exact scan for the
+        slivers metadata cannot vouch for: adopted legacy files with no
+        recorded stats (counted with one column-less Spark scan over
+        just those files), tables carrying live deletion vectors (the
+        dv anti-join's multiset semantics are the read path's business,
+        not arithmetic's), and untracked legacy layouts."""
+        table = table.lower()
+        mf = self._manifest_files(table, at=at) if at is not None \
+            else self._manifest_files(table)
+        if mf is None:  # legacy layout: no manifest to trust
+            return self.read(table).count()
+        if self._dv_state(table, at=at):
+            # live merge-on-read deletes: let the dv-aware reader decide
+            df = self.read_at(table, at) if at is not None \
+                else self.read(table)
+            return df.count()
+        stats = self._manifest_stats(table, at=at)
+        total, unknown = 0, []
+        for rel in mf:
+            n = (stats.get(rel) or {}).get("__rows")
+            if n is None:
+                unknown.append(rel)
+            else:
+                total += int(n)
+        if unknown:
+            total += self._tracked_read(table, unknown, at=at).count()
+        return total
 
     def set_bloom_filter(self, table: str, cols: list[str],
                          m: int = 8192, k: int = 6) -> None:

@@ -281,7 +281,7 @@ def _maintenance(wh: Warehouse, stmt: str):
         row = (
             table, tdir, "parquet",
             _json.dumps(wh.table_partition_by(table)),
-            len(rels), size,
+            len(rels), size, wh.count_rows(table),
             _json.dumps(wh.table_constraints(table)),
             wh._latest_seq(),
         )
@@ -289,7 +289,8 @@ def _maintenance(wh: Warehouse, stmt: str):
             [row],
             "name string, location string, format string, "
             "partition_columns string, num_files long, "
-            "size_bytes long, constraints string, version long")
+            "size_bytes long, num_rows long, constraints string, "
+            "version long")
     m = _MAINT.match(stmt)
     if not m:
         return False, None

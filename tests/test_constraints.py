@@ -206,6 +206,37 @@ def test_sql_door_show_describe_detail_zorder(spark, tmp_path):
     assert wh.table_constraints("tx") == {"amt_pos": "amt > 0"}
 
 
+def test_streaming_sink_enforces_constraints(spark, tmp_path):
+    """A streaming foreachBatch sink writing through the transactional
+    API hits the same in-write enforcement: the violating microbatch
+    fails the query and the target table commits NOTHING."""
+    from etl_pipeline_for_detection_banking_fraud_spark.streaming.table_stream import (
+        stream_table,
+    )
+    wh = _wh(spark, tmp_path)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(1, 5.0), (2, -5.0)], "id int, amt double"), "src")
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame([(0, 1.0)],
+                                       "id int, amt double"), "dst")
+    wh.add_constraint("dst", "amt_pos", "amt > 0")
+    head = wh.snapshots()[-1]["seq"]
+
+    def _sink(df, _bid):
+        with wh.transaction() as t:
+            t.append(df, "dst")
+
+    q = (stream_table(spark, wh.root, "src")
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="CHECK constraint|amt_pos"):
+        q.awaitTermination(120)
+    assert wh.snapshots()[-1]["seq"] == head
+    assert wh.read("dst").count() == 1  # only the pre-stream row
+
+
 def test_constraint_enforced_in_write_job_no_extra_pass(spark, tmp_path):
     """The enforcement guard rides the write's own plan: the staged
     write of a VALID frame succeeds with the constraint registered (no
