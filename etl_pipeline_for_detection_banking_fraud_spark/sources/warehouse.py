@@ -1710,20 +1710,7 @@ class Warehouse:
         writers' clocks — exactly Delta's contract. Raises
         ``SnapshotExpired`` when ``ts`` predates the retained log and
         ``ValueError`` when it predates the table entirely."""
-        if isinstance(ts, str):
-            ts = datetime.datetime.fromisoformat(ts)
-        if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=datetime.timezone.utc)
-        epoch = ts.timestamp()
-        entry_seqs, _ = self._list_log()
-        best = None
-        for seq in entry_seqs:
-            # no early break: writer clock skew can make times locally
-            # non-monotone; "newest commit at or before ts" = max seq.
-            # None = entry folded by a concurrent expire_log: exclude.
-            t = self._entry_time(seq)
-            if t is not None and t <= epoch:
-                best = seq
+        best, ts = self._seq_at_timestamp(ts)
         if best is None:
             horizon = self.expire_horizon()
             if horizon > 0:
@@ -1737,6 +1724,33 @@ class Warehouse:
                 f"this warehouse"
             )
         return self.read_at(table, best, schema=schema)
+
+    def _seq_at_timestamp(self, ts) -> tuple[int | None, "datetime.datetime"]:
+        """(newest seq committed at-or-before ``ts``, parsed ts).
+        The comparison carries a one-microsecond tolerance: commit
+        entries store epoch floats with sub-microsecond precision, but
+        ``snapshots()``' ``committed_at`` ISO strings are quantized to
+        the microsecond ``datetime`` keeps — without the tolerance, a
+        round-tripped committed_at can parse a hair EARLIER than the
+        float it came from and resolve to the previous commit (or to
+        nothing, for the first). Commits are serialized filesystem
+        operations milliseconds apart, so the tolerance can never
+        conflate two of them."""
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        epoch = ts.timestamp() + 1e-6
+        entry_seqs, _ = self._list_log()
+        best = None
+        for seq in entry_seqs:
+            # no early break: writer clock skew can make times locally
+            # non-monotone; "newest commit at or before ts" = max seq.
+            # None = entry folded by a concurrent expire_log: exclude.
+            t = self._entry_time(seq)
+            if t is not None and t <= epoch:
+                best = seq
+        return best, ts
 
     def read_at(self, table: str, seq: int,
                 schema: T.StructType | None = None) -> DataFrame:

@@ -14,6 +14,18 @@ DELETE/UPDATE/MERGE/time travel required Python calls:
 - ``SELECT … FROM t VERSION AS OF n`` /
   ``TIMESTAMP AS OF '…'``                 → ``read_at`` /
                                             ``read_at_timestamp`` view
+- ``ALTER TABLE t ADD CONSTRAINT n CHECK (…)`` / ``DROP CONSTRAINT n``
+  / ``ALTER COLUMN c SET|DROP NOT NULL``  → ``add_constraint`` /
+                                            ``drop_constraint``
+- ``ALTER TABLE t ADD COLUMNS (c TYPE, …)`` → ``add_columns``
+  (declared-schema evolution; metadata-only)
+- ``SHOW TABLES`` / ``DESCRIBE [TABLE] t`` /
+  ``DESCRIBE DETAIL t``                   → catalog metadata frames
+- ``OPTIMIZE t [ZORDER BY (a, b)]`` / ``VACUUM t`` /
+  ``DESCRIBE HISTORY t`` /
+  ``RESTORE TABLE t TO VERSION AS OF n``  → maintenance API
+- ``table_changes('t', since)`` in any SELECT → ``read_changes`` view
+  (Delta's CDF table function; tag column surfaces as _change_type)
 - anything else                           → ``spark.sql`` over
                                             auto-registered read views
 

@@ -239,6 +239,24 @@ class TestCheckpointEndToEnd:
                                                tz=dt.timezone.utc))
         assert all("committed_at" in s for s in wh.snapshots())
 
+    def test_committed_at_round_trips_to_own_seq(self, spark, tmp_path):
+        """Every snapshot's committed_at ISO string must resolve back
+        to ITS OWN seq through TIMESTAMP AS OF. The ISO string is
+        quantized to datetime's microseconds while the entry stores a
+        full-precision epoch float, so without the resolver's one-us
+        tolerance roughly half of all round trips land a hair EARLY
+        and resolve to the previous commit — or, for the first commit,
+        to 'predates every commit' (the r10 fast-lane flake)."""
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        for day in (1, 2, 3, 4, 5):
+            with wh.transaction():
+                wh.append_transactions(_tx_rows(spark, 2, day=day))
+        for s in wh.snapshots():
+            best, _ = wh._seq_at_timestamp(s["committed_at"])
+            assert best == s["seq"], (
+                f"committed_at of seq {s['seq']} resolved to {best}")
+
     def test_compact_checkpoints_and_sets_retention(self, spark, tmp_path):
         """compact() writes a checkpoint at its natural fold point and
         advances the retention horizon: read_at older than the compact
