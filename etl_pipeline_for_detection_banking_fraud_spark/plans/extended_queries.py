@@ -1383,8 +1383,8 @@ def tpch_q7_shape(spark, sf_dir):
     lineitem scan. Decimal-exact revenue accumulation keeps the sum
     bit-stable across partition counts and engines (oracle-exact).
     Reference parity: multi-role dimension joins per SURVEY §2 J1/J2
-    (the reference joins its terminal dim twice in rule 3,
-    fraud_detection.py:61-75)."""
+    (the reference joins DWH_DIM_TERMINALS_HIST twice — th1/th2 — in
+    rule 3, loading_rep_fraud.py:80-82)."""
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -1467,7 +1467,7 @@ def tpch_q9_shape(spark, sf_dir):
     join beyond, with the same filtered cardinality win. Decimal-
     exact profit accumulation (oracle-exact). Reference parity: star
     fan-out + grouped metric per SURVEY §2 J1/A-family
-    (fraud_detection.py:21-38's dim-join + aggregate shape)."""
+    (loading_rep_fraud.py:25-28's cards->accounts->clients dim chain)."""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
