@@ -239,6 +239,12 @@ _DETAIL = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
 # table_changes('t', since_seq) inside any SELECT — Delta's CDF
 # table-valued function; rewritten to a temp view of read_changes()
+# SHOW CREATE TABLE t — DDL from commit-log metadata (declared schema,
+# partition spec, constraints, bloom config); Spark's own handler
+# would want a catalog table, so pre-parse
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE)
 _TABLE_CHANGES = re.compile(
     r"table_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*\)",
     re.IGNORECASE,
@@ -277,6 +283,26 @@ def _maintenance(wh: Warehouse, stmt: str):
         cols = [c.strip() for c in z.group(2).split(",")]
         wh.zorder_table(z.group(1), cols)
         return True, None
+    sc = _SHOW_CREATE.match(stmt)
+    if sc:  # SHOW CREATE TABLE t — DDL reconstructed from metadata
+        table = sc.group(1).lower()
+        part = wh.table_partition_by(table)
+        schema = wh.read(table).schema
+        cols = ",\n".join(
+            f"  {f.name} {f.dataType.simpleString().upper()}"
+            for f in schema.fields)
+        ddl = f"CREATE TABLE {table} (\n{cols}\n)\nUSING parquet"
+        if part:
+            ddl += f"\nPARTITIONED BY ({', '.join(part)})"
+        for name, check in sorted(wh.table_constraints(table).items()):
+            ddl += f"\nCONSTRAINT {name} CHECK ({check})"
+        bloom = wh.table_bloom_filter(table)
+        if bloom:
+            ddl += ("\n-- bloom filter: cols="
+                    f"{','.join(bloom['cols'])} m={bloom['m']} "
+                    f"k={bloom['k']}")
+        return True, wh.spark.createDataFrame(
+            [(ddl,)], "createtab_stmt string")
     d = _DETAIL.match(stmt)
     if d:  # DESCRIBE DETAIL t — Delta's one-row table summary
         import json as _json
@@ -307,10 +333,19 @@ def _maintenance(wh: Warehouse, stmt: str):
     if not m:
         return False, None
     op, table = m.group(1).upper().split()[0], m.group(2)
-    if op == "DESCRIBE":  # DESCRIBE HISTORY t -> the commit log
+    if op == "DESCRIBE":  # DESCRIBE HISTORY t -> the table's commits
         import json as _json
 
-        rows = wh.snapshots()
+        t = table.lower()
+        rows = []
+        for s in wh.snapshots():
+            entry = wh._load_entry(s["seq"]) or {}
+            touches = (set(entry.get("tables", {}))
+                       | set(entry.get("constraints", {}))
+                       | set(entry.get("schema", {}))
+                       | set(entry.get("bloom_cols", {})))
+            if t in touches:  # data AND metadata commits of THIS table
+                rows.append(s)
         return True, wh.spark.createDataFrame(
             [(s["seq"], s.get("txn"), s.get("op"),
               s.get("committed_at"), _json.dumps(s.get("tables", {})))

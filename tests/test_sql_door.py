@@ -203,3 +203,24 @@ class TestTableChanges:
         ).collect()
         assert {r["_change_type"] for r in later} == {
             "update_preimage", "update_postimage"}
+
+
+class TestCatalogStatements:
+    def test_show_create_table(self, spark, wh):
+        wh.add_constraint("t", "v_pos", "v >= 0")
+        ddl = warehouse_sql(
+            wh, "SHOW CREATE TABLE t").collect()[0]["createtab_stmt"]
+        assert "CREATE TABLE t" in ddl
+        assert "k BIGINT" in ddl and "v DOUBLE" in ddl
+        assert "CONSTRAINT v_pos CHECK (v >= 0)" in ddl
+
+    def test_describe_history_filters_to_table(self, spark, wh):
+        with wh.transaction():
+            wh.append(spark.createDataFrame([(1,)], "x int"), "other")
+        wh.add_constraint("t", "v_pos", "v >= 0")  # metadata commit
+        hist_t = warehouse_sql(wh, "DESCRIBE HISTORY t").collect()
+        hist_o = warehouse_sql(wh, "DESCRIBE HISTORY other").collect()
+        # t's history: seed append + the constraint metadata commit
+        assert len(hist_t) == 2
+        assert len(hist_o) == 1
+        assert all("other" not in r["tables"] for r in hist_t)
