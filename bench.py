@@ -116,7 +116,11 @@ REF_PROBES = {"cpu_probe": 0.1013, "shuffle_probe": 0.4231,
 # Sub-second queries where scheduler noise dominates the median-of-3
 # (round-8 verdict item #8): they get extra trials so dispersion is on
 # record and probe-adjusted regressions on them are attributable.
-WATCHLIST = ["scan_filter_project", "first_per_group", "scd2_apply"]
+# tpch_q3_shape + sim_cosine_topk: r10 raw drift with no code change
+# (machine probes moved 25-35%) — on watch for one round (r11 verdict
+# item #7) to adjudicate environment vs regression.
+WATCHLIST = ["scan_filter_project", "first_per_group", "scd2_apply",
+             "tpch_q3_shape", "sim_cosine_topk"]
 WATCHLIST_TRIALS = 7
 
 # The 5 most expensive headline queries (per BENCH_r03/r04) — these get

@@ -770,39 +770,20 @@ def sessionize(spark, sf_dir):
 # row plus the local parity suite (tests/test_oracle_parity.py runs every
 # catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
-    # new in r10 — never reported: add new catalog entries HERE, above
+    # new in r11 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
-    "merge_conditional", "tpch_q7_shape", "tpch_q9_shape",
-    # r10 rotation: the 17 entries whose newest evidence is r07 (they
-    # tailed past the ~50-entry cap in r09) lead — nothing may go >2
-    # rounds stale — then the r08-reported block; whatever tails past
-    # the cap stays r08-fresh and must lead the r11 rotation
-    "histogram_equiwidth", "intersect_key", "interval_overlap_join",
-    "join_chain", "kmeans_iter2", "left_join_count", "min_max_date",
-    "multimodal_image", "null_filters", "nullsafe_neq",
-    "pack_sequences", "range_frame_window", "ratio_to_report",
-    "row_counts", "scan_filter_project", "semi_join",
-    "semi_join_prefilter",
-    # newest evidence r08
-    "tpch_q5_shape", "tpch_q17_shape", "window_session_native",
-    "approx_distinct_bounds", "tpch_q18_shape", "text_bigram_topk",
-    "skew_salted_agg", "string_agg_ordered", "text_chunk",
-    "text_decontaminate", "text_regex_scan", "text_repetition",
-    "text_tokens_bpe", "text_winnow", "window_count_distinct",
-    "window_tumbling", "asof_join", "bm25_topk", "decreasing_triple",
-    "dedup_chunk_level", "dedup_clusters", "dedup_containment",
-    "dedup_exact", "dedup_keep_canonical", "dedup_minhash_lsh",
-    "distinct_count_agg", "distinct_pairs", "first_per_group",
-    "fuzzy_match_pairs", "global_topk", "group_median_mad",
-    "groupby_agg", "grouping_sets_agg", "lead_lag_window",
-    "multimodal_features", "pivot_agg", "rank_funcs", "rollup_agg",
-    "running_window", "sample_hash", "sample_stratified_n",
-    "sample_weighted", "scd2_apply", "sessionize", "sim_ann_ivf",
-    "sim_ann_lsh", "sim_cosine_pairs", "sim_cosine_pairs_lsh",
-    "sim_cosine_topk", "skew_salted_join",
-]
-_REPORT_LAST = [
-    # reported green in r09 — freshest evidence, can wait
+    # (none this round — r11 work is warehouse/streaming surface)
+    # r11 rotation: the 20 entries whose newest evidence is r08 (they
+    # tailed past the ~50-entry cap in r10) lead — nothing may go >2
+    # rounds stale — then the r09-reported block; whatever tails past
+    # the cap stays r09-fresh and must lead the r12 rotation
+    "group_median_mad", "groupby_agg", "grouping_sets_agg",
+    "lead_lag_window", "multimodal_features", "pivot_agg",
+    "rank_funcs", "rollup_agg", "running_window", "sample_hash",
+    "sample_stratified_n", "sample_weighted", "scd2_apply",
+    "sessionize", "sim_ann_ivf", "sim_ann_lsh", "sim_cosine_pairs",
+    "sim_cosine_pairs_lsh", "sim_cosine_topk", "skew_salted_join",
+    # newest evidence r09
     "anti_join", "approx_stats_bounds", "array_funcs",
     "between_filter", "case_when_bucketing", "cast_project",
     "cdc_upsert", "concat_coalesce", "corpus_mix", "cube_agg",
@@ -820,6 +801,26 @@ _REPORT_LAST = [
     "topk_per_group", "tpch_q21_shape", "tpch_q3_shape",
     "union_except", "unpivot_melt", "window_hopping",
     "zscore_outliers",
+]
+_REPORT_LAST = [
+    # reported green in r10 — freshest evidence, can wait
+    "merge_conditional", "tpch_q7_shape", "tpch_q9_shape",
+    "histogram_equiwidth", "intersect_key", "interval_overlap_join",
+    "join_chain", "kmeans_iter2", "left_join_count", "min_max_date",
+    "multimodal_image", "null_filters", "nullsafe_neq",
+    "pack_sequences", "range_frame_window", "ratio_to_report",
+    "row_counts", "scan_filter_project", "semi_join",
+    "semi_join_prefilter",
+    "tpch_q5_shape", "tpch_q17_shape", "window_session_native",
+    "approx_distinct_bounds", "tpch_q18_shape", "text_bigram_topk",
+    "skew_salted_agg", "string_agg_ordered", "text_chunk",
+    "text_decontaminate", "text_regex_scan", "text_repetition",
+    "text_tokens_bpe", "text_winnow", "window_count_distinct",
+    "window_tumbling", "asof_join", "bm25_topk", "decreasing_triple",
+    "dedup_chunk_level", "dedup_clusters", "dedup_containment",
+    "dedup_exact", "dedup_keep_canonical", "dedup_minhash_lsh",
+    "distinct_count_agg", "distinct_pairs", "first_per_group",
+    "fuzzy_match_pairs", "global_topk",
 ]
 
 

@@ -320,6 +320,8 @@ class Transaction:
     def _record_blooms_inner(self, table: str, new_rels: list[str],
                              cfg: dict) -> None:
         m, kk = int(cfg["m"]), int(cfg["k"])
+        types = cfg.get("types", {})
+        ts_micros = cfg.get("ts") == "micros"
         p = self.wh._path(table)
         src = self.wh.spark.read.parquet(
             *[os.path.join(p, r) for r in new_rels])
@@ -328,9 +330,9 @@ class Transaction:
             if c not in src.columns:
                 continue  # e.g. a hive partition column: lives in the
                 # relpath, pruned by the partition-value check instead
+            base = _bloom_canonical(F.col(c), types.get(c), ts_micros)
             pos = [
-                F.pmod(F.xxhash64(F.lit(f"{c}#{i}"),
-                                  F.col(c).cast("string")),
+                F.pmod(F.xxhash64(F.lit(f"{c}#{i}"), base),
                        F.lit(m)).cast("int")
                 for i in range(kk)
             ]
@@ -602,19 +604,24 @@ def _file_may_match(rel: str, fs: dict | None, prune: dict,
             except TypeError:
                 pass  # bound/stat type mismatch (e.g. a string bound
                 # against numeric stats): cannot prove disjoint — keep
-    # Bloom check (point lookups): ``bloom_pos`` maps col -> the k bit
-    # positions of the probed value (computed once per query by
+    # Bloom check (point lookups): ``bloom_pos`` maps col -> (m, the k
+    # bit positions of the probed value) (computed once per query by
     # ``Warehouse._bloom_positions`` with the SAME Spark hash exprs the
     # writer used). Any unset bit proves the file never saw the value.
-    # Files without a bitset for the column (pre-config files) are kept
-    # — strict superset contract, like missing min/max stats.
+    # Files without a bitset for the column (pre-config files) are
+    # kept, and so is any blob whose size disagrees with the probing
+    # config's ``m`` (a bitset built under an older config: probing it
+    # with new-m positions would crash or — worse — silently
+    # false-prune) — strict superset contract, like missing stats.
     if bloom_pos:
         bl = (fs or {}).get("__bloom") or {}
-        for col, ps in bloom_pos.items():
+        for col, (m, ps) in bloom_pos.items():
             blob = bl.get(col)
             if not blob:
                 continue
             bits = base64.b64decode(blob)
+            if len(bits) * 8 != m:
+                continue  # stale-config bitset: treat as missing stats
             if any(not (bits[p >> 3] >> (p & 7)) & 1 for p in ps):
                 return False
     return True
@@ -624,6 +631,24 @@ def _basename_col():
     """Each row's source-file basename (txn file names are unique per
     table, so the basename identifies the file across hive subdirs)."""
     return F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+
+def _bloom_canonical(col, type_str: str | None, ts_micros: bool):
+    """The canonical STRING a bloom hash sees for a value — the same
+    expression on the write side (over the column) and the probe side
+    (over a literal cast to the column's recorded type), so positions
+    match by construction. ``ts_micros`` (configs written from round 11
+    on record ``ts: micros``) hashes TIMESTAMP columns via
+    ``unix_micros`` — an absolute-instant integer — instead of
+    ``cast(string)``, whose rendering depends on
+    ``spark.sql.session.timeZone`` and would silently false-prune for
+    readers in a different session timezone. Legacy configs keep the
+    cast(string) form their existing bitsets were built with."""
+    if type_str:
+        col = col.cast(type_str)
+    if ts_micros and type_str == "timestamp":
+        return F.unix_micros(col).cast("string")
+    return col.cast("string")
 
 
 def _lit_value(e):
@@ -1418,7 +1443,12 @@ class Warehouse:
             if not self.exists(table):
                 raise FileNotFoundError(
                     f"add_columns: table {table!r} does not exist")
-            decl = self.read(table).schema
+            # merge_schema: the pre-declaration baseline must UNION all
+            # footers — a table that previously evolved additively via
+            # merge_schema appends would otherwise declare one footer's
+            # (possibly narrower) schema and permanently hide the
+            # columns only newer files carry
+            decl = self.read(table, merge_schema=True).schema
         have = {f.name.lower() for f in decl.fields}
         fields = list(decl.fields)
         for name, typ in cols.items():
@@ -1499,12 +1529,31 @@ class Warehouse:
         table = table.lower()
         if m % 8 or m <= 0 or k <= 0:
             raise ValueError("m must be a positive multiple of 8, k > 0")
+        # merge_schema: the column may exist only in newer footers
+        # (additive evolution on an undeclared table) — one footer's
+        # schema would wrongly reject it
         schema = {f.name: f.dataType.simpleString()
-                  for f in self.read(table).schema.fields}
+                  for f in self.read(table, merge_schema=True)
+                  .schema.fields}
         missing = [c for c in cols if c not in schema]
         if missing:
             raise ValueError(
                 f"set_bloom_filter: {missing} not columns of {table!r}")
+        prev = self._replay_state().get("bloom_cols", {}).get(table)
+        if prev and (int(prev["m"]) != int(m) or int(prev["k"]) != int(k)):
+            # existing files' bitsets were built under (prev m, prev k);
+            # probing them with a different geometry would crash (larger
+            # m) or silently false-prune (smaller m / different k). The
+            # blob-size guard in _file_may_match catches m changes, but
+            # a same-m k change is undetectable per blob — refuse the
+            # reconfig; compact() (fresh bitsets everywhere) first.
+            raise ValueError(
+                f"set_bloom_filter: {table!r} already has a bloom config "
+                f"with m={prev['m']} k={prev['k']}; existing per-file "
+                "bitsets were built under it. Keep m/k (column changes "
+                "are fine), or compact() the table after reconfiguring "
+                "to rebuild every bitset"
+            )
         txn = self.begin()
         try:
             txn.enforce_constraints = False  # metadata-only commit
@@ -1514,6 +1563,11 @@ class Warehouse:
                 # a probe value is cast to the COLUMN's type, then to
                 # string, exactly like the written column was
                 "types": {c: schema[c] for c in cols},
+                # timestamp canonicalization marker: new configs hash
+                # timestamps tz-stably (unix_micros); a table whose
+                # legacy config predates the marker keeps the legacy
+                # cast(string) form its existing bitsets used
+                "ts": prev.get("ts", "legacy") if prev else "micros",
             }}
             txn.commit()
         except BaseException:
@@ -1528,25 +1582,22 @@ class Warehouse:
 
     def _bloom_positions(self, table: str, prune: dict | None) -> dict:
         """For each EQUALITY prune bound (``lo == hi``) on a configured
-        bloom column: the k bit positions of the probe value, computed
-        with the same Spark expressions the writer hashed with (one
-        local 1-row job — no cross-language hash reimplementation to
-        drift). A probe that does not CAST cleanly to the column's type
-        contributes nothing (the file set is kept)."""
+        bloom column: ``(m, the k bit positions)`` of the probe value,
+        computed with the same Spark expressions the writer hashed with
+        (one local 1-row job — no cross-language hash reimplementation
+        to drift). A probe that does not CAST cleanly to the column's
+        type contributes nothing (the file set is kept)."""
         cfg = self._replay_state().get("bloom_cols", {}).get(table.lower())
         if not cfg or not prune:
             return {}
         m, kk = int(cfg["m"]), int(cfg["k"])
         types = cfg.get("types", {})
+        ts_micros = cfg.get("ts") == "micros"
         exprs, keys = [], []
         for col, (lo, hi) in prune.items():
             if col not in cfg["cols"] or lo is None or lo != hi:
                 continue
-            base = F.lit(lo)
-            t = types.get(col)
-            if t:
-                base = base.cast(t)
-            base = base.cast("string")
+            base = _bloom_canonical(F.lit(lo), types.get(col), ts_micros)
             exprs.append(base.isNull().alias(f"n{len(keys)}"))
             for i in range(kk):
                 exprs.append(
@@ -1561,7 +1612,7 @@ class Warehouse:
         for j, col in enumerate(keys):
             if row[f"n{j}"]:
                 continue  # un-castable probe: no bloom pruning
-            out[col] = [row[f"p{j}_{i}"] for i in range(kk)]
+            out[col] = (m, [row[f"p{j}_{i}"] for i in range(kk)])
         return out
 
     def tables(self) -> list[str]:

@@ -136,10 +136,49 @@ _TT = re.compile(
 )
 
 
+def _literal_spans(stmt: str) -> list[tuple[int, int]]:
+    """[start, end) index ranges of single-quoted SQL string literals
+    (with ``''`` escaping). The textual rewrites below must never fire
+    on text INSIDE a literal — ``WHERE note = 'VERSION AS OF 3'`` is
+    data, not a time-travel clause."""
+    spans, i, n = [], 0, len(stmt)
+    while i < n:
+        if stmt[i] == "'":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "'":
+                    if j + 1 < n and stmt[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, stmt: str) -> str:
+    """``pattern.sub(repl, stmt)`` skipping matches that START inside a
+    string literal (a match may CONSUME a literal — the TIMESTAMP AS OF
+    '<ts>' clause does — but one beginning inside quoted data is data)."""
+    spans = _literal_spans(stmt)
+
+    def _guarded(m: re.Match):
+        p = m.start()
+        if any(s <= p < e for s, e in spans):
+            return m.group(0)
+        return repl(m)
+
+    return pattern.sub(_guarded, stmt)
+
+
 def _rewrite_time_travel(wh: Warehouse, spark, stmt: str) -> str:
     """Replace ``FROM t VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'``
     with a registered snapshot view (``read_at`` /
-    ``read_at_timestamp`` under a deterministic name)."""
+    ``read_at_timestamp`` under a deterministic name). Matches inside
+    string literals pass through untouched."""
     def _sub(m: re.Match) -> str:
         kw, table = m.group(1), m.group(2)
         if m.group(4) is not None:
@@ -152,7 +191,7 @@ def _rewrite_time_travel(wh: Warehouse, spark, stmt: str) -> str:
             wh.read_at_timestamp(table, ts).createOrReplaceTempView(view)
         return f"{kw} {view}"
 
-    return _TT.sub(_sub, stmt)
+    return _sub_outside_literals(_TT, _sub, stmt)
 
 
 def _on_keys(expr) -> list[str]:
@@ -255,7 +294,8 @@ def _rewrite_table_changes(wh: Warehouse, spark, stmt: str) -> str:
     """Replace every ``table_changes('t', n)`` call with a registered
     temp view of ``wh.read_changes('t', n)`` — the Delta CDF
     table-valued function, usable anywhere a relation is (joins,
-    CTEs, aggregates over the change feed)."""
+    CTEs, aggregates over the change feed). Matches inside string
+    literals pass through untouched."""
     def _sub(m: re.Match) -> str:
         table, since = m.group(1).lower(), int(m.group(2))
         view = f"__changes_{table}_{since}"
@@ -268,7 +308,7 @@ def _rewrite_table_changes(wh: Warehouse, spark, stmt: str) -> str:
         df.createOrReplaceTempView(view)
         return view
 
-    return _TABLE_CHANGES.sub(_sub, stmt)
+    return _sub_outside_literals(_TABLE_CHANGES, _sub, stmt)
 
 
 def _maintenance(wh: Warehouse, stmt: str):
@@ -420,7 +460,11 @@ def warehouse_sql(wh: Warehouse, stmt: str):
                     "only ALTER COLUMN ... SET/DROP NOT NULL is "
                     "supported by the warehouse SQL door")
             if nb.get():  # DROP NOT NULL
-                wh.drop_constraint(table, f"nn__{col}")
+                # Delta semantics: dropping a NOT NULL that was never
+                # set (through the door or at all) is a no-op, not an
+                # unknown-constraint error
+                if f"nn__{col}" in wh.table_constraints(table):
+                    wh.drop_constraint(table, f"nn__{col}")
             else:  # SET NOT NULL
                 wh.add_constraint(table, f"nn__{col}",
                                   f"{col} IS NOT NULL")
@@ -434,14 +478,23 @@ def warehouse_sql(wh: Warehouse, stmt: str):
             "table_name string, num_files int, partitioned_by string"
         ).where(F.col("table_name") != "")
     if kind == "DescribeRelation":
-        table = _ident(plan.relation())
-        part = set(wh.table_partition_by(table))
-        schema = wh.read(table).schema
-        return spark.createDataFrame(
-            [(f.name, f.dataType.simpleString(),
-              "partition" if f.name in part else "")
-             for f in schema.fields],
-            "col_name string, data_type string, comment string")
+        # only intercept warehouse-tracked tables: DESCRIBE on a
+        # registered temp view (or a multi-part name) falls through to
+        # spark.sql, which handled it before the door existed
+        parts = [str(x)
+                 for x in _seq(plan.relation().multipartIdentifier())]
+        if len(parts) == 1 and (
+                wh._manifest_files(parts[0]) is not None
+                or wh.exists(parts[0])):
+            table = parts[0]
+            part = set(wh.table_partition_by(table))
+            schema = wh.read(table).schema
+            return spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(),
+                  "partition" if f.name in part else "")
+                 for f in schema.fields],
+                "col_name string, data_type string, comment string")
+        return spark.sql(stmt)
     if kind == "DeleteFromTable":
         table = _ident(plan.table())
         cond = _opt(plan.condition())

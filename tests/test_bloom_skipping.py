@@ -167,3 +167,78 @@ def test_type_coercion_probe(spark, tmp_path):
     # string probe against the int column
     df2 = wh.read("ev", prune={"i": ("13", "13")})
     assert df2.where("i = 13").count() == 1
+
+
+def test_reconfig_with_different_geometry_refused(spark, tmp_path):
+    """Existing bitsets were built under (m, k); probing them under a
+    different geometry would crash or silently false-prune — the
+    reconfig is refused (column changes with the same m/k are fine)."""
+    wh = _wh(spark, tmp_path)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame([(0, "u0")],
+                                       "id int, uid string"), "ev")
+    wh.set_bloom_filter("ev", ["id"], m=4096, k=4)
+    with pytest.raises(ValueError, match="already has a bloom config"):
+        wh.set_bloom_filter("ev", ["id"], m=8192, k=4)
+    with pytest.raises(ValueError, match="already has a bloom config"):
+        wh.set_bloom_filter("ev", ["id"], m=4096, k=6)
+    # same geometry, different columns: allowed
+    wh.set_bloom_filter("ev", ["id", "uid"], m=4096, k=4)
+    assert wh.table_bloom_filter("ev")["cols"] == ["id", "uid"]
+
+
+def test_stale_geometry_blob_treated_as_missing():
+    """A bitset whose size disagrees with the probing m must be
+    ignored (kept file), never indexed out of range or false-pruned."""
+    import base64
+
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+        _file_may_match,
+    )
+
+    blob_512 = base64.b64encode(bytes(64)).decode()  # 512-bit, all 0
+    fs = {"__bloom": {"id": blob_512}}
+    # probe under m=8192: positions may exceed 512 bits — blob skipped,
+    # file KEPT (an all-zero matching-size blob would prune it)
+    assert _file_may_match("f.parquet", fs, {"id": (5, 5)},
+                           {"id": (8192, [1, 4000, 8000])})
+    # matching-size all-zero blob: provably absent -> pruned
+    assert not _file_may_match("f.parquet", fs, {"id": (5, 5)},
+                               {"id": (512, [1, 200, 500])})
+
+
+def test_timestamp_probe_stable_across_session_timezone(spark, tmp_path):
+    """Timestamp blooms hash the absolute instant (unix_micros), so a
+    reader in a different session timezone still finds the row — the
+    legacy cast(string) canonicalization rendered the WRITER's session
+    wall clock and would false-prune here."""
+    wh = _wh(spark, tmp_path)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # WRITE (and record bitsets) under New York time
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with wh.transaction() as t:
+            t.append(spark.createDataFrame(
+                [(0, "2021-03-01 00:00:00")],
+                "id int, s string").selectExpr(
+                    "id", "cast(s as timestamp) as ts"), "ev")
+        wh.set_bloom_filter("ev", ["ts"])
+        assert wh.table_bloom_filter("ev")["ts"] == "micros"
+        with wh.transaction() as t:
+            for h in (1, 2, 3):
+                # NY wall clock 1h:00 == UTC 1h+5:00 (March 1: EST? no,
+                # EST until Mar 14 2021 -> UTC-5)
+                t.append(spark.createDataFrame(
+                    [(10 + h, f"2021-03-01 1{h}:00:00")],
+                    "id int, s string").selectExpr(
+                        "id", "cast(s as timestamp) as ts"
+                    ).coalesce(1), "ev")
+        # READ under UTC with UTC-instant bounds in the manifest's own
+        # aware-isoformat form: the 11:00-NY row is the 16:00-UTC
+        # instant
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        iso = "2021-03-01T16:00:00+00:00"
+        df = wh.read("ev", prune={"ts": (iso, iso)})
+        assert df.where("ts = '2021-03-01 16:00:00'").count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -173,3 +173,34 @@ def test_sql_door_add_columns(spark, tmp_path):
     # and SQL DML can reference them immediately
     warehouse_sql(wh, "UPDATE tx SET tag = 'new' WHERE id = 1")
     assert wh.read("tx").where("id=1").collect()[0]["tag"] == "new"
+
+
+def test_add_columns_baseline_unions_all_footers(spark, tmp_path):
+    """A table that previously evolved additively via merge_schema
+    appends must declare the UNION of all footers when add_columns
+    first snapshots it — one arbitrary footer could miss columns only
+    newer files carry, permanently hiding them."""
+    import os
+
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, os.path.join(str(tmp_path), "w"))
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame([(1,)], "id int"), "ev")
+    # additive evolution the merge_schema way: a WIDER raw append
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame([(2, "x")],
+                                       "id int, tag string"), "ev")
+    assert set(wh.read("ev", merge_schema=True).columns) == {"id", "tag"}
+    wh.add_columns("ev", {"score": "double"})
+    cols = set(wh.read("ev").columns)
+    assert cols == {"id", "tag", "score"}, cols
+    # and tag is still appendable (declared), with old files NULL there
+    wh.append(spark.createDataFrame([(3, "y", 0.5)],
+                                    "id int, tag string, score double"),
+              "ev")
+    got = {r["id"]: (r["tag"], r["score"])
+           for r in wh.read("ev").collect()}
+    assert got[1] == (None, None) and got[3] == ("y", 0.5)

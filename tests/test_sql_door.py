@@ -224,3 +224,53 @@ class TestCatalogStatements:
         assert len(hist_t) == 2
         assert len(hist_o) == 1
         assert all("other" not in r["tables"] for r in hist_t)
+
+
+class TestRound11Fixes:
+    def test_literal_containing_version_as_of_untouched(self, spark, wh):
+        """A string literal containing 'VERSION AS OF n' is data —
+        the time-travel rewrite must not fire inside it."""
+        rows = warehouse_sql(
+            wh,
+            "SELECT 'FROM t VERSION AS OF 1' AS note, count(*) AS n "
+            "FROM t").collect()
+        assert rows[0]["note"] == "FROM t VERSION AS OF 1"
+        assert rows[0]["n"] == 10
+        # and the real clause still rewrites in the same statement
+        v0 = wh._latest_seq()
+        warehouse_sql(wh, "DELETE FROM t WHERE k = 0")
+        rows = warehouse_sql(
+            wh,
+            "SELECT 'x JOIN t VERSION AS OF 99 y' AS note, count(*) AS n "
+            f"FROM t VERSION AS OF {v0}").collect()
+        assert rows[0]["n"] == 10
+        assert "99" in rows[0]["note"]
+
+    def test_literal_containing_table_changes_untouched(self, spark, wh):
+        rows = warehouse_sql(
+            wh, "SELECT 'table_changes(''t'', 1)' AS s FROM t LIMIT 1"
+        ).collect()
+        assert rows[0]["s"] == "table_changes('t', 1)"
+
+    def test_describe_temp_view_falls_through(self, spark, wh):
+        """DESCRIBE on a registered non-warehouse temp view must fall
+        through to spark.sql, not raise FileNotFoundError."""
+        spark.createDataFrame([(1, "a")], "id int, s string") \
+            .createOrReplaceTempView("some_view")
+        rows = warehouse_sql(wh, "DESCRIBE some_view").collect()
+        cols = {r["col_name"] for r in rows}
+        assert {"id", "s"} <= cols
+        # warehouse tables still take the door's metadata path
+        rows_t = warehouse_sql(wh, "DESCRIBE t").collect()
+        assert {r["col_name"] for r in rows_t} == {"k", "name", "v"}
+
+    def test_drop_not_null_never_set_is_noop(self, spark, wh):
+        # never set through the door: Delta semantics = no-op
+        assert warehouse_sql(
+            wh, "ALTER TABLE t ALTER COLUMN name DROP NOT NULL") is None
+        # set then dropped then dropped again: second drop is a no-op
+        warehouse_sql(wh, "ALTER TABLE t ALTER COLUMN name SET NOT NULL")
+        assert "nn__name" in wh.table_constraints("t")
+        warehouse_sql(wh, "ALTER TABLE t ALTER COLUMN name DROP NOT NULL")
+        assert "nn__name" not in wh.table_constraints("t")
+        warehouse_sql(wh, "ALTER TABLE t ALTER COLUMN name DROP NOT NULL")
