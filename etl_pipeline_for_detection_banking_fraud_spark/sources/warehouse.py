@@ -146,6 +146,12 @@ class Transaction:
         # FULL deletion-vector map as of this commit (replace entries
         # replace it wholesale; writers carry surviving entries forward)
         self.dv: dict[str, dict[str, list[str]]] = {}
+        # table -> {dv relpath: row count} — sidecar sizes mirroring
+        # ``dv``, so the global dv budget (``dv_max_rows_total``) is a
+        # replay-state sum, not a footer stat per read. Same replace
+        # semantics as ``dv``; missing counts (legacy entries) fall
+        # back to the sidecar's parquet footer on demand.
+        self.dv_rows: dict[str, dict[str, int]] = {}
         # (staged_abs, final_abs) deletion-vector sidecars to publish at
         # commit: dv files are written DOT-PREFIXED (invisible to
         # vacuum_orphans' dv sweep) and renamed to their final _dv/ name
@@ -187,6 +193,22 @@ class Transaction:
             guard = g if guard is None else (guard & g)
         return df.filter(guard) if guard is not None else df
 
+    def _pending_schema_meta(self, table: str
+                             ) -> tuple[T.StructType | None, dict]:
+        """(declared schema, physical map) for append validation —
+        seeing THIS transaction's own pending schema update first, so
+        a schema-evolving commit (MERGE ``schema_evolution=True``) can
+        declare the new shape and write data under it atomically."""
+        j = self.schema_updates.get(table)
+        if j:
+            payload = json.loads(j)
+            if payload.get("v") == 2:
+                return (T.StructType.fromJson(payload["schema"]),
+                        dict(payload.get("phys", {})))
+            return T.StructType.fromJson(payload), {}
+        decl, phys, _ = self.wh._schema_meta(table)
+        return decl, phys
+
     def append(self, df: DataFrame, table: str,
                partition_by: list[str] | None = None) -> None:
         """Stage an append: files land in the table directory under
@@ -205,7 +227,7 @@ class Transaction:
         table = table.lower()
         if partition_by:
             self.partition_by[table] = list(partition_by)
-        decl = self.wh._declared_schema(table)
+        decl, phys = self._pending_schema_meta(table)
         if decl is not None:
             # declared-schema table: an appended column the declaration
             # does not know would be INVISIBLE to every read (reads
@@ -229,6 +251,18 @@ class Transaction:
                         f"{f.dataType.simpleString()} but the declared "
                         f"schema says {want.simpleString()}"
                     )
+            if phys:
+                # columns with a physical-name mapping (RENAME COLUMN /
+                # re-add after DROP) are WRITTEN under their physical
+                # name so every reader epoch resolves them uniformly
+                renames = {
+                    c: phys[c.lower()] for c in df.columns
+                    if c.lower() in phys and phys[c.lower()] != c
+                }
+                if renames:
+                    df = df.select(*[
+                        F.col(c).alias(renames.get(c, c))
+                        for c in df.columns])
         self._n += 1
         stage = os.path.join(self._stage_root, str(self._n))
         cons = {}
@@ -390,6 +424,8 @@ class Transaction:
                 entry["partition_by"] = self.partition_by
             if self.dv:
                 entry["dv"] = self.dv
+            if self.dv_rows:
+                entry["dv_rows"] = self.dv_rows
             if self.constraints:
                 entry["constraints"] = self.constraints
             if self.schema_updates:
@@ -879,7 +915,8 @@ def _next_seq(log_dir: str) -> int:
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str,
                  checkpoint_interval: int = 32,
-                 expire_keep: int | None = None):
+                 expire_keep: int | None = None,
+                 dv_max_rows_total: int | None = 500_000):
         """``checkpoint_interval``: every N commits the committer folds
         the replayed log state (file set + stats + retention per table)
         into one ``<seq>.checkpoint.json`` — readers then replay
@@ -897,13 +934,24 @@ class Warehouse:
         default because expiry narrows time travel (``read_at`` below
         the horizon raises ``SnapshotExpired``); pick a value larger
         than any consumer's restart lag (a tailing stream whose offset
-        falls behind the horizon must re-snapshot)."""
+        falls behind the horizon must re-snapshot).
+
+        ``dv_max_rows_total``: GLOBAL per-table deletion-vector budget
+        (the per-commit ``dv_max_rows`` bounds one DML's sidecar; N
+        successive dv commits before a compact would still accumulate
+        an N× union that every read of covered files broadcasts). A dv
+        DML that pushes the table's LIVE dv rows past this budget
+        auto-folds afterwards (``fold_dv``: rewrite just the covered
+        files, vectors leave the map), so the per-read broadcast stays
+        bounded by construction. None disables (caller owns the
+        risk)."""
         self.spark = spark
         self.root = root
         self.checkpoint_interval = checkpoint_interval
         if expire_keep is not None and expire_keep < 1:
             raise ValueError("expire_keep must be >= 1 (or None)")
         self.expire_keep = expire_keep
+        self.dv_max_rows_total = dv_max_rows_total
         self._active_txn: Transaction | None = None
         # entries/checkpoints are immutable once linked -> plain caches,
         # but BOUNDED: a long-lived reader over a microbatch-commit log
@@ -912,6 +960,12 @@ class Warehouse:
             collections.OrderedDict()
         )
         self._ckpt_cache: "collections.OrderedDict[int, dict]" = (
+            collections.OrderedDict()
+        )
+        # lazily-loaded checkpoint stats SIDECARS (path -> {table:
+        # {rel: stats}}): only stats consumers (pruning, count_rows,
+        # checkpoint folds) pay the parse; plain replay never does
+        self._ckpt_stats_cache: "collections.OrderedDict[str, dict]" = (
             collections.OrderedDict()
         )
         # (latest_entry_seq, replayed state) for at=None reads: repeat
@@ -1003,6 +1057,51 @@ class Warehouse:
             self._ckpt_cache.popitem(last=False)
         return ck
 
+    def _ckpt_stats_path(self, seq: int) -> str:
+        return os.path.join(self._manifest_dir(),
+                            f"{seq:09d}.checkpoint.stats.parquet")
+
+    _CKPT_STATS_CACHE_MAX = 2
+
+    def _ckpt_stats(self, path: str) -> dict:
+        """Per-file stats of a checkpoint's columnar sidecar, parsed
+        lazily (driver-side pyarrow — one binary file, no Spark job,
+        no O(files) JSON) and cached. Unreadable sidecar degrades to
+        {}: stats are an optimization (pruning sharpness, metadata
+        counts fall back to real reads), never a correctness
+        dependency."""
+        cached = self._ckpt_stats_cache.get(path)
+        if cached is not None:
+            self._ckpt_stats_cache.move_to_end(path)
+            return cached
+        out: dict = {}
+        try:
+            import pyarrow.parquet as pq
+
+            tb = pq.read_table(path)
+            for t, rel, sj in zip(tb.column("table").to_pylist(),
+                                  tb.column("rel").to_pylist(),
+                                  tb.column("stats").to_pylist()):
+                out.setdefault(t, {})[rel] = json.loads(sj)
+        except Exception:  # noqa: BLE001 — degrade to no stats
+            out = {}
+        self._ckpt_stats_cache[path] = out
+        while len(self._ckpt_stats_cache) > self._CKPT_STATS_CACHE_MAX:
+            self._ckpt_stats_cache.popitem(last=False)
+        return out
+
+    def _merged_stats(self, state: dict, table: str) -> dict:
+        """The table's full per-file stats as of ``state``: the loaded
+        checkpoint's sidecar (lazy) overlaid with the entry-suffix
+        deltas. May contain relpaths no longer in the live manifest
+        (append-only channel) — callers filter by liveness."""
+        out: dict = {}
+        spath = state.get("stats_ckpt")
+        if spath:
+            out.update(self._ckpt_stats(spath).get(table, {}))
+        out.update(state["stats"].get(table, {}))
+        return out
+
     def _invalidate_state(self) -> None:
         self._state_cache = None
 
@@ -1011,11 +1110,21 @@ class Warehouse:
         appends = set(entry.get("append_tables", []))
         pb = entry.get("partition_by", {})
         dv = entry.get("dv", {})
+        dvr = entry.get("dv_rows", {})
         for table, files in entry.get("tables", {}).items():
             s = entry.get("stats", {}).get(table, {})
             if entry.get("op") == "replace" and table not in appends:
                 state["tables"][table] = list(files)
-                state["stats"][table] = dict(s)
+                # stats are APPEND-ONLY state: a relpath's stats never
+                # change (data files are immutable), so a replace only
+                # OVERLAYS the stats it carries for its new files —
+                # files it carried forward keep their previously-known
+                # stats without the entry restating them (the manifest
+                # scale-out: a DML replace entry is O(files touched)
+                # JSON, not O(table)). Stats of files that left the
+                # manifest linger until the next checkpoint filters to
+                # live files; every consumer looks up by live relpath.
+                state["stats"].setdefault(table, {}).update(s)
                 # a replace REWRITES the layout: the spec it recorded is
                 # the table's layout now; none recorded = flat rewrite
                 if table in pb:
@@ -1031,6 +1140,10 @@ class Warehouse:
                     }
                 else:
                     state["dv"].pop(table, None)
+                if table in dvr:
+                    state["dv_rows"][table] = dict(dvr[table])
+                else:
+                    state["dv_rows"].pop(table, None)
                 if entry.get("vacuum"):
                     state["retention"][table] = seq
             else:
@@ -1042,6 +1155,9 @@ class Warehouse:
                     state["dv"].setdefault(table, {}).update(
                         {k: list(v) for k, v in dv[table].items()}
                     )
+                if table in dvr:
+                    state["dv_rows"].setdefault(table, {}).update(
+                        dvr[table])
         # constraints are TABLE METADATA, not file-set state: applied in
         # log order on a channel of their own, never reset by replaces
         # (a compact/cluster/DML rewrite keeps the table's constraints)
@@ -1084,28 +1200,46 @@ class Warehouse:
                     self._state_cache[0] == head:
                 return self._state_cache[1]
             state: dict = {"tables": {}, "stats": {}, "retention": {},
-                           "partition_by": {}, "dv": {},
+                           "partition_by": {}, "dv": {}, "dv_rows": {},
                            "constraints": {}, "schema": {},
-                           "bloom_cols": {}}
+                           "bloom_cols": {}, "stats_ckpt": None}
             start = 0
             for cseq in reversed(ckpt_seqs):
                 ck = self._load_checkpoint(cseq)
-                if ck is not None:
-                    state = {
-                        "tables": {t: list(v) for t, v in ck.get("tables", {}).items()},
-                        "stats": {t: dict(v) for t, v in ck.get("stats", {}).items()},
-                        "retention": dict(ck.get("retention", {})),
-                        "partition_by": {t: list(v) for t, v in
-                                         ck.get("partition_by", {}).items()},
-                        "dv": {t: {k: list(f) for k, f in v.items()}
-                               for t, v in ck.get("dv", {}).items()},
-                        "constraints": {t: dict(v) for t, v in
-                                        ck.get("constraints", {}).items()},
-                        "schema": dict(ck.get("schema", {})),
-                        "bloom_cols": dict(ck.get("bloom_cols", {})),
-                    }
-                    start = cseq
-                    break
+                if ck is None:
+                    continue
+                if ck.get("stats_file"):
+                    # per-file stats live in a columnar SIDECAR beside
+                    # the JSON checkpoint (loaded LAZILY, only by stats
+                    # consumers — replay itself stays O(suffix) JSON).
+                    # A checkpoint whose sidecar is missing (torn
+                    # write) is unusable: fall back to an older one.
+                    spath = self._ckpt_stats_path(cseq)
+                    if not os.path.isfile(spath):
+                        continue
+                    base_stats: dict = {}
+                else:  # legacy checkpoint: stats inline in the JSON
+                    spath = None
+                    base_stats = {t: dict(v)
+                                  for t, v in ck.get("stats", {}).items()}
+                state = {
+                    "tables": {t: list(v) for t, v in ck.get("tables", {}).items()},
+                    "stats": base_stats,
+                    "retention": dict(ck.get("retention", {})),
+                    "partition_by": {t: list(v) for t, v in
+                                     ck.get("partition_by", {}).items()},
+                    "dv": {t: {k: list(f) for k, f in v.items()}
+                           for t, v in ck.get("dv", {}).items()},
+                    "dv_rows": {t: dict(v) for t, v in
+                                ck.get("dv_rows", {}).items()},
+                    "constraints": {t: dict(v) for t, v in
+                                    ck.get("constraints", {}).items()},
+                    "schema": dict(ck.get("schema", {})),
+                    "bloom_cols": dict(ck.get("bloom_cols", {})),
+                    "stats_ckpt": spath,
+                }
+                start = cseq
+                break
             parsed = 0
             missing = None
             for seq in entry_seqs:
@@ -1144,11 +1278,21 @@ class Warehouse:
 
     def write_checkpoint(self, seq: int | None = None) -> int | None:
         """Write ``<seq>.checkpoint.json``: the full replayed state
-        (file set + stats + retention per table) as of commit ``seq``
-        (default: the log head). Atomic (tmp + rename) and DETERMINISTIC
-        from the log prefix, so two committers racing to checkpoint the
-        same seq write identical content — last rename wins harmlessly.
-        Returns the checkpointed seq, or None for an empty log."""
+        (file set + retention per table) as of commit ``seq`` (default:
+        the log head). Per-file STATS (min/max, ``__rows``, bloom
+        bitsets) go to a columnar SIDECAR
+        (``<seq>.checkpoint.stats.parquet``, filtered to live files) —
+        at 100× file counts, inline-JSON stats would make the
+        checkpoint itself the metadata bottleneck (the Delta
+        checkpoint-parquet / Iceberg manifest-file shape), and replay
+        should never parse stats it isn't asked for. The sidecar lands
+        BEFORE the JSON rename, so a visible checkpoint always has its
+        sidecar; a crash in between leaves an unreferenced sidecar a
+        later same-seq checkpoint overwrites. Atomic (tmp + rename) and
+        DETERMINISTIC from the log prefix, so two committers racing to
+        checkpoint the same seq write identical content — last rename
+        wins harmlessly. Returns the checkpointed seq, or None for an
+        empty log."""
         entry_seqs, _ = self._list_log()
         if not entry_seqs:
             return None
@@ -1156,7 +1300,30 @@ class Warehouse:
             seq = entry_seqs[-1]
         state = self._replay_state(at=seq)
         d = self._manifest_dir()
-        ck = {"seq": seq, **state}
+        # materialize live stats -> sidecar rows (sorted: deterministic)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tcol, rcol, scol = [], [], []
+        for t in sorted(state["tables"]):
+            merged = self._merged_stats(state, t)
+            for rel in sorted(state["tables"][t]):
+                s = merged.get(rel)
+                if s is not None:
+                    tcol.append(t)
+                    rcol.append(rel)
+                    scol.append(json.dumps(s, sort_keys=True))
+        stats_tb = pa.table({
+            "table": pa.array(tcol, type=pa.string()),
+            "rel": pa.array(rcol, type=pa.string()),
+            "stats": pa.array(scol, type=pa.string()),
+        })
+        stmp = os.path.join(d, f".ckpt-stats-tmp-{uuid.uuid4().hex[:8]}")
+        pq.write_table(stats_tb, stmp)
+        os.replace(stmp, self._ckpt_stats_path(seq))
+        ck = {"seq": seq, "stats_file": True,
+              **{k: v for k, v in state.items()
+                 if k not in ("stats", "stats_ckpt")}}
         tmp = os.path.join(d, f".ckpt-tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(ck, f)
@@ -1228,6 +1395,8 @@ class Warehouse:
             if cseq < horizon:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(d, f"{cseq:09d}.checkpoint.json"))
+                with contextlib.suppress(OSError):
+                    os.remove(self._ckpt_stats_path(cseq))
         self._invalidate_state()
         self._entry_cache.clear()
         return removed
@@ -1242,10 +1411,33 @@ class Warehouse:
         files = self._replay_state(at)["tables"].get(table.lower())
         return None if files is None else list(files)
 
+    def _prune_physical(self, table: str, prune: dict | None,
+                        at: int | None = None) -> dict | None:
+        """Prune bounds re-keyed by PHYSICAL column names: footer stats
+        and bloom bitsets record the physical parquet names, while
+        predicates (and the bounds derived from them) speak logical
+        names. Identity for tables without a rename/re-add mapping."""
+        if not prune:
+            return prune
+        _, phys, _ = self._schema_meta(table, at=at)
+        if not phys:
+            return prune
+        return {phys.get(c.lower(), c): b for c, b in prune.items()}
+
     def _manifest_stats(self, table: str, at: int | None = None) -> dict:
         """Merged per-file column stats for a tracked table, mirroring
-        ``_manifest_files``'s replay (a replace entry resets the map)."""
-        return dict(self._replay_state(at)["stats"].get(table.lower(), {}))
+        ``_manifest_files``'s replay: checkpoint sidecar (lazy) +
+        entry-suffix deltas, filtered to the LIVE manifest (the stats
+        channel is append-only; files that left the manifest leave
+        their stats behind until a checkpoint folds them away)."""
+        state = self._replay_state(at)
+        t = table.lower()
+        merged = self._merged_stats(state, t)
+        mf = state["tables"].get(t)
+        if mf is None:
+            return merged
+        live = set(mf)
+        return {r: s for r, s in merged.items() if r in live}
 
     def min_readable_seq(self, table: str) -> int:
         """Oldest sequence number whose snapshot of ``table`` is still
@@ -1259,6 +1451,124 @@ class Warehouse:
         rels]}`` as of commit ``at`` (None = head). Empty for tables
         without merge-on-read deletes."""
         return self._replay_state(at=at)["dv"].get(table.lower(), {})
+
+    def live_dv_rows(self, table: str) -> int:
+        """Total rows across the table's LIVE deletion-vector sidecars
+        — the aggregate a read of fully-covered files would broadcast.
+        Replay-state sum (``dv_rows`` channel); sidecars recorded by
+        pre-round-11 commits fall back to one driver-side parquet
+        footer stat each."""
+        table = table.lower()
+        state = self._replay_state()
+        dv_map = state["dv"].get(table, {})
+        if not dv_map:
+            return 0
+        known = state["dv_rows"].get(table, {})
+        total = 0
+        p = self._path(table)
+        for dv_rel in dv_map:
+            n = known.get(dv_rel)
+            if n is None:
+                try:
+                    import pyarrow.parquet as pq
+
+                    n = pq.ParquetFile(
+                        os.path.join(p, dv_rel)).metadata.num_rows
+                except Exception:  # noqa: BLE001 — budget check only
+                    n = 0
+            total += int(n)
+        return total
+
+    def _carry_dv_rows(self, table: str, txn: "Transaction",
+                       new_dv: dict, extra: dict | None = None) -> None:
+        """Record the ``dv_rows`` companion of ``txn.dv[table]``:
+        surviving entries keep their known counts, ``extra`` adds the
+        counts of sidecars THIS commit writes."""
+        known = self._replay_state()["dv_rows"].get(table.lower(), {})
+        rows = {k: known[k] for k in new_dv if k in known}
+        if extra:
+            rows.update(extra)
+        if rows:
+            txn.dv_rows[table.lower()] = rows
+
+    def _maybe_fold_dv(self, table: str) -> None:
+        """Enforce the global dv budget after a dv DML landed: past
+        ``dv_max_rows_total`` live rows, fold the vectors physically
+        (one targeted rewrite of just the covered files) so no future
+        read broadcasts an over-budget union."""
+        if self.dv_max_rows_total is None:
+            return
+        total = self.live_dv_rows(table)
+        if total > self.dv_max_rows_total:
+            warnings.warn(
+                f"table {table!r} accumulated {total} live deletion-"
+                f"vector rows > dv_max_rows_total="
+                f"{self.dv_max_rows_total}; auto-folding the covered "
+                "files (fold_dv) so reads stop broadcasting the union",
+                stacklevel=3,
+            )
+            self.fold_dv(table)
+
+    def fold_dv(self, table: str) -> int:
+        """Fold the table's live deletion vectors physically: rewrite
+        ONLY the dv-covered data files with their vectors applied, as
+        one vacuum replace commit — every uncovered file carries
+        verbatim (stats carry forward), the folded vectors leave the
+        dv map, and their sidecar files are reclaimed. The targeted
+        sibling of ``compact()`` (which also folds but rewrites whole
+        partitions): a 100 TB table with vectors on 0.1% of its files
+        rewrites 0.1%, not a partition. File maintenance: advances the
+        time-travel retention boundary exactly like compaction.
+        Returns the number of data files rewritten (0 = no live dvs)."""
+        table = table.lower()
+        if self._manifest_files(table) is None:
+            raise ValueError(f"fold_dv: {table} is not commit-log tracked")
+        for attempt in range(3):
+            self._invalidate_state()
+            base_seq = self._latest_seq()
+            mf = list(self._manifest_files(table) or [])
+            dv_map = self._dv_state(table)
+            live = set(mf)
+            covered = sorted({r for cov in dv_map.values()
+                              for r in cov if r in live})
+            if not covered:
+                return 0
+            untouched = [r for r in mf if r not in set(covered)]
+
+            def _build(rs: list[str]) -> DataFrame:
+                return self._tracked_read(table, rs)
+
+            df = self._dv_split_read(_build, table, dv_map, covered)
+            part_cols = self._rewrite_part_cols(table, df)
+            txn = Transaction(self)
+            txn.replace = True
+            txn.base_seq = base_seq
+            txn.vacuum = True  # superseded files deleted below
+            txn.append(df, table, partition_by=part_cols or None)
+            if untouched:
+                txn.pending[table] = untouched + txn.pending[table]
+            survivors = self._dv_survivors(dv_map, set(covered))
+            if survivors:  # a dv covering files outside the manifest
+                txn.dv[table] = survivors
+                self._carry_dv_rows(table, txn, survivors)
+            try:
+                txn.commit()
+            except CommitConflict:
+                if attempt == 2:
+                    raise
+                self.vacuum_orphans(table)
+                continue
+            table_dir = self._path(table)
+            for rel in covered:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(table_dir, rel))
+            for dv_rel in set(dv_map) - set(survivors):
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(table_dir, dv_rel))
+            with contextlib.suppress(Exception):
+                self.write_checkpoint()
+            return len(covered)
+        return 0
 
     def _dv_apply(self, df: DataFrame, table: str, dv_map: dict,
                   rels: list[str],
@@ -1395,16 +1705,47 @@ class Warehouse:
                     keys.append(k)
         return keys
 
-    def _declared_schema(self, table: str,
-                         at: int | None = None) -> T.StructType | None:
-        """The table's DECLARED schema (recorded by ``add_columns`` —
-        the ALTER TABLE ADD COLUMNS channel), replayed as of ``at``.
-        None for tables that never evolved: their schema is whatever
-        the parquet footers say, exactly as before."""
+    def _schema_meta(self, table: str, at: int | None = None
+                     ) -> tuple[T.StructType | None, dict, set]:
+        """The table's declared-schema metadata, replayed as of ``at``:
+        ``(declared StructType | None, phys, retired)``.
+
+        ``phys`` maps LOGICAL column name (lowercased) to the PHYSICAL
+        parquet column it reads from — the Delta column-mapping analog
+        that makes DROP/RENAME COLUMN metadata-only. A rename never
+        changes the physical name (old files keep reading); re-adding
+        a previously-dropped name binds a FRESH physical name so old
+        files' stale bytes (possibly a different type) stay invisible.
+        ``retired`` is the set of physical names (lowercased) ever
+        vacated by a drop — reserved forever against re-binding.
+
+        Payload format: legacy entries are a raw StructType JSON;
+        round-11+ entries wrap it as ``{"v": 2, "schema": ...,
+        "phys": {...}, "retired": [...]}``."""
         j = self._replay_state(at=at).get("schema", {}).get(table.lower())
         if not j:
-            return None
-        return T.StructType.fromJson(json.loads(j))
+            return None, {}, set()
+        payload = json.loads(j)
+        if payload.get("v") == 2:
+            return (T.StructType.fromJson(payload["schema"]),
+                    dict(payload.get("phys", {})),
+                    set(payload.get("retired", [])))
+        return T.StructType.fromJson(payload), {}, set()
+
+    @staticmethod
+    def _schema_meta_json(decl: T.StructType, phys: dict,
+                          retired: set) -> str:
+        return json.dumps({"v": 2, "schema": json.loads(decl.json()),
+                           "phys": dict(sorted(phys.items())),
+                           "retired": sorted(retired)})
+
+    def _declared_schema(self, table: str,
+                         at: int | None = None) -> T.StructType | None:
+        """The table's DECLARED schema (recorded by ``add_columns`` /
+        ``drop_column`` / ``rename_column``), replayed as of ``at``.
+        None for tables that never evolved: their schema is whatever
+        the parquet footers say, exactly as before."""
+        return self._schema_meta(table, at=at)[0]
 
     def _tracked_read(self, table: str, rels: list[str],
                       at: int | None = None,
@@ -1416,11 +1757,25 @@ class Warehouse:
         with typed NULLs, and NO footer-merge job runs — the Delta
         read-the-schema-from-the-log contract, which also keeps every
         maintenance rewrite (compact / cluster / DML) from silently
-        dropping a column only the newest files carry."""
+        dropping a column only the newest files carry. Columns with a
+        physical-name mapping (RENAME / re-add after DROP) scan under
+        their PHYSICAL name and alias back to the logical one — one
+        projection, no data movement."""
         p = self._path(table)
         reader = self.spark.read
-        decl = self._declared_schema(table, at=at)
+        decl, phys, _ = self._schema_meta(table, at=at)
         if decl is not None:
+            if phys:
+                physical = T.StructType([
+                    T.StructField(phys.get(f.name.lower(), f.name),
+                                  f.dataType, f.nullable)
+                    for f in decl.fields])
+                df = reader.schema(physical).option(
+                    "basePath", p).parquet(
+                        *[os.path.join(p, r) for r in rels])
+                return df.select(*[
+                    F.col(phys.get(f.name.lower(), f.name)).alias(f.name)
+                    for f in decl.fields])
             reader = reader.schema(decl)
         elif merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -1438,18 +1793,11 @@ class Warehouse:
         replays the OLD schema. Rejects duplicates of existing
         columns."""
         table = table.lower()
-        decl = self._declared_schema(table)
-        if decl is None:
-            if not self.exists(table):
-                raise FileNotFoundError(
-                    f"add_columns: table {table!r} does not exist")
-            # merge_schema: the pre-declaration baseline must UNION all
-            # footers — a table that previously evolved additively via
-            # merge_schema appends would otherwise declare one footer's
-            # (possibly narrower) schema and permanently hide the
-            # columns only newer files carry
-            decl = self.read(table, merge_schema=True).schema
+        decl, phys, retired = self._baseline_schema_meta(
+            table, "add_columns")
         have = {f.name.lower() for f in decl.fields}
+        used_phys = {phys.get(f.name.lower(), f.name).lower()
+                     for f in decl.fields} | retired
         fields = list(decl.fields)
         for name, typ in cols.items():
             if name.lower() in have:
@@ -1459,17 +1807,135 @@ class Warehouse:
             if name.startswith(("_", ".")):
                 raise ValueError(
                     f"add_columns: {name!r} is a reserved/hidden name")
+            if name.lower() in used_phys:
+                # the name's PHYSICAL slot is taken (a dropped column's
+                # old bytes, or another column renamed onto it): bind a
+                # fresh physical name so old files' stale bytes —
+                # possibly a different type — stay invisible (the Delta
+                # column-mapping re-add contract)
+                pname = f"{name}__r{uuid.uuid4().hex[:6]}"
+                phys[name.lower()] = pname
+                used_phys.add(pname.lower())
+            else:
+                used_phys.add(name.lower())
             fields.append(T.StructField(
                 name, T._parse_datatype_string(typ), True))
             have.add(name.lower())
-        new_schema = T.StructType(fields)
+        self._commit_schema_meta(table, T.StructType(fields), phys,
+                                 retired)
+
+    def drop_column(self, table: str, col: str) -> None:
+        """``ALTER TABLE table DROP COLUMN col`` — metadata-ONLY (the
+        Delta column-mapping contract): the declared schema loses the
+        column, reads stop projecting it, NO file is rewritten. The
+        vacated physical name is retired forever: a later add_columns
+        of the same name binds a fresh physical name, so the old
+        files' bytes (possibly a different type) can never leak into
+        the re-added column. Time travel below this commit reads the
+        old shape. Refused for partition columns (physical layout),
+        columns referenced by a live CHECK constraint, and bloom-
+        indexed columns — drop those dependencies first."""
+        table, col = table.lower(), col.lower()
+        decl, phys, retired = self._baseline_schema_meta(
+            table, "drop_column")
+        if col not in {f.name.lower() for f in decl.fields}:
+            raise ValueError(
+                f"drop_column: {col!r} is not a column of {table!r}")
+        self._guard_column_dependencies(table, col, "drop_column")
+        fields = [f for f in decl.fields if f.name.lower() != col]
+        if not fields:
+            raise ValueError(
+                f"drop_column: cannot drop {table!r}'s last column")
+        retired = set(retired) | {phys.get(col, col).lower()}
+        phys.pop(col, None)
+        self._commit_schema_meta(table, T.StructType(fields), phys,
+                                 retired)
+
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """``ALTER TABLE table RENAME COLUMN old TO new`` — metadata-
+        ONLY: the physical parquet name never changes (old files keep
+        reading; new appends keep writing it), only the logical name
+        in the declared schema moves. Same dependency guards as
+        ``drop_column``."""
+        table = table.lower()
+        decl, phys, retired = self._baseline_schema_meta(
+            table, "rename_column")
+        names = {f.name.lower() for f in decl.fields}
+        ol, nl = old.lower(), new.lower()
+        if ol not in names:
+            raise ValueError(
+                f"rename_column: {old!r} is not a column of {table!r}")
+        if nl in names:
+            raise ValueError(
+                f"rename_column: {new!r} already exists on {table!r}")
+        if new.startswith(("_", ".")):
+            raise ValueError(
+                f"rename_column: {new!r} is a reserved/hidden name")
+        self._guard_column_dependencies(table, ol, "rename_column")
+        pname = phys.pop(ol, None) or next(
+            f.name for f in decl.fields if f.name.lower() == ol)
+        if pname.lower() != nl:
+            phys[nl] = pname
+        fields = [T.StructField(new, f.dataType, f.nullable)
+                  if f.name.lower() == ol else f for f in decl.fields]
+        self._commit_schema_meta(table, T.StructType(fields), phys,
+                                 set(retired))
+
+    def _baseline_schema_meta(self, table: str, op: str
+                              ) -> tuple[T.StructType, dict, set]:
+        """Current declared-schema metadata, declaring the table first
+        if it never evolved (baseline = the UNION of all footers — a
+        table that evolved additively via merge_schema appends must
+        not lose the columns only newer files carry)."""
+        decl, phys, retired = self._schema_meta(table)
+        if decl is None:
+            if not self.exists(table):
+                raise FileNotFoundError(
+                    f"{op}: table {table!r} does not exist")
+            decl = self.read(table, merge_schema=True).schema
+        return decl, dict(phys), set(retired)
+
+    def _guard_column_dependencies(self, table: str, col: str,
+                                   op: str) -> None:
+        """Refuse dropping/renaming a column the table's layout or
+        metadata depends on: partition columns (they live in relpaths),
+        CHECK constraints referencing it (conservative word match),
+        and bloom-indexed columns (bitsets are keyed by name)."""
+        if col in {c.lower() for c in self.table_partition_by(table)}:
+            raise ValueError(
+                f"{op}: {col!r} is a hive partition column of "
+                f"{table!r} — the physical layout depends on it")
+        pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+        hit = [n for n, sql in self.table_constraints(table).items()
+               if pat.search(sql)]
+        if hit:
+            raise ValueError(
+                f"{op}: {col!r} is referenced by CHECK constraint(s) "
+                f"{hit} on {table!r} — drop them first")
+        cfg = self.table_bloom_filter(table)
+        if cfg and col in {c.lower() for c in cfg["cols"]}:
+            raise ValueError(
+                f"{op}: {col!r} is a bloom-indexed column of {table!r}"
+                " — reconfigure set_bloom_filter without it first")
+        if self._dv_state(table):
+            # a live deletion-vector sidecar persists the rows under
+            # their CURRENT column names: renaming/dropping under it
+            # would shrink the anti-join's shared-column match set and
+            # over-delete rows that differ only in the moved column
+            raise ValueError(
+                f"{op}: {table!r} has live merge-on-read deletion "
+                "vectors — fold_dv()/compact() them first")
+
+    def _commit_schema_meta(self, table: str, decl: T.StructType,
+                            phys: dict, retired: set) -> None:
         txn = self.begin()
         try:
             txn.enforce_constraints = False  # metadata-only commit
             if self._manifest_files(table) is None:
                 # adopt a legacy table (same contract as add_constraint)
                 txn.pending[table] = _data_files(self._path(table))
-            txn.schema_updates = {table: new_schema.json()}
+            txn.schema_updates = {
+                table: self._schema_meta_json(decl, phys, retired)}
             txn.commit()
         except BaseException:
             if not txn._done:
@@ -1539,6 +2005,15 @@ class Warehouse:
         if missing:
             raise ValueError(
                 f"set_bloom_filter: {missing} not columns of {table!r}")
+        _, physmap, _ = self._schema_meta(table)
+        mapped = [c for c in cols
+                  if physmap.get(c.lower(), c).lower() != c.lower()]
+        if mapped:
+            raise ValueError(
+                f"set_bloom_filter: {mapped} carry a physical-name "
+                f"mapping (renamed / re-added after drop) — bitsets "
+                "are keyed by physical name; bloom-index such columns "
+                "before renaming, not after")
         prev = self._replay_state().get("bloom_cols", {}).get(table)
         if prev and (int(prev["m"]) != int(m) or int(prev["k"]) != int(k)):
             # existing files' bitsets were built under (prev m, prev k);
@@ -2133,10 +2608,11 @@ class Warehouse:
                 # still applies its own row filter — pruning is a
                 # strict superset contract, never a row filter
                 stats = self._manifest_stats(table)
-                bpos = self._bloom_positions(table, prune)
+                pprune = self._prune_physical(table, prune)
+                bpos = self._bloom_positions(table, pprune)
                 rels = [
                     rel for rel in rels
-                    if _file_may_match(rel, stats.get(rel), prune, bpos)
+                    if _file_may_match(rel, stats.get(rel), pprune, bpos)
                 ]
                 if not rels:
                     # every file skipped: empty frame with the table's
@@ -2296,16 +2772,14 @@ class Warehouse:
                     txn.append(df.coalesce(target_files_per_partition), table)
                 if untouched:
                     # carry the unrewritten partitions into the new
-                    # manifest: files verbatim, stats preserved
+                    # manifest: files verbatim — their stats carry
+                    # FORWARD in replay (append-only stats channel),
+                    # the entry never restates them
                     txn.pending[table] = untouched + txn.pending[table]
-                    old_stats = self._manifest_stats(table)
-                    tstats = txn.stats.setdefault(table, {})
-                    for rel in untouched:
-                        if rel in old_stats:
-                            tstats[rel] = old_stats[rel]
                 survivors = self._dv_survivors(dv_map, set(selected))
                 if survivors:
                     txn.dv[table] = survivors
+                    self._carry_dv_rows(table, txn, survivors)
                 try:
                     txn.commit()
                 except CommitConflict:
@@ -2647,6 +3121,9 @@ class Warehouse:
         dv = state_at["dv"].get(table)
         if dv:
             txn.dv[table] = {k: list(v) for k, v in dv.items()}
+            dvr = state_at.get("dv_rows", {}).get(table)
+            if dvr:
+                txn.dv_rows[table] = dict(dvr)
         txn.commit()
 
     def merge_table(self, table: str, changes: DataFrame, key: str,
@@ -2727,7 +3204,8 @@ class Warehouse:
                    target_alias: str = "target",
                    source_alias: str = "source",
                    mode: str = "rewrite",
-                   dv_max_rows: int | None = 100_000) -> dict:
+                   dv_max_rows: int | None = 100_000,
+                   schema_evolution: bool = False) -> dict:
         """Conditional multi-clause MERGE INTO ``table`` USING
         ``source`` ON equality of the ``on`` columns — the Delta
         ``WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE, WHEN NOT
@@ -2774,6 +3252,15 @@ class Warehouse:
         exactly as in ``delete_where`` (over the cap: eager rewrite +
         warning; None disables).
 
+        ``schema_evolution=True`` (the Delta ``withSchemaEvolution()``
+        analog): source columns the target lacks are DECLARED onto the
+        table in the SAME commit as the merged data — existing files
+        surface them as typed NULLs, clause outputs carry them
+        physically. A shared column whose source type conflicts with
+        the target's raises (cast the source explicitly); re-added
+        previously-dropped names bind fresh physical slots exactly as
+        ``add_columns`` does.
+
         Returns ``{"updated": n, "deleted": n, "inserted": n}``
         (all zero = no commit)."""
         from ..operators import merge as M
@@ -2797,6 +3284,51 @@ class Warehouse:
                 "the initial data instead of merging into nothing"
             )
         sidecar = (cdf_table or f"{table}__cdf").lower() if cdf else None
+        evolved_json, new_target_cols = None, []
+        if schema_evolution:
+            decl, physmap, retired = self._schema_meta(table)
+            if decl is None:
+                # first evolution declares the table (footer-union
+                # baseline, same contract as add_columns)
+                decl = self.read(table, merge_schema=True).schema
+                physmap, retired = {}, set()
+            declared = {f.name.lower(): f.dataType for f in decl.fields}
+            conflicts = []
+            new_fields = []
+            for f in source.schema.fields:
+                want = declared.get(f.name.lower())
+                if want is None:
+                    if not f.name.startswith(("_", ".")):
+                        new_fields.append(f)
+                elif want != f.dataType:
+                    conflicts.append(
+                        f"{f.name}: source {f.dataType.simpleString()} "
+                        f"vs target {want.simpleString()}")
+            if conflicts:
+                raise ValueError(
+                    "merge_when(schema_evolution=True): shared-column "
+                    f"type conflict(s) {conflicts} — cast the source "
+                    "explicitly; evolution only ADDS columns")
+            if new_fields:
+                physmap = dict(physmap)
+                used_phys = {physmap.get(f.name.lower(),
+                                         f.name).lower()
+                             for f in decl.fields} | set(retired)
+                for f in new_fields:
+                    if f.name.lower() in used_phys:
+                        pname = f"{f.name}__r{uuid.uuid4().hex[:6]}"
+                        physmap[f.name.lower()] = pname
+                        used_phys.add(pname.lower())
+                    else:
+                        used_phys.add(f.name.lower())
+                evolved = T.StructType(
+                    list(decl.fields) + [
+                        T.StructField(f.name, f.dataType, True)
+                        for f in new_fields])
+                evolved_json = self._schema_meta_json(
+                    evolved, physmap, set(retired))
+                new_target_cols = [(f.name, f.dataType)
+                                   for f in new_fields]
         # source ON-key bounds: a NECESSARY prune (any matched target
         # row shares its key with a source row, so it lies in bounds)
         aggs = []
@@ -2837,10 +3369,11 @@ class Warehouse:
             def _build(rs: list[str]) -> DataFrame:
                 return self._tracked_read(table, rs)
 
-            bpos = self._bloom_positions(table, prune)
+            pprune = self._prune_physical(table, prune)
+            bpos = self._bloom_positions(table, pprune)
             cand = mf if nmbs or not prune else [
                 r for r in mf
-                if _file_may_match(r, stats.get(r), prune, bpos)]
+                if _file_may_match(r, stats.get(r), pprune, bpos)]
             key_files: list[str] = []
             if cand:
                 if nmbs:
@@ -2881,6 +3414,12 @@ class Warehouse:
                 # correctly-typed target side (newest file's schema)
                 target_df = _build(mf[-1:]).limit(0).withColumn(
                     "_src", _basename_col())
+            for name, dtype in new_target_cols:
+                # schema evolution: the target side surfaces the new
+                # columns as typed NULLs so every clause can reference
+                # target.<col> and the projection carries them
+                target_df = target_df.withColumn(
+                    name, F.lit(None).cast(dtype))
             if has_dups and target_df.join(
                     dup_keys, on, "left_semi").limit(1).count():
                 raise ValueError(
@@ -2935,21 +3474,26 @@ class Warehouse:
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
+                if evolved_json is not None:
+                    # declare the evolved schema IN THIS commit: the
+                    # append below validates against it (pending
+                    # schema), and readers see declaration + data move
+                    # atomically (Delta withSchemaEvolution)
+                    txn.schema_updates = {table: evolved_json}
                 txn.append(out, table, partition_by=part_cols or None)
                 if eff_mode == "dv" and rewrite_needed:
                     # nothing rewritten: EVERY existing file carries
-                    # verbatim (stats included), preimages of changed
-                    # rows go to a dv sidecar covering exactly the
-                    # files they came from; existing dv entries survive
+                    # verbatim (stats carry forward in replay — the
+                    # entry stays O(files touched)), preimages of
+                    # changed rows go to a dv sidecar covering exactly
+                    # the files they came from; existing dv entries
+                    # survive
                     txn.pending[table] = list(mf) + txn.pending[table]
-                    tstats = txn.stats.setdefault(table, {})
-                    for rel in mf:
-                        if rel in stats:
-                            tstats[rel] = stats[rel]
                     pb = self.table_partition_by(table)
                     if pb:
                         txn.partition_by[table] = pb
                     new_dv = {k: list(v) for k, v in dv_map.items()}
+                    new_dv_rows = None
                     if n_upd + n_del:
                         changed = tagged.where(act.isin(
                             plan.update_tags + plan.delete_tags))
@@ -2964,19 +3508,19 @@ class Warehouse:
                         new_dv[dv_rel] = sorted(
                             r for r in touched
                             if os.path.basename(r) in hit)
+                        new_dv_rows = {dv_rel: n_upd + n_del}
                     if new_dv:
                         txn.dv[table] = new_dv
+                        self._carry_dv_rows(table, txn, new_dv,
+                                            new_dv_rows)
                 else:
                     untouched = [r for r in mf if r not in set(touched)]
                     if untouched:
                         txn.pending[table] = untouched + txn.pending[table]
-                        tstats = txn.stats.setdefault(table, {})
-                        for rel in untouched:
-                            if rel in stats:
-                                tstats[rel] = stats[rel]
                     survivors = self._dv_survivors(dv_map, set(touched))
                     if survivors:
                         txn.dv[table] = survivors
+                        self._carry_dv_rows(table, txn, survivors)
                 if sidecar:
                     txn.append_only.add(sidecar)
                     act = F.col(M._ACT)
@@ -3002,6 +3546,8 @@ class Warehouse:
                                sidecar)
                 try:
                     txn.commit()
+                    if eff_mode == "dv":
+                        self._maybe_fold_dv(table)
                     return {"updated": n_upd, "deleted": n_del,
                             "inserted": n_ins}
                 except CommitConflict:
@@ -3130,9 +3676,10 @@ class Warehouse:
             stats = self._manifest_stats(table)
             dv_map = self._dv_state(table)
             if prune:
-                bpos = self._bloom_positions(table, prune)
+                pprune = self._prune_physical(table, prune)
+                bpos = self._bloom_positions(table, pprune)
                 cand = [r for r in mf
-                        if _file_may_match(r, stats.get(r), prune, bpos)]
+                        if _file_may_match(r, stats.get(r), pprune, bpos)]
             else:
                 cand = mf
             if not cand:
@@ -3180,14 +3727,13 @@ class Warehouse:
                 if eff_mode == "dv":
                     dv_rel = self._write_dv_file(table, doomed, txn)
                     txn.pending[table] = list(mf)
-                    if stats:
-                        txn.stats[table] = dict(stats)
                     pb = self.table_partition_by(table)
                     if pb:
                         txn.partition_by[table] = pb
                     new_dv = {k: list(v) for k, v in dv_map.items()}
                     new_dv[dv_rel] = sorted(cand)
                     txn.dv[table] = new_dv
+                    self._carry_dv_rows(table, txn, new_dv, {dv_rel: n})
                 else:
                     kept = live.where(~matches).drop("_src")
                     part_cols = self._rewrite_part_cols(table, df)
@@ -3195,13 +3741,10 @@ class Warehouse:
                                partition_by=part_cols or None)
                     if untouched:
                         txn.pending[table] = untouched + txn.pending[table]
-                        tstats = txn.stats.setdefault(table, {})
-                        for rel in untouched:
-                            if rel in stats:
-                                tstats[rel] = stats[rel]
                     survivors = self._dv_survivors(dv_map, set(cand))
                     if survivors:
                         txn.dv[table] = survivors
+                        self._carry_dv_rows(table, txn, survivors)
                 if sidecar:
                     txn.append_only.add(sidecar)
                     feed = doomed.drop("_src").withColumn(
@@ -3210,6 +3753,8 @@ class Warehouse:
                     txn.append(feed, sidecar)
                 try:
                     txn.commit()
+                    if eff_mode == "dv":
+                        self._maybe_fold_dv(table)
                     return n
                 except CommitConflict:
                     if attempt == 2:
@@ -3273,9 +3818,10 @@ class Warehouse:
             mf = list(self._manifest_files(table) or [])
             stats = self._manifest_stats(table)
             dv_map = self._dv_state(table)
-            bpos = self._bloom_positions(table, prune) if prune else {}
+            pprune = self._prune_physical(table, prune)
+            bpos = self._bloom_positions(table, pprune) if prune else {}
             cand = [r for r in mf
-                    if _file_may_match(r, stats.get(r), prune, bpos)
+                    if _file_may_match(r, stats.get(r), pprune, bpos)
                     ] if prune else mf
             if not cand:
                 return 0
@@ -3336,30 +3882,25 @@ class Warehouse:
                     txn.append(post.drop("_src"), table,
                                partition_by=part_cols or None)
                     # new postimage files JOIN the untouched manifest
+                    # (whose stats carry forward in replay)
                     txn.pending[table] = list(mf) + txn.pending[table]
-                    tstats = txn.stats.setdefault(table, {})
-                    for rel in mf:
-                        if rel in stats:
-                            tstats[rel] = stats[rel]
                     pb = self.table_partition_by(table)
                     if pb:
                         txn.partition_by[table] = pb
                     new_dv = {k: list(v) for k, v in dv_map.items()}
                     new_dv[dv_rel] = sorted(cand)
                     txn.dv[table] = new_dv
+                    self._carry_dv_rows(table, txn, new_dv, {dv_rel: n})
                 else:
                     new_rows = live.where(~matches).unionByName(post)                         .drop("_src")
                     txn.append(new_rows, table,
                                partition_by=part_cols or None)
                     if untouched:
                         txn.pending[table] = untouched + txn.pending[table]
-                        tstats = txn.stats.setdefault(table, {})
-                        for rel in untouched:
-                            if rel in stats:
-                                tstats[rel] = stats[rel]
                     survivors = self._dv_survivors(dv_map, set(cand))
                     if survivors:
                         txn.dv[table] = survivors
+                        self._carry_dv_rows(table, txn, survivors)
                 if sidecar:
                     txn.append_only.add(sidecar)
                     feed = pre.drop("_src").withColumn(
@@ -3371,6 +3912,8 @@ class Warehouse:
                     txn.append(feed, sidecar)
                 try:
                     txn.commit()
+                    if eff_mode == "dv":
+                        self._maybe_fold_dv(table)
                     return n
                 except CommitConflict:
                     if attempt == 2:

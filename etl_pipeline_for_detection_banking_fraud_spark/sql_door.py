@@ -19,6 +19,9 @@ DELETE/UPDATE/MERGE/time travel required Python calls:
                                             ``drop_constraint``
 - ``ALTER TABLE t ADD COLUMNS (c TYPE, …)`` → ``add_columns``
   (declared-schema evolution; metadata-only)
+- ``ALTER TABLE t DROP COLUMN [IF EXISTS] c`` /
+  ``RENAME COLUMN a TO b``                 → ``drop_column`` /
+  ``rename_column`` (metadata-only column mapping)
 - ``SHOW TABLES`` / ``DESCRIBE [TABLE] t`` /
   ``DESCRIBE DETAIL t``                   → catalog metadata frames
 - ``OPTIMIZE t [ZORDER BY (a, b)]`` / ``VACUUM t`` /
@@ -439,6 +442,36 @@ def warehouse_sql(wh: Warehouse, stmt: str):
             cols[parts[0]] = str(c.dataType().simpleString())
         wh.add_columns(_ident(plan.table()), cols)
         return None
+    if kind == "DropColumns":
+        # ALTER TABLE t DROP COLUMN[S] [IF EXISTS] (a, b) — metadata-
+        # only column-mapping evolution (reads project away; the
+        # physical name is retired against re-binding)
+        table = _ident(plan.table())
+        if_exists = bool(plan.ifExists())
+        for fld in _seq(plan.columnsToDrop()):
+            parts = [str(x) for x in _seq(fld.name())]
+            if len(parts) != 1:
+                raise ValueError(
+                    f"DROP COLUMN: nested field {'.'.join(parts)!r} "
+                    "not supported")
+            try:
+                wh.drop_column(table, parts[0])
+            except ValueError as e:
+                if if_exists and "is not a column" in str(e):
+                    continue
+                raise
+        return None
+    if kind == "RenameColumn":
+        # ALTER TABLE t RENAME COLUMN a TO b — metadata-only; the
+        # physical parquet name never changes
+        table = _ident(plan.table())
+        parts = [str(x) for x in _seq(plan.column().name())]
+        if len(parts) != 1:
+            raise ValueError(
+                f"RENAME COLUMN: nested field {'.'.join(parts)!r} "
+                "not supported")
+        wh.rename_column(table, parts[0], str(plan.newName()))
+        return None
     if kind == "DropConstraint":
         wh.drop_constraint(_ident(plan.child()), str(plan.name()))
         return None
@@ -538,7 +571,9 @@ def warehouse_sql(wh: Warehouse, stmt: str):
         return wh.merge_when(
             table, source, on, matched=matched, not_matched=not_matched,
             not_matched_by_source=nmbs,
-            target_alias=t_alias or table, source_alias=s_alias or "source")
+            target_alias=t_alias or table, source_alias=s_alias or "source",
+            # MERGE WITH SCHEMA EVOLUTION INTO … (Spark 4 grammar)
+            schema_evolution=bool(plan.withSchemaEvolution()))
     if kind == "InsertIntoStatement":
         table = _ident(plan.table())
         _register_relations(wh, spark, plan.query())

@@ -278,6 +278,13 @@ class _WarehouseStreamReader(DataSourceStreamReader):
         # canonical Arrow schema every emitted batch is cast to (Spark's
         # own arrow convention, e.g. timestamp[us, tz=UTC])
         self.arrow_schema = to_arrow_schema(spark_schema)
+        # declared-schema column mapping (DROP/RENAME COLUMN): files
+        # store PHYSICAL names; the stream emits logical ones. Plain
+        # picklable dicts — read() applies them executor-side.
+        _, phys, retired = self._wh()._schema_meta(self.table)
+        self.phys_of = {f.name: phys.get(f.name.lower(), f.name)
+                        for f in spark_schema.fields}
+        self.retired = {r.lower() for r in retired}
 
     # control plane: driver-side, no Spark jobs --------------------------
 
@@ -596,8 +603,12 @@ class _WarehouseStreamReader(DataSourceStreamReader):
         part_map = dict(partition.part_values)
         dv_keys = self._dv_key_set(partition)
         pf = pq.ParquetFile(partition.path)
-        known = set(self.arrow_schema.names)
-        extra = [n for n in pf.schema_arrow.names if n not in known]
+        # a file column is known if some stream column reads it (its
+        # PHYSICAL name) or it was retired by a DROP COLUMN (projected
+        # away, not a schema change)
+        known = {p.lower() for p in self.phys_of.values()} | self.retired
+        extra = [n for n in pf.schema_arrow.names
+                 if n.lower() not in known]
         if extra:
             # a file WIDER than the stream schema: a column was added
             # after this stream resolved its schema (or dropped from
@@ -621,7 +632,8 @@ class _WarehouseStreamReader(DataSourceStreamReader):
                     cols.append(pa.array([val] * batch.num_rows,
                                          type=field.type))
                     continue
-                idx = batch.schema.get_field_index(field.name)
+                idx = batch.schema.get_field_index(
+                    self.phys_of.get(field.name, field.name))
                 if idx < 0:
                     # additive schema evolution: a file written before
                     # the column existed reads as NULLs (mergeSchema
@@ -724,7 +736,9 @@ def stream_table(spark, root: str, table: str, *,
                  tail_only: bool = False,
                  max_files_per_trigger: int | None = None,
                  max_bytes_per_trigger: int | None = None,
-                 checkpoint_dir: str | None = None):
+                 checkpoint_dir: str | None = None,
+                 cdf: bool = False,
+                 cdf_table: str | None = None):
     """Convenience: register + open a streaming DataFrame on ``table``.
 
     ``max_files_per_trigger`` / ``max_bytes_per_trigger`` are the Delta
@@ -753,8 +767,34 @@ def stream_table(spark, root: str, table: str, *,
     to single-batch execution for Python sources — it plans ONE batch
     (capped, so no giant batch slips through) and terminates, leaving
     the rest for the next run. Use a periodic trigger
-    (``processingTime``) to drain a backlog under the cap in one run."""
+    (``processingTime``) to drain a backlog under the cap in one run.
+
+    ``cdf=True`` is the STREAMING Change Data Feed read (Delta's
+    ``readChangeFeed`` analog): instead of the table's rows, the
+    stream emits its row-level CHANGE rows — the CDF sidecar
+    (``<table>__cdf``, or ``cdf_table``) that ``delete_where`` /
+    ``update_where`` / ``merge_when`` / ``merge_table`` write with
+    ``cdf=True`` — continuously, riding the same commit-offset
+    mechanics (exactly-once restarts, admission caps compose). Columns
+    are the table's plus ``_change_type`` (insert / delete /
+    update_preimage / update_postimage — Delta's SQL-surface name for
+    the sidecar's stored ``change_type``) and ``_txn`` (the commit's
+    transaction id, the dedup key under ``on_replace=reemit``). The
+    sidecar is append-only by construction, so the replace guard only
+    trips if maintenance compacts it mid-stream — compact the sidecar
+    in maintenance windows, or pass ``on_replace=reemit`` and dedup by
+    ``_txn``. Requires at least one ``cdf=True`` DML to have created
+    the sidecar (``read_changes`` is the batch sibling)."""
     register(spark)
+    if cdf:
+        table = (cdf_table or f"{table}__cdf").lower()
+        if not Warehouse(None, root, checkpoint_interval=0) \
+                ._manifest_files(table):
+            raise ValueError(
+                f"{table} does not exist: no cdf=True DML (delete_where"
+                " / update_where / merge_when / merge_table) has "
+                "written a change feed for this table yet"
+            )
     reader = (
         spark.readStream.format(SOURCE_NAME)
         .option("root", root)
@@ -771,4 +811,10 @@ def stream_table(spark, root: str, table: str, *,
                                str(max_bytes_per_trigger))
     if checkpoint_dir is not None:
         reader = reader.option("checkpoint_dir", checkpoint_dir)
-    return reader.load()
+    df = reader.load()
+    if cdf and "change_type" in df.columns \
+            and "_change_type" not in df.columns:
+        # Delta's surface names the tag column _change_type; the stored
+        # sidecar calls it change_type (matching read_changes' raw form)
+        df = df.withColumnRenamed("change_type", "_change_type")
+    return df

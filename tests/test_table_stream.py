@@ -783,3 +783,78 @@ class TestDvStreaming:
                                 checkpoint_dir=ckpt),
                 "dv_capped", ckpt)
         assert sorted(r["id"] for r in got) == [1, 11, 12, 22, 31, 32]
+
+
+class TestStreamingCDF:
+    """stream_table(cdf=True): the STREAMING Change Data Feed read
+    (round-11 verdict item #6) — tails the CDF sidecar the cdf=True
+    DML paths write, with _change_type surfaced Delta-style."""
+
+    def test_streamed_cdf_equals_batch_table_changes_across_restart(
+            self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        ckpt = str(tmp_path / "ckpt")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(i, float(i)) for i in range(8)],
+                "k long, v double").coalesce(1), "t")
+        base = wh._latest_seq()
+
+        # batch DML sequence, all CDF-on-write
+        wh.delete_where("t", "k = 1", cdf=True)
+        wh.update_where("t", "k = 2", {"v": "222.0"}, cdf=True)
+
+        def _norm(rows):
+            return sorted((r["_change_type"], r["k"], r["v"], r["_txn"])
+                          for r in rows)
+
+        sdf = ts.stream_table(spark, root, "t", cdf=True)
+        assert "_change_type" in sdf.columns and "_txn" in sdf.columns
+        first = _run_available(spark, sdf, "cdf1", ckpt)
+
+        # more DML while the stream is down, then RESTART on the same
+        # checkpoint: only the new changes arrive
+        from etl_pipeline_for_detection_banking_fraud_spark.operators import (
+            merge as M,
+        )
+
+        wh.merge_when(
+            "t", spark.createDataFrame([(3, 333.0), (99, 99.0)],
+                                       "k long, v double"), ["k"],
+            matched=[M.when_matched_update(None)],
+            not_matched=[M.when_not_matched_insert(None)], cdf=True)
+        second = _run_available(
+            spark, ts.stream_table(spark, root, "t", cdf=True), "cdf2",
+            ckpt)
+
+        batch = wh.read_changes("t", base).withColumnRenamed(
+            "change_type", "_change_type").collect()
+        assert _norm(first + second) == _norm(batch)
+        assert {r["_change_type"] for r in second} == {
+            "update_preimage", "update_postimage", "insert"}
+
+    def test_cdf_stream_composes_with_dv_dml(self, spark, tmp_path):
+        """A merge-on-read (mode='dv') delete with cdf=True feeds the
+        same sidecar; the CDF stream tails it without tripping any
+        dv/replace guard (the sidecar itself is a plain append table)."""
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(i, float(i)) for i in range(6)],
+                "k long, v double").coalesce(1), "t")
+        wh.delete_where("t", "k in (1, 4)", mode="dv", cdf=True)
+        rows = _run_available(
+            spark, ts.stream_table(spark, root, "t", cdf=True), "c",
+            str(tmp_path / "ckpt"))
+        assert sorted(r["k"] for r in rows) == [1, 4]
+        assert {r["_change_type"] for r in rows} == {"delete"}
+
+    def test_cdf_stream_requires_sidecar(self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(spark.createDataFrame([(1,)], "k long"), "t")
+        with pytest.raises(ValueError, match="no cdf=True DML"):
+            ts.stream_table(spark, root, "t", cdf=True)
