@@ -173,6 +173,10 @@ class Transaction:
         # table -> bloom-filter config (``set_bloom_filter``) — same
         # metadata contract as constraints/schema
         self.bloom_cols: dict[str, dict] = {}
+        # tables this commit DROPS from the catalog (``drop_table``):
+        # replay pops them from every state channel and advances their
+        # retention to this commit
+        self.drop_tables: list[str] = []
         # False disables in-write CHECK enforcement for this txn (used
         # by add_constraint's own metadata commit; rewrites of already-
         # validated data keep it True — re-checking valid rows is one
@@ -432,6 +436,8 @@ class Transaction:
                 entry["schema"] = self.schema_updates
             if self.bloom_cols:
                 entry["bloom_cols"] = self.bloom_cols
+            if self.drop_tables:
+                entry["drop_tables"] = self.drop_tables
             if self.vacuum:
                 entry["vacuum"] = True
             tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
@@ -1174,6 +1180,15 @@ class Warehouse:
             state["schema"][table] = sj
         for table, cfg in entry.get("bloom_cols", {}).items():
             state["bloom_cols"][table] = cfg
+        # DROP TABLE: the table leaves every catalog channel; its
+        # retention advances to the drop commit (read_at below it
+        # raises the typed SnapshotVacuumed — the files are reclaimed)
+        for table in entry.get("drop_tables", []):
+            for key in ("tables", "stats", "partition_by", "dv",
+                        "dv_rows", "constraints", "schema",
+                        "bloom_cols"):
+                state[key].pop(table, None)
+            state["retention"][table] = seq
 
     def _replay_state(self, at: int | None = None) -> dict:
         """Replay the commit log into {tables: {t: [files]}, stats,
@@ -1432,10 +1447,13 @@ class Warehouse:
         their stats behind until a checkpoint folds them away)."""
         state = self._replay_state(at)
         t = table.lower()
-        merged = self._merged_stats(state, t)
         mf = state["tables"].get(t)
         if mf is None:
-            return merged
+            # untracked (or dropped) table: no manifest to vouch for
+            # any stats — a dropped table's ghost rows in an older
+            # checkpoint sidecar must not resurface
+            return {}
+        merged = self._merged_stats(state, t)
         live = set(mf)
         return {r: s for r, s in merged.items() if r in live}
 
@@ -1776,7 +1794,12 @@ class Warehouse:
                 return df.select(*[
                     F.col(phys.get(f.name.lower(), f.name)).alias(f.name)
                     for f in decl.fields])
-            reader = reader.schema(decl)
+            # project to the DECLARED column order: Spark appends hive
+            # partition columns after the data columns even under an
+            # explicit schema
+            return reader.schema(decl).option("basePath", p).parquet(
+                *[os.path.join(p, r) for r in rels]
+            ).select(*[f.name for f in decl.fields])
         elif merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.option("basePath", p).parquet(
@@ -1941,6 +1964,81 @@ class Warehouse:
             if not txn._done:
                 txn.abort()
             raise
+
+    def create_table(self, table: str, schema,
+                     partition_by: list[str] | None = None) -> None:
+        """``CREATE TABLE table (cols)`` — an EMPTY table with a
+        declared schema, as one metadata commit: the table is tracked
+        (zero files), reads return an empty typed frame, appends
+        validate against the declaration (typed NULL fill, drift
+        rejection — the full declared-schema contract from day one),
+        and the recorded ``partition_by`` pins the hive layout every
+        writer and maintenance rewrite follows. ``schema`` is a
+        StructType or a DDL string (``"id int, v double"``). The
+        query-backed sibling is the SQL door's ``CREATE TABLE … AS
+        SELECT``."""
+        table = table.lower()
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        if self._manifest_files(table) is not None or self.exists(table):
+            raise ValueError(f"create_table: {table!r} already exists")
+        for f in schema.fields:
+            if f.name.startswith(("_", ".")):
+                raise ValueError(
+                    f"create_table: {f.name!r} is a reserved/hidden "
+                    "column name")
+        names = {f.name.lower() for f in schema.fields}
+        missing = [c for c in (partition_by or [])
+                   if c.lower() not in names]
+        if missing:
+            raise ValueError(
+                f"create_table: partition columns {missing} are not "
+                "in the schema")
+        txn = self.begin()
+        try:
+            txn.enforce_constraints = False  # metadata-only commit
+            txn.pending[table] = []  # tracked from birth, zero files
+            if partition_by:
+                txn.partition_by[table] = list(partition_by)
+            txn.schema_updates = {
+                table: self._schema_meta_json(schema, {}, set())}
+            txn.commit()
+        except BaseException:
+            if not txn._done:
+                txn.abort()
+            raise
+
+    def drop_table(self, table: str, if_exists: bool = False) -> None:
+        """``DROP TABLE table``: one metadata commit removes the table
+        from every catalog channel (manifest, declared schema,
+        constraints, bloom config, partition spec, deletion vectors) —
+        then its data and dv files are deleted. ``read_at`` below the
+        drop raises the typed ``SnapshotVacuumed`` (retention advances
+        to the drop commit), and a later CREATE of the same name
+        starts a fresh history. Untracked legacy directories are
+        simply removed."""
+        table = table.lower()
+        mf = self._manifest_files(table)
+        if mf is None:
+            if self.exists(table):  # legacy untracked layout
+                shutil.rmtree(self._path(table), ignore_errors=True)
+                return
+            if if_exists:
+                return
+            raise FileNotFoundError(
+                f"drop_table: table {table!r} does not exist")
+        txn = self.begin()
+        try:
+            txn.enforce_constraints = False  # metadata-only commit
+            txn.drop_tables = [table]
+            txn.commit()
+        except BaseException:
+            if not txn._done:
+                txn.abort()
+            raise
+        # the catalog no longer references the table: reclaim its
+        # directory (data files, dv sidecars, hive dirs) wholesale
+        shutil.rmtree(self._path(table), ignore_errors=True)
 
     def count_rows(self, table: str, at: int | None = None) -> int:
         """COUNT(*) from manifest metadata (the Delta/Iceberg
@@ -2308,11 +2406,15 @@ class Warehouse:
                 f"never written as of seq {seq})"
             )
         if not mf:
-            if schema is None:
+            decl = self._declared_schema(table, at=seq)
+            if schema is None and decl is None:
                 raise FileNotFoundError(
                     f"table {table} empty as of seq {seq} and no schema given"
                 )
-            return self.spark.createDataFrame([], schema=schema)
+            df = self.spark.createDataFrame([], schema=schema or decl)
+            if schema is not None:
+                df = df.select(*[f.name for f in schema.fields])
+            return df
         def _build(rs: list[str]) -> DataFrame:
             # schema as declared AT that snapshot: time travel below an
             # ADD COLUMNS commit replays the pre-evolution schema
@@ -2584,6 +2686,14 @@ class Warehouse:
 
     def _read_impl(self, table, schema, merge_schema, prune) -> DataFrame:
         if not self.exists(table):
+            decl = self._declared_schema(table)
+            if decl is not None:
+                # CREATE TABLE'd (or fully-purged) declared table with
+                # zero files: empty typed frame from the declaration
+                df = self.spark.createDataFrame([], schema=decl)
+                if schema is not None:
+                    df = df.select(*[f.name for f in schema.fields])
+                return df
             if schema is None:
                 raise FileNotFoundError(f"table {table} absent and no schema given")
             return self.spark.createDataFrame([], schema=schema)

@@ -22,6 +22,9 @@ DELETE/UPDATE/MERGE/time travel required Python calls:
 - ``ALTER TABLE t DROP COLUMN [IF EXISTS] c`` /
   ``RENAME COLUMN a TO b``                 → ``drop_column`` /
   ``rename_column`` (metadata-only column mapping)
+- ``CREATE TABLE [IF NOT EXISTS] t (cols) [PARTITIONED BY (…)]`` →
+  ``create_table`` (empty declared-schema table)
+- ``DROP TABLE [IF EXISTS] t``             → ``drop_table``
 - ``SHOW TABLES`` / ``DESCRIBE [TABLE] t`` /
   ``DESCRIBE DETAIL t``                   → catalog metadata frames
 - ``OPTIMIZE t [ZORDER BY (a, b)]`` / ``VACUUM t`` /
@@ -614,6 +617,45 @@ def warehouse_sql(wh: Warehouse, stmt: str):
             return None
         with wh.transaction():
             wh.append(df, table, partition_by=part_by)
+        return None
+    if kind == "DropTable":
+        # DROP TABLE [IF EXISTS] t — one metadata commit + file reclaim
+        # (the child is an UnresolvedIdentifier: nameParts, not
+        # multipartIdentifier)
+        parts = [str(x) for x in _seq(plan.child().nameParts())]
+        if len(parts) != 1:
+            raise ValueError(
+                f"warehouse tables are single-part names; got "
+                f"{'.'.join(parts)}")
+        wh.drop_table(parts[0], if_exists=bool(plan.ifExists()))
+        return None
+    if kind == "CreateTable":
+        # CREATE TABLE [IF NOT EXISTS] t (cols) [PARTITIONED BY (…)] —
+        # empty declared-schema table (metadata-only commit)
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        parts = [str(x) for x in _seq(plan.name().nameParts())]
+        if len(parts) != 1:
+            raise ValueError(
+                f"warehouse tables are single-part names; got "
+                f"{'.'.join(parts)}")
+        table = parts[0]
+        if wh._manifest_files(table) is not None or wh.exists(table):
+            if plan.ignoreIfExists():
+                return None
+            raise ValueError(f"CREATE TABLE: {table} already exists")
+        schema = T.StructType.fromJson(
+            _json.loads(plan.tableSchema().json()))
+        part_by = []
+        for t in _seq(plan.partitioning()):
+            if _cls(t) != "IdentityTransform":
+                raise ValueError(
+                    "only PARTITIONED BY (col, …) identity partitioning "
+                    f"is supported; got {_cls(t)}")
+            part_by += [str(x) for x in t.ref().fieldNames()]
+        wh.create_table(table, schema, partition_by=part_by or None)
         return None
     if kind == "CreateTableAsSelect":
         parts = [str(x) for x in _seq(plan.name().nameParts())]

@@ -274,3 +274,83 @@ class TestRound11Fixes:
         warehouse_sql(wh, "ALTER TABLE t ALTER COLUMN name DROP NOT NULL")
         assert "nn__name" not in wh.table_constraints("t")
         warehouse_sql(wh, "ALTER TABLE t ALTER COLUMN name DROP NOT NULL")
+
+
+class TestCreateDropTable:
+    """Round-11: CREATE TABLE (cols) — empty declared-schema table —
+    and DROP TABLE, both one metadata commit."""
+
+    def test_create_table_then_lifecycle(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "w2"))
+        warehouse_sql(
+            wh, "CREATE TABLE ev (id INT, dt STRING, v DOUBLE) "
+                "PARTITIONED BY (dt)")
+        # reads are empty-typed from the declaration
+        df = wh.read("ev")
+        assert df.count() == 0
+        assert df.columns == ["id", "dt", "v"]
+        assert "ev" in wh.tables()
+        assert wh.count_rows("ev") == 0
+        # IF NOT EXISTS no-ops; plain CREATE raises
+        warehouse_sql(wh, "CREATE TABLE IF NOT EXISTS ev (id INT)")
+        with pytest.raises(ValueError, match="already exists"):
+            warehouse_sql(wh, "CREATE TABLE ev (id INT)")
+        # appends validate against the declaration and follow the
+        # recorded partition spec through the SQL INSERT path
+        warehouse_sql(wh, "INSERT INTO ev VALUES (1, '2021-03-01', 1.5)")
+        assert wh.table_partition_by("ev") == ["dt"]
+        assert all(r.startswith("dt=")
+                   for r in wh._manifest_files("ev"))
+        with pytest.raises(ValueError, match="declared schema"):
+            wh.append(spark.createDataFrame(
+                [(2, "2021-03-01", "oops")],
+                "id int, dt string, v string"), "ev")
+        # declared-schema evolution composes
+        wh.add_columns("ev", {"tag": "string"})
+        assert wh.read("ev").columns == ["id", "dt", "v", "tag"]
+
+    def test_drop_table_removes_catalog_and_files(self, spark, tmp_path):
+        import os
+
+        wh = Warehouse(spark, str(tmp_path / "w3"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame(
+                [(i,) for i in range(10)], "id int").coalesce(2), "t1")
+        wh.add_constraint("t1", "id_pos", "id >= 0")
+        wh.set_bloom_filter("t1", ["id"])
+        drop_seq_before = wh._latest_seq()
+        warehouse_sql(wh, "DROP TABLE t1")
+        assert "t1" not in wh.tables()
+        assert not os.path.isdir(os.path.join(wh.root, "t1"))
+        assert wh.table_constraints("t1") == {}
+        assert wh.table_bloom_filter("t1") is None
+        with pytest.raises(FileNotFoundError):
+            wh.read("t1")
+        # time travel below the drop raises the typed retention error
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            SnapshotVacuumed,
+        )
+        with pytest.raises(SnapshotVacuumed):
+            wh.read_at("t1", drop_seq_before)
+        # IF EXISTS no-ops, plain drop raises
+        warehouse_sql(wh, "DROP TABLE IF EXISTS t1")
+        with pytest.raises(FileNotFoundError):
+            warehouse_sql(wh, "DROP TABLE t1")
+
+    def test_drop_then_recreate_is_fresh_history(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "w4"))
+        with wh.transaction():
+            wh.append(spark.createDataFrame([(1, "old")],
+                                            "id int, s string"), "t")
+        wh.drop_table("t")
+        warehouse_sql(wh, "CREATE TABLE t (id INT, n DOUBLE)")
+        warehouse_sql(wh, "INSERT INTO t VALUES (7, 7.5)")
+        rows = wh.read("t").collect()
+        assert [(r["id"], r["n"]) for r in rows] == [(7, 7.5)]
+        # the dropped generation's stats/ghosts never resurface
+        assert set(wh._manifest_stats("t")) == set(wh._manifest_files("t"))
+        # survives checkpoint + cold replay
+        wh.write_checkpoint()
+        cold = Warehouse(spark, wh.root)
+        assert cold.read("t").count() == 1
+        assert "s" not in cold.read("t").columns
