@@ -1525,7 +1525,19 @@ class Warehouse:
                 "files (fold_dv) so reads stop broadcasting the union",
                 stacklevel=3,
             )
-            self.fold_dv(table)
+            try:
+                self.fold_dv(table)
+            except Exception as e:  # noqa: BLE001 — maintenance only
+                # the DML that tripped the budget COMMITTED; a fold
+                # failure (e.g. a conflict losing all retries) must not
+                # make the caller believe the DML failed — the next dv
+                # DML re-trips the budget and retries the fold
+                warnings.warn(
+                    f"auto-fold of {table!r} failed ({e}); deletion "
+                    "vectors remain over budget until the next dv DML "
+                    "or an explicit fold_dv()/compact()",
+                    stacklevel=3,
+                )
 
     def fold_dv(self, table: str) -> int:
         """Fold the table's live deletion vectors physically: rewrite
