@@ -1493,3 +1493,159 @@ def tpch_q9_shape(spark, sf_dir):
             ).cast("double").alias("sum_profit")
         )
     )
+
+
+@_q(
+    "tpch_q2_shape",
+    "TPC-H Q2 shape: minimum-cost supplier per part in a region — the "
+    "correlated-MIN subquery decorrelated into a per-key aggregate + "
+    "equality join back (re-keyed to the testdata: lineitem is the "
+    "part<->supplier relation; no partsupp table)",
+    """
+    SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM part p, lineitem l, supplier s, nation n, region r
+    WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA' AND p.p_type = 'PROMO' AND p.p_size < 15
+      AND l.l_extendedprice = (
+          SELECT min(l2.l_extendedprice)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p.p_partkey
+            AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'ASIA')
+    """,
+)
+def tpch_q2_shape(spark, sf_dir):
+    """Scale shape: the correlated MIN decorrelates into ONE window
+    minimum over the partkey — the fact slice is scanned ONCE and
+    exchanged ONCE (the decorrelated aggregate+join-back form would
+    scan it twice; the window shares the scan with the filter).
+    Region->nation->supplier folds to a broadcast sliver (the region
+    filter cuts it first), the PROMO/size part filter broadcasts
+    likewise, and the fact is reduced by BOTH broadcasts BEFORE the
+    one partkey exchange. MIN equality is arithmetic-free (an element
+    of the set, not a sum), so the double compare is bit-exact
+    against the oracle. Reference parity: correlated-lookup
+    decorrelation per SURVEY §2 A3/J1 (the reference's date_global
+    scalar feeds every rule the same way, main.py:49)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    asia_nk = (n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                      n.n_regionkey == r.r_regionkey)
+                .select("n_nationkey"))
+    s_asia = (s.join(F.broadcast(asia_nk),
+                     s.s_nationkey == F.col("n_nationkey"))
+               .select("s_suppkey", "s_name"))
+    p_sel = p.where((F.col("p_type") == "PROMO")
+                    & (F.col("p_size") < 15)).select("p_partkey")
+    lp = (li.join(F.broadcast(p_sel),
+                  li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(s_asia),
+                  li.l_suppkey == F.col("s_suppkey"))
+            .select("p_partkey", "s_suppkey", "s_name",
+                    F.col("l_extendedprice").alias("price")))
+    w = Window.partitionBy("p_partkey")
+    return (lp.withColumn("__mn", F.min("price").over(w))
+              .where(F.col("price") == F.col("__mn"))
+              .select("p_partkey", "s_suppkey", "s_name", "price")
+              .distinct())
+
+
+@_q(
+    "tpch_q16_shape",
+    "TPC-H Q16 shape: supplier-count-per-part-class with a NOT-IN "
+    "exclusion subquery — negated dimension filters + distinct-count "
+    "after an anti-join",
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def tpch_q16_shape(spark, sf_dir):
+    """Scale shape: NOT IN over a non-nullable key is a broadcast
+    LEFT ANTI join (the handful of negative-balance suppliers ships to
+    every executor; no shuffle added), the negated part filters shrink
+    the part broadcast BEFORE the fact join, and the only exchange is
+    the (brand, size) distinct-count aggregate — which Spark executes
+    as expand+two-phase partial aggregation, never a global distinct.
+    Reference parity: NOT-IN/anti-join dedup per SURVEY §2 J3/J4
+    (incr_loading.py:58's NOT EXISTS blacklist guard)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.where(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    p_sel = p.where((F.col("p_brand") != "Brand#1")
+                    & (F.col("p_type") != "PROMO")) \
+             .select("p_partkey", "p_brand", "p_size")
+    return (li.join(F.broadcast(bad),
+                    li.l_suppkey == F.col("s_suppkey"), "left_anti")
+              .join(F.broadcast(p_sel),
+                    li.l_partkey == F.col("p_partkey"))
+              .groupBy("p_brand", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@_q(
+    "tpch_q22_shape",
+    "TPC-H Q22 shape: dormant high-balance customers — a scalar "
+    "AVG subquery threshold + NOT EXISTS anti-join + grouped "
+    "decimal-exact totals (threshold compared multiplicatively so "
+    "the float average never decides a boundary row differently "
+    "across engines)",
+    """
+    SELECT c.c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(28,10))
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        > (SELECT sum(CAST(c_acctbal AS DECIMAL(28,10)))
+           FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_shape(spark, sf_dir):
+    """Scale shape: the scalar 'above average' threshold is ONE
+    1-row broadcast (count + exact-decimal sum over the positive
+    balances) cross-joined in — and the comparison is the
+    DENOMINATOR-FREE form ``bal * n > sum`` in exact decimals, because
+    an average of doubles differs in the last ulp across engines and a
+    boundary customer would flip the row set (the float-aggregation
+    trap SURVEY §4 pins for every oracle). The no-orders predicate is
+    a left-anti join against the URGENT orders' custkeys (the one
+    real exchange beside the tiny nationkey aggregate; re-keyed to the
+    testdata, where every customer ordered at least once — dormancy is
+    'no urgent order'). Reference
+    parity: scalar-threshold + NOT EXISTS per SURVEY §2 A3/J4 (rule
+    2's amount threshold + mart dedup, loading_rep_fraud.py:100)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0.0)
+    thr = pos.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("c_acctbal").cast("decimal(28,10)")).alias("__s"))
+    return (c.crossJoin(F.broadcast(thr))
+             .where(F.col("c_acctbal").cast("decimal(28,10)")
+                    * F.col("__n") > F.col("__s"))
+             .join(o.where(F.col("o_orderpriority") == "1-URGENT")
+                    .select("o_custkey"),
+                   c.c_custkey == F.col("o_custkey"), "left_anti")
+             .groupBy("c_nationkey")
+             .agg(F.count(F.lit(1)).alias("numcust"),
+                  F.sum(F.col("c_acctbal").cast("decimal(28,10)"))
+                   .cast("double").alias("totacctbal")))

@@ -772,7 +772,7 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r11 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
-    # (none this round — r11 work is warehouse/streaming surface)
+    "tpch_q2_shape", "tpch_q16_shape", "tpch_q22_shape",
     # r11 rotation: the 20 entries whose newest evidence is r08 (they
     # tailed past the ~50-entry cap in r10) lead — nothing may go >2
     # rounds stale — then the r09-reported block; whatever tails past

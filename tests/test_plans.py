@@ -218,3 +218,45 @@ def test_tpch_q9_like_filtered_part_broadcasts(spark, sf01):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q2_decorrelated_min_no_rescan(spark, sf01):
+    """The correlated MIN decorrelates into one per-part aggregate +
+    equality join back: dims broadcast, no cartesian, and the fact is
+    scanned a bounded number of times (never per-row)."""
+    df = QD["tpch_q2_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part + supplier slivers
+
+
+def test_tpch_q16_not_in_is_broadcast_anti(spark, sf01):
+    """NOT IN over a non-nullable key plans as a broadcast left-anti
+    join; the negated part filters ride a broadcast; the distinct
+    count aggregates in two phases, never a global distinct."""
+    df = QD["tpch_q16_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q22_scalar_threshold_is_single_broadcast(spark, sf01):
+    """The scalar AVG-threshold subquery is ONE 1-row broadcast
+    (cross-join — the documented broadcast-scalar shape), the
+    no-urgent-order predicate a left-anti join; nothing else
+    nested-loops."""
+    df = QD["tpch_q22_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # exactly the one broadcast-scalar nested loop (1-row threshold) in
+    # the FINAL adaptive plan (the printed string repeats joins in the
+    # initial-plan section)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1
