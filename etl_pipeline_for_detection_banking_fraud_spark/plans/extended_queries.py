@@ -1531,7 +1531,7 @@ def tpch_q2_shape(spark, sf_dir):
     of the set, not a sum), so the double compare is bit-exact
     against the oracle. Reference parity: correlated-lookup
     decorrelation per SURVEY §2 A3/J1 (the reference's date_global
-    scalar feeds every rule the same way, main.py:49)."""
+    scalar feeds every rule the same way, main.py:53)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -1581,7 +1581,7 @@ def tpch_q16_shape(spark, sf_dir):
     the (brand, size) distinct-count aggregate — which Spark executes
     as expand+two-phase partial aggregation, never a global distinct.
     Reference parity: NOT-IN/anti-join dedup per SURVEY §2 J3/J4
-    (incr_loading.py:58's NOT EXISTS blacklist guard)."""
+    (loading_rep_fraud.py:86's NOT EXISTS mart-dedup guard)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -1632,7 +1632,8 @@ def tpch_q22_shape(spark, sf_dir):
     testdata, where every customer ordered at least once — dormancy is
     'no urgent order'). Reference
     parity: scalar-threshold + NOT EXISTS per SURVEY §2 A3/J4 (rule
-    2's amount threshold + mart dedup, loading_rep_fraud.py:100)."""
+    4's amount comparisons + mart dedup,
+    loading_rep_fraud.py:120-127)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     pos = c.where(F.col("c_acctbal") > 0.0)
