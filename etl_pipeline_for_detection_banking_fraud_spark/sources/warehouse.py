@@ -232,6 +232,19 @@ class Transaction:
         if partition_by:
             self.partition_by[table] = list(partition_by)
         decl, phys = self._pending_schema_meta(table)
+        cons = {}
+        if self.enforce_constraints:
+            cons = self.wh._replay_state().get(
+                "constraints", {}).get(table, {})
+            if cons:
+                # CHECK expressions speak LOGICAL column names: the
+                # guard must wrap the frame BEFORE the logical->physical
+                # rename below. After the rename, a constraint on a
+                # logical column whose name collides with ANOTHER
+                # column's physical slot (rename a->b, re-add a, CHECK
+                # on a) would resolve against the wrong column's data
+                # and silently admit violating rows.
+                df = self._constrained(df, cons)
         if decl is not None:
             # declared-schema table: an appended column the declaration
             # does not know would be INVISIBLE to every read (reads
@@ -269,12 +282,6 @@ class Transaction:
                         for c in df.columns])
         self._n += 1
         stage = os.path.join(self._stage_root, str(self._n))
-        cons = {}
-        if self.enforce_constraints:
-            cons = self.wh._replay_state().get(
-                "constraints", {}).get(table, {})
-            if cons:
-                df = self._constrained(df, cons)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -1526,7 +1533,14 @@ class Warehouse:
                 stacklevel=3,
             )
             try:
-                self.fold_dv(table)
+                # NON-destructive fold: unlike explicit maintenance,
+                # an automatic side effect of an ordinary DML must not
+                # advance the retention boundary or physically delete
+                # files (that would truncate time travel as a surprise).
+                # The new head reads the folded files; old snapshots
+                # stay readable; reclamation remains an explicit
+                # fold_dv()/compact()/vacuum decision.
+                self.fold_dv(table, vacuum=False)
             except Exception as e:  # noqa: BLE001 — maintenance only
                 # the DML that tripped the budget COMMITTED; a fold
                 # failure (e.g. a conflict losing all retries) must not
@@ -1539,7 +1553,7 @@ class Warehouse:
                     stacklevel=3,
                 )
 
-    def fold_dv(self, table: str) -> int:
+    def fold_dv(self, table: str, vacuum: bool = True) -> int:
         """Fold the table's live deletion vectors physically: rewrite
         ONLY the dv-covered data files with their vectors applied, as
         one vacuum replace commit — every uncovered file carries
@@ -1549,7 +1563,14 @@ class Warehouse:
         partitions): a 100 TB table with vectors on 0.1% of its files
         rewrites 0.1%, not a partition. File maintenance: advances the
         time-travel retention boundary exactly like compaction.
-        Returns the number of data files rewritten (0 = no live dvs)."""
+        Returns the number of data files rewritten (0 = no live dvs).
+
+        ``vacuum=False`` is the NON-destructive variant (what the
+        automatic over-budget fold uses): the head still flips to the
+        folded files, but the retention boundary does not move and the
+        superseded data/dv files stay on disk — every pre-fold snapshot
+        remains time-travel readable, and the files are reclaimed only
+        by a later explicit vacuum op whose horizon passes them."""
         table = table.lower()
         if self._manifest_files(table) is None:
             raise ValueError(f"fold_dv: {table} is not commit-log tracked")
@@ -1573,7 +1594,8 @@ class Warehouse:
             txn = Transaction(self)
             txn.replace = True
             txn.base_seq = base_seq
-            txn.vacuum = True  # superseded files deleted below
+            if vacuum:
+                txn.vacuum = True  # superseded files deleted below
             txn.append(df, table, partition_by=part_cols or None)
             if untouched:
                 txn.pending[table] = untouched + txn.pending[table]
@@ -1588,13 +1610,14 @@ class Warehouse:
                     raise
                 self.vacuum_orphans(table)
                 continue
-            table_dir = self._path(table)
-            for rel in covered:
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(table_dir, rel))
-            for dv_rel in set(dv_map) - set(survivors):
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(table_dir, dv_rel))
+            if vacuum:
+                table_dir = self._path(table)
+                for rel in covered:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(table_dir, rel))
+                for dv_rel in set(dv_map) - set(survivors):
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(table_dir, dv_rel))
             with contextlib.suppress(Exception):
                 self.write_checkpoint()
             return len(covered)

@@ -252,3 +252,36 @@ def test_constraint_enforced_in_write_job_no_extra_pass(spark, tmp_path):
         assert "assert_true" in plan or "raise_error" in plan
     finally:
         t.abort()
+
+
+def test_constraint_after_rename_readd_collision(spark, tmp_path):
+    """CHECK enforcement must evaluate LOGICAL columns. After
+    rename a->b + re-add a (logical 'a' binds a fresh physical slot
+    while logical 'b' physically stores under 'a'), a CHECK on 'a'
+    must judge the re-added column's data — never logical b's bytes
+    that live under the physical name 'a'."""
+    wh = _wh(spark, tmp_path)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(1, 100), (2, 200)], "a int, k int"), "tx")
+    wh.rename_column("tx", "a", "b")
+    wh.add_columns("tx", {"a": "int"})
+    phys = wh._schema_meta("tx")[1]
+    assert phys.get("a", "a").lower() != "a"  # fresh physical slot
+    wh.add_constraint("tx", "a_pos", "a > 0")
+
+    # violating re-added column: must raise even though physical 'a'
+    # (logical b) holds positive values
+    head = wh.snapshots()[-1]["seq"]
+    with pytest.raises(ConstraintViolation, match="a_pos"):
+        wh.append(spark.createDataFrame(
+            [(300, 3, -5)], "b int, k int, a int"), "tx")
+    assert wh.snapshots()[-1]["seq"] == head
+
+    # valid rows commit, and read back under logical names
+    wh.append(spark.createDataFrame(
+        [(300, 3, 7)], "b int, k int, a int"), "tx")
+    rows = {r["k"]: (r["b"], r["a"])
+            for r in wh.read("tx").collect()}
+    assert rows[3] == (300, 7)
+    assert rows[100] == (1, None)  # pre-evolution rows: typed NULL a

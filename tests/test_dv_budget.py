@@ -136,3 +136,48 @@ def test_legacy_dv_without_rows_channel_counts_via_footer(
     wh._invalidate_state()
     wh._entry_cache.clear()
     assert wh.live_dv_rows("ev") == 3
+
+
+def test_auto_fold_is_non_destructive(spark, tmp_path):
+    """The AUTOMATIC over-budget fold must not truncate time travel:
+    unlike explicit fold_dv() maintenance it advances no retention
+    boundary and deletes no file — pre-fold snapshots stay readable
+    (dv applied as of that snapshot), reclamation stays an explicit
+    maintenance decision."""
+    wh = Warehouse(spark, str(tmp_path / "w"), dv_max_rows_total=2)
+    _seed(spark, wh)
+    wh.delete_where("ev", "id in (1, 2)", mode="dv")      # 2 live
+    seq_dv = wh._latest_seq()
+    with pytest.warns(UserWarning, match="auto-folding"):
+        wh.delete_where("ev", "id = 21", mode="dv")       # 3 > 2
+    # head is folded: no dv broadcast, data exact
+    assert wh._dv_state("ev") == {}
+    assert {r["id"] for r in wh.read("ev").collect()} == \
+        set(range(60)) - {1, 2, 21}
+    # no retention advance: every pre-fold snapshot still readable
+    assert wh.min_readable_seq("ev") == 0
+    at_dv = {r["id"] for r in wh.read_at("ev", seq_dv).collect()}
+    assert at_dv == set(range(60)) - {1, 2}
+    # explicit maintenance still reclaims later
+    assert wh.fold_dv("ev") == 0  # nothing live to fold
+
+
+def test_fold_dv_vacuum_false_keeps_history(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "w"), dv_max_rows_total=None)
+    _seed(spark, wh)
+    wh.delete_where("ev", "id = 5", mode="dv")
+    seq_dv = wh._latest_seq()
+    dv_dir = os.path.join(wh.root, "ev", "_dv")
+    n_dv_files = len([f for f in os.listdir(dv_dir)
+                      if f.endswith(".parquet") and not f.startswith(".")])
+    assert n_dv_files == 1
+    assert wh.fold_dv("ev", vacuum=False) == 1
+    assert wh._dv_state("ev") == {}
+    assert wh.read("ev").count() == 59
+    assert wh.min_readable_seq("ev") == 0
+    # the superseded data file and dv sidecar remain for time travel
+    assert wh.read_at("ev", seq_dv).count() == 59
+    assert wh.read_at("ev", seq_dv - 1).count() == 60
+    # and a vacuum sweep does NOT reclaim them (still referenced)
+    wh.vacuum_orphans("ev")
+    assert wh.read_at("ev", seq_dv - 1).count() == 60
