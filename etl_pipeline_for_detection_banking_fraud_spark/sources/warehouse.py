@@ -229,6 +229,15 @@ class Transaction:
                     f"('_'/'.'-prefixed) directories; rename it"
                 )
         table = table.lower()
+        if partition_by is None:
+            # writes conform to the table's RECORDED spec (the Delta /
+            # Iceberg contract, and what makes set_partition_spec mean
+            # "future writes use the new spec") — but only when the
+            # frame actually carries every spec column; a sidecar-style
+            # frame without them keeps writing flat, as before
+            rec = self.wh._replay_state()["partition_by"].get(table)
+            if rec and all(c in df.columns for c in rec):
+                partition_by = list(rec)
         if partition_by:
             self.partition_by[table] = list(partition_by)
         decl, phys = self._pending_schema_meta(table)
@@ -487,8 +496,15 @@ class Transaction:
         """First-writer-wins for replace entries: any committed entry in
         (base_seq, next_seq) touching one of this transaction's tables
         means the replace was computed from a stale file set. Appends
-        (base_seq is None) always pass — they commute."""
-        if not self.replace or self.base_seq is None:
+        (base_seq is None) always pass — they commute.
+
+        The SCHEMA channel is whole-value replace per table, so a
+        commit carrying ``schema_updates`` additionally conflicts with
+        any intervening entry updating (or dropping) the same table's
+        schema — re-committing a payload computed from the older
+        declaration would silently drop the concurrent column."""
+        if self.base_seq is None or not (self.replace
+                                         or self.schema_updates):
             return
         horizon = self.wh.expire_horizon()
         if self.base_seq < horizon:
@@ -510,16 +526,23 @@ class Transaction:
                     other = json.load(f)
             except FileNotFoundError:
                 continue
-            # append-only tables commute and never conflict
-            clash = set(other.get("tables", {})) & (
-                set(self.pending) - self.append_only
-            )
+            clash = set()
+            if self.replace:
+                # append-only tables commute and never conflict
+                clash |= set(other.get("tables", {})) & (
+                    set(self.pending) - self.append_only
+                )
+            if self.schema_updates:
+                clash |= set(other.get("schema", {})) & \
+                    set(self.schema_updates)
+                clash |= set(other.get("drop_tables", [])) & \
+                    set(self.schema_updates)
             if clash:
                 os.unlink(tmp)
                 raise CommitConflict(
                     f"concurrent commit {seq:09d} touched {sorted(clash)} "
-                    f"after this replace's base snapshot {self.base_seq}; "
-                    "re-read and retry"
+                    f"after this transaction's base snapshot "
+                    f"{self.base_seq}; re-read and retry"
                 )
 
     def abort(self) -> None:
@@ -1074,33 +1097,45 @@ class Warehouse:
         return os.path.join(self._manifest_dir(),
                             f"{seq:09d}.checkpoint.stats.parquet")
 
-    _CKPT_STATS_CACHE_MAX = 2
+    _CKPT_STATS_CACHE_MAX_ROWS = 2_000_000
 
-    def _ckpt_stats(self, path: str) -> dict:
-        """Per-file stats of a checkpoint's columnar sidecar, parsed
-        lazily (driver-side pyarrow — one binary file, no Spark job,
-        no O(files) JSON) and cached. Unreadable sidecar degrades to
-        {}: stats are an optimization (pruning sharpness, metadata
-        counts fall back to real reads), never a correctness
-        dependency."""
-        cached = self._ckpt_stats_cache.get(path)
+    def _ckpt_stats(self, path: str, table: str) -> dict:
+        """ONE table's per-file stats from a checkpoint's columnar
+        sidecar, parsed lazily (driver-side pyarrow — no Spark job, no
+        O(files) JSON) and cached per (sidecar, table). The sidecar is
+        written with one row group per table (rows sorted by table), so
+        the ``table = t`` read filter prunes to the queried table's row
+        group via row-group statistics — a stats lookup is O(queried
+        table), never O(all tables × all files). Legacy monolithic
+        sidecars (single row group) still read correctly: the filter
+        then materializes the one row group and selects exactly the
+        queried table's rows. Unreadable sidecar degrades to {}: stats
+        are an optimization (pruning sharpness, metadata counts fall
+        back to real reads), never a correctness dependency.
+
+        The cache is bounded by total cached ROWS, not entry count —
+        one million-file table must not pin N others in memory."""
+        key = (path, table)
+        cached = self._ckpt_stats_cache.get(key)
         if cached is not None:
-            self._ckpt_stats_cache.move_to_end(path)
+            self._ckpt_stats_cache.move_to_end(key)
             return cached
         out: dict = {}
         try:
             import pyarrow.parquet as pq
 
-            tb = pq.read_table(path)
-            for t, rel, sj in zip(tb.column("table").to_pylist(),
-                                  tb.column("rel").to_pylist(),
-                                  tb.column("stats").to_pylist()):
-                out.setdefault(t, {})[rel] = json.loads(sj)
+            tb = pq.read_table(path, filters=[("table", "=", table)])
+            for rel, sj in zip(tb.column("rel").to_pylist(),
+                               tb.column("stats").to_pylist()):
+                out[rel] = json.loads(sj)
         except Exception:  # noqa: BLE001 — degrade to no stats
             out = {}
-        self._ckpt_stats_cache[path] = out
-        while len(self._ckpt_stats_cache) > self._CKPT_STATS_CACHE_MAX:
-            self._ckpt_stats_cache.popitem(last=False)
+        self._ckpt_stats_cache[key] = out
+        rows = sum(len(v) for v in self._ckpt_stats_cache.values())
+        while rows > self._CKPT_STATS_CACHE_MAX_ROWS and \
+                len(self._ckpt_stats_cache) > 1:
+            _, ev = self._ckpt_stats_cache.popitem(last=False)
+            rows -= len(ev)
         return out
 
     def _merged_stats(self, state: dict, table: str) -> dict:
@@ -1111,7 +1146,7 @@ class Warehouse:
         out: dict = {}
         spath = state.get("stats_ckpt")
         if spath:
-            out.update(self._ckpt_stats(spath).get(table, {}))
+            out.update(self._ckpt_stats(spath, table))
         out.update(state["stats"].get(table, {}))
         return out
 
@@ -1171,6 +1206,14 @@ class Warehouse:
                 if table in dvr:
                     state["dv_rows"].setdefault(table, {}).update(
                         dvr[table])
+        # partition-spec EVOLUTION (set_partition_spec): a metadata-only
+        # entry carries partition_by for a table with no file changes —
+        # the spec applies to future writes while existing files keep
+        # their recorded layout (reads and pruning resolve layout
+        # per-file from the relpath, Iceberg's spec-evolution contract)
+        for table, cols in pb.items():
+            if table not in entry.get("tables", {}):
+                state["partition_by"][table] = list(cols)
         # constraints are TABLE METADATA, not file-set state: applied in
         # log order on a channel of their own, never reset by replaces
         # (a compact/cluster/DML rewrite keeps the table's constraints)
@@ -1226,9 +1269,11 @@ class Warehouse:
                            "constraints": {}, "schema": {},
                            "bloom_cols": {}, "stats_ckpt": None}
             start = 0
+            skipped = 0  # newest checkpoint seq passed over as unusable
             for cseq in reversed(ckpt_seqs):
                 ck = self._load_checkpoint(cseq)
                 if ck is None:
+                    skipped = max(skipped, cseq)
                     continue
                 if ck.get("stats_file"):
                     # per-file stats live in a columnar SIDECAR beside
@@ -1238,6 +1283,7 @@ class Warehouse:
                     # write) is unusable: fall back to an older one.
                     spath = self._ckpt_stats_path(cseq)
                     if not os.path.isfile(spath):
+                        skipped = max(skipped, cseq)
                         continue
                     base_stats: dict = {}
                 else:  # legacy checkpoint: stats inline in the JSON
@@ -1262,6 +1308,30 @@ class Warehouse:
                 }
                 start = cseq
                 break
+            if skipped > start:
+                # falling back past an unusable checkpoint is only safe
+                # when every entry it folded still exists: expire_log
+                # may have deleted entries in (older base, skipped], and
+                # replaying without them silently reconstructs STALE
+                # state (entry_seqs lists only survivors, so the plain
+                # missing-entry guard below never fires for them)
+                have = set(entry_seqs)
+                gap = [s for s in range(start + 1, skipped + 1)
+                       if s not in have]
+                if gap:
+                    if not attempt:
+                        # a racing expire_log may have just written the
+                        # very checkpoint we found torn: one fresh
+                        # re-listing before declaring corruption
+                        continue
+                    raise RuntimeError(
+                        f"commit log inconsistent: checkpoint "
+                        f"{skipped:09d} is unusable (torn or missing "
+                        "stats sidecar) and entries "
+                        f"{gap[0]:09d}..{gap[-1]:09d} it folded were "
+                        "expired — replay from the older base "
+                        f"{start:09d} would silently lose their state"
+                    )
             parsed = 0
             missing = None
             for seq in entry_seqs:
@@ -1326,22 +1396,30 @@ class Warehouse:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tcol, rcol, scol = [], [], []
-        for t in sorted(state["tables"]):
-            merged = self._merged_stats(state, t)
-            for rel in sorted(state["tables"][t]):
-                s = merged.get(rel)
-                if s is not None:
-                    tcol.append(t)
-                    rcol.append(rel)
-                    scol.append(json.dumps(s, sort_keys=True))
-        stats_tb = pa.table({
-            "table": pa.array(tcol, type=pa.string()),
-            "rel": pa.array(rcol, type=pa.string()),
-            "stats": pa.array(scol, type=pa.string()),
-        })
+        schema = pa.schema([("table", pa.string()), ("rel", pa.string()),
+                            ("stats", pa.string())])
         stmp = os.path.join(d, f".ckpt-stats-tmp-{uuid.uuid4().hex[:8]}")
-        pq.write_table(stats_tb, stmp)
+        # SHARDED BY TABLE: one write_table call per table = at least
+        # one row group per table with tight min=max row-group stats on
+        # the ``table`` column, so a reader's ``table = t`` filter
+        # prunes every other table's row groups — the stats lookup for
+        # a 10-file table beside a 10M-file one materializes 10 rows.
+        with pq.ParquetWriter(stmp, schema) as w:
+            for t in sorted(state["tables"]):
+                merged = self._merged_stats(state, t)
+                rcol, scol = [], []
+                for rel in sorted(state["tables"][t]):
+                    s = merged.get(rel)
+                    if s is not None:
+                        rcol.append(rel)
+                        scol.append(json.dumps(s, sort_keys=True))
+                if rcol:
+                    w.write_table(pa.table({
+                        "table": pa.array([t] * len(rcol),
+                                          type=pa.string()),
+                        "rel": pa.array(rcol, type=pa.string()),
+                        "stats": pa.array(scol, type=pa.string()),
+                    }, schema=schema))
         os.replace(stmp, self._ckpt_stats_path(seq))
         ck = {"seq": seq, "stats_file": True,
               **{k: v for k, v in state.items()
@@ -1371,10 +1449,16 @@ class Warehouse:
             return 0  # pre-checkpoint entries survive: full history intact
         return oldest_ckpt
 
-    def expire_log(self, keep_entries: int = 256) -> int:
+    def expire_log(self, keep_entries: int = 256,
+                   keep_hours: float | None = None) -> int:
         """Bound the commit-log DIRECTORY: fold everything older than
         the newest ``keep_entries`` commits into one checkpoint and
         delete those entry files (plus superseded older checkpoints).
+        ``keep_hours`` switches to AGE-based retention (the Delta
+        ``RETAIN 168 HOURS`` idiom, riding each entry's recorded
+        commit wall clock): everything older than the cutoff expires,
+        however many entries that is, and ``keep_entries`` is ignored.
+        The newest entry always survives either way.
 
         Checkpointing already bounds the PARSING cost of a read; the
         per-read ``os.listdir`` is still O(total commits ever), which at
@@ -1401,9 +1485,27 @@ class Warehouse:
             # checkpoint) and expire_horizon would collapse to 0.
             raise ValueError("expire_log requires keep_entries >= 1")
         entry_seqs, ckpt_seqs = self._list_log()
-        if len(entry_seqs) <= keep_entries:
-            return 0
-        horizon = entry_seqs[-keep_entries - 1]  # newest expired seq
+        if keep_hours is not None:
+            # AGE-based retention (Delta's ``RETAIN n HOURS``): expire
+            # the longest PREFIX of entries older than the cutoff —
+            # prefix, not filter, because the horizon must stay a
+            # contiguous fold (wall clocks can wobble across
+            # committers) — and never the newest entry.
+            if keep_hours < 0:
+                raise ValueError("expire_log requires keep_hours >= 0")
+            cutoff = time.time() - keep_hours * 3600.0
+            horizon = 0
+            for seq in entry_seqs[:-1]:  # newest entry always survives
+                e = self._load_entry(seq)
+                if e is None or e.get("ts", float("inf")) >= cutoff:
+                    break
+                horizon = seq
+            if not horizon:
+                return 0
+        else:
+            if len(entry_seqs) <= keep_entries:
+                return 0
+            horizon = entry_seqs[-keep_entries - 1]  # newest expired seq
         self.write_checkpoint(horizon)
         d = self._manifest_dir()
         removed = 0
@@ -1758,6 +1860,69 @@ class Warehouse:
                     keys.append(k)
         return keys
 
+    def set_partition_spec(self, table: str,
+                           cols: list[str] | None) -> None:
+        """Iceberg-style partition-spec EVOLUTION, as one metadata-only
+        commit: writes from this commit on lay out under ``cols``
+        (hive ``k=v`` directories), existing files keep the layout they
+        were written with — nothing is rewritten. Reads union the
+        layout groups losslessly, pruning stays per-file (path values
+        for hive files, footer stats for flat ones), and a later
+        ``compact()`` normalizes everything to the current spec.
+        ``cols=None``/``[]`` evolves back to unpartitioned writes.
+
+        Declares the table's schema if it never evolved (the partition
+        columns' TYPES must be recoverable from hive path strings on a
+        mixed-layout read). Rejects unknown columns, hidden names, and
+        columns with a physical-name mapping (relpath keys are raw
+        physical names; a mapped column's path key would not match its
+        logical name)."""
+        table = table.lower()
+        if self._manifest_files(table) is None:
+            raise ValueError(
+                f"set_partition_spec: {table} is not commit-log "
+                "tracked (transactional layout metadata needs the log)")
+        cols = list(cols or [])
+        if len({c.lower() for c in cols}) != len(cols):
+            raise ValueError("set_partition_spec: duplicate columns")
+        for c in cols:
+            if c.startswith(("_", ".")):
+                raise ValueError(
+                    f"set_partition_spec: {c!r} is a reserved/hidden "
+                    "name (hidden directories stage zero visible files)")
+        decl, phys, retired = self._baseline_schema_meta(
+            table, "set_partition_spec")
+        ftypes = {f.name.lower(): f.dataType for f in decl.fields}
+        for c in cols:
+            want = ftypes.get(c.lower())
+            if want is None:
+                raise ValueError(
+                    f"set_partition_spec: {c!r} is not a column of "
+                    f"{table!r}")
+            if isinstance(want, (T.StructType, T.ArrayType, T.MapType,
+                                 T.BinaryType)):
+                raise ValueError(
+                    f"set_partition_spec: {c!r} is "
+                    f"{want.simpleString()} — partition columns must be "
+                    "atomic scalars (hive path keys are strings)")
+            if phys.get(c.lower(), c).lower() != c.lower():
+                raise ValueError(
+                    f"set_partition_spec: {c!r} has a physical-name "
+                    "mapping (renamed/re-added column) — hive path keys "
+                    "are physical; partition by an unmapped column")
+        txn = self.begin()
+        try:
+            txn.enforce_constraints = False  # metadata-only commit
+            txn.partition_by[table] = cols
+            if self._schema_meta(table)[0] is None:
+                txn.schema_updates = {
+                    table: self._schema_meta_json(decl, phys, retired)}
+            txn.commit()
+        except BaseException:
+            if not txn._done:
+                txn.abort()
+            raise
+
     def _schema_meta(self, table: str, at: int | None = None
                      ) -> tuple[T.StructType | None, dict, set]:
         """The table's declared-schema metadata, replayed as of ``at``:
@@ -1813,10 +1978,25 @@ class Warehouse:
         dropping a column only the newest files carry. Columns with a
         physical-name mapping (RENAME / re-add after DROP) scan under
         their PHYSICAL name and alias back to the logical one — one
-        projection, no data movement."""
+        projection, no data movement.
+
+        MIXED layouts (after ``set_partition_spec``: some files flat,
+        some hive-partitioned, or partitioned by different keys) are
+        read as one frame per layout group unioned by name — a single
+        basePath read over mixed layouts makes Spark's partition
+        discovery silently DROP the rows of files outside the
+        discovered layout."""
         p = self._path(table)
         reader = self.spark.read
         decl, phys, _ = self._schema_meta(table, at=at)
+        layouts: dict[frozenset, list[str]] = {}
+        for r in rels:
+            layouts.setdefault(
+                frozenset(k for k, _ in _partition_pairs_of(r)), []
+            ).append(r)
+        if len(layouts) > 1:
+            return self._mixed_layout_read(
+                table, p, layouts, decl, phys, merge_schema)
         if decl is not None:
             if phys:
                 physical = T.StructType([
@@ -1840,6 +2020,65 @@ class Warehouse:
         return reader.option("basePath", p).parquet(
             *[os.path.join(p, r) for r in rels])
 
+    def _mixed_layout_read(self, table: str, p: str, layouts: dict,
+                           decl, phys: dict,
+                           merge_schema: bool) -> DataFrame:
+        """One frame per partition-layout group, unioned by name: each
+        group's leaf files read directly (NO basePath, so no partition
+        discovery can misattribute rows), with that group's hive
+        partition values lifted back to columns by parsing
+        ``input_file_name()`` — constant per file, no data movement.
+        Path values are hive-unescaped, the NULL sentinel honored, and
+        cast to the DECLARED type when the table has one (``
+        set_partition_spec`` declares the schema for exactly this
+        reason); files missing a column of another layout surface it
+        as NULL via ``allowMissingColumns``."""
+        decl_types = {f.name.lower(): f.dataType
+                      for f in (decl.fields if decl is not None else [])}
+        frames = []
+        for keys, group in sorted(layouts.items(),
+                                  key=lambda kv: sorted(kv[0])):
+            kl = {k.lower() for k in keys}
+            reader = self.spark.read
+            if decl is not None:
+                in_file = [f for f in decl.fields
+                           if f.name.lower() not in kl]
+                physical = T.StructType([
+                    T.StructField(phys.get(f.name.lower(), f.name),
+                                  f.dataType, f.nullable)
+                    for f in in_file])
+                df = reader.schema(physical).parquet(
+                    *[os.path.join(p, r) for r in group])
+                df = df.select(*[
+                    F.col(phys.get(f.name.lower(), f.name)).alias(f.name)
+                    for f in in_file])
+            else:
+                if merge_schema:
+                    reader = reader.option("mergeSchema", "true")
+                df = reader.parquet(
+                    *[os.path.join(p, r) for r in group])
+            for k in sorted(keys):
+                raw = F.regexp_extract(
+                    F.input_file_name(),
+                    "(?:^|/)" + re.escape(k) + "=([^/]+)/", 1)
+                val = F.when(
+                    raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+                ).otherwise(F.coalesce(F.try_url_decode(raw), raw))
+                want = decl_types.get(k.lower())
+                if want is not None:
+                    val = val.cast(want)
+                df = df.withColumn(k, val)
+            frames.append(df)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr, allowMissingColumns=True)
+        if decl is not None:
+            # declared column order, same contract as the single-layout
+            # declared read (undeclared layout keys are dropped there
+            # too by the decl-order projection)
+            out = out.select(*[f.name for f in decl.fields])
+        return out
+
     def add_columns(self, table: str, cols: dict[str, str]) -> None:
         """``ALTER TABLE table ADD COLUMNS (name type, ...)`` —
         metadata-ONLY commit (no file is touched, Delta's contract):
@@ -1851,36 +2090,39 @@ class Warehouse:
         replays the OLD schema. Rejects duplicates of existing
         columns."""
         table = table.lower()
-        decl, phys, retired = self._baseline_schema_meta(
-            table, "add_columns")
-        have = {f.name.lower() for f in decl.fields}
-        used_phys = {phys.get(f.name.lower(), f.name).lower()
-                     for f in decl.fields} | retired
-        fields = list(decl.fields)
-        for name, typ in cols.items():
-            if name.lower() in have:
-                raise ValueError(
-                    f"add_columns: column {name!r} already exists "
-                    f"on {table!r}")
-            if name.startswith(("_", ".")):
-                raise ValueError(
-                    f"add_columns: {name!r} is a reserved/hidden name")
-            if name.lower() in used_phys:
-                # the name's PHYSICAL slot is taken (a dropped column's
-                # old bytes, or another column renamed onto it): bind a
-                # fresh physical name so old files' stale bytes —
-                # possibly a different type — stay invisible (the Delta
-                # column-mapping re-add contract)
-                pname = f"{name}__r{uuid.uuid4().hex[:6]}"
-                phys[name.lower()] = pname
-                used_phys.add(pname.lower())
-            else:
-                used_phys.add(name.lower())
-            fields.append(T.StructField(
-                name, T._parse_datatype_string(typ), True))
-            have.add(name.lower())
-        self._commit_schema_meta(table, T.StructType(fields), phys,
-                                 retired)
+
+        def _mutate(decl, phys, retired):
+            have = {f.name.lower() for f in decl.fields}
+            used_phys = {phys.get(f.name.lower(), f.name).lower()
+                         for f in decl.fields} | retired
+            fields = list(decl.fields)
+            for name, typ in cols.items():
+                if name.lower() in have:
+                    raise ValueError(
+                        f"add_columns: column {name!r} already exists "
+                        f"on {table!r}")
+                if name.startswith(("_", ".")):
+                    raise ValueError(
+                        f"add_columns: {name!r} is a reserved/hidden "
+                        "name")
+                if name.lower() in used_phys:
+                    # the name's PHYSICAL slot is taken (a dropped
+                    # column's old bytes, or another column renamed onto
+                    # it): bind a fresh physical name so old files'
+                    # stale bytes — possibly a different type — stay
+                    # invisible (the Delta column-mapping re-add
+                    # contract)
+                    pname = f"{name}__r{uuid.uuid4().hex[:6]}"
+                    phys[name.lower()] = pname
+                    used_phys.add(pname.lower())
+                else:
+                    used_phys.add(name.lower())
+                fields.append(T.StructField(
+                    name, T._parse_datatype_string(typ), True))
+                have.add(name.lower())
+            return T.StructType(fields), phys, retired
+
+        self._alter_schema_meta(table, "add_columns", _mutate)
 
     def drop_column(self, table: str, col: str) -> None:
         """``ALTER TABLE table DROP COLUMN col`` — metadata-ONLY (the
@@ -1894,20 +2136,21 @@ class Warehouse:
         columns referenced by a live CHECK constraint, and bloom-
         indexed columns — drop those dependencies first."""
         table, col = table.lower(), col.lower()
-        decl, phys, retired = self._baseline_schema_meta(
-            table, "drop_column")
-        if col not in {f.name.lower() for f in decl.fields}:
-            raise ValueError(
-                f"drop_column: {col!r} is not a column of {table!r}")
-        self._guard_column_dependencies(table, col, "drop_column")
-        fields = [f for f in decl.fields if f.name.lower() != col]
-        if not fields:
-            raise ValueError(
-                f"drop_column: cannot drop {table!r}'s last column")
-        retired = set(retired) | {phys.get(col, col).lower()}
-        phys.pop(col, None)
-        self._commit_schema_meta(table, T.StructType(fields), phys,
-                                 retired)
+
+        def _mutate(decl, phys, retired):
+            if col not in {f.name.lower() for f in decl.fields}:
+                raise ValueError(
+                    f"drop_column: {col!r} is not a column of {table!r}")
+            self._guard_column_dependencies(table, col, "drop_column")
+            fields = [f for f in decl.fields if f.name.lower() != col]
+            if not fields:
+                raise ValueError(
+                    f"drop_column: cannot drop {table!r}'s last column")
+            retired = set(retired) | {phys.get(col, col).lower()}
+            phys.pop(col, None)
+            return T.StructType(fields), phys, retired
+
+        self._alter_schema_meta(table, "drop_column", _mutate)
 
     def rename_column(self, table: str, old: str, new: str) -> None:
         """``ALTER TABLE table RENAME COLUMN old TO new`` — metadata-
@@ -1916,28 +2159,32 @@ class Warehouse:
         in the declared schema moves. Same dependency guards as
         ``drop_column``."""
         table = table.lower()
-        decl, phys, retired = self._baseline_schema_meta(
-            table, "rename_column")
-        names = {f.name.lower() for f in decl.fields}
         ol, nl = old.lower(), new.lower()
-        if ol not in names:
-            raise ValueError(
-                f"rename_column: {old!r} is not a column of {table!r}")
-        if nl in names:
-            raise ValueError(
-                f"rename_column: {new!r} already exists on {table!r}")
-        if new.startswith(("_", ".")):
-            raise ValueError(
-                f"rename_column: {new!r} is a reserved/hidden name")
-        self._guard_column_dependencies(table, ol, "rename_column")
-        pname = phys.pop(ol, None) or next(
-            f.name for f in decl.fields if f.name.lower() == ol)
-        if pname.lower() != nl:
-            phys[nl] = pname
-        fields = [T.StructField(new, f.dataType, f.nullable)
-                  if f.name.lower() == ol else f for f in decl.fields]
-        self._commit_schema_meta(table, T.StructType(fields), phys,
-                                 set(retired))
+
+        def _mutate(decl, phys, retired):
+            names = {f.name.lower() for f in decl.fields}
+            if ol not in names:
+                raise ValueError(
+                    f"rename_column: {old!r} is not a column of "
+                    f"{table!r}")
+            if nl in names:
+                raise ValueError(
+                    f"rename_column: {new!r} already exists on "
+                    f"{table!r}")
+            if new.startswith(("_", ".")):
+                raise ValueError(
+                    f"rename_column: {new!r} is a reserved/hidden name")
+            self._guard_column_dependencies(table, ol, "rename_column")
+            pname = phys.pop(ol, None) or next(
+                f.name for f in decl.fields if f.name.lower() == ol)
+            if pname.lower() != nl:
+                phys[nl] = pname
+            fields = [T.StructField(new, f.dataType, f.nullable)
+                      if f.name.lower() == ol else f
+                      for f in decl.fields]
+            return T.StructType(fields), phys, set(retired)
+
+        self._alter_schema_meta(table, "rename_column", _mutate)
 
     def _baseline_schema_meta(self, table: str, op: str
                               ) -> tuple[T.StructType, dict, set]:
@@ -1984,11 +2231,36 @@ class Warehouse:
                 f"{op}: {table!r} has live merge-on-read deletion "
                 "vectors — fold_dv()/compact() them first")
 
+    def _alter_schema_meta(self, table: str, op: str, mutate) -> None:
+        """Optimistic-concurrency driver for the metadata-only ALTER
+        ops: read the CURRENT declared-schema baseline, apply
+        ``mutate(decl, phys, retired)``, commit with the base snapshot
+        recorded — a concurrent schema commit on the same table raises
+        ``CommitConflict`` (the schema channel is whole-value replace;
+        re-committing a stale payload would silently drop the
+        concurrent change) and the op recomputes from the fresh
+        baseline."""
+        for attempt in range(3):
+            self._invalidate_state()
+            base_seq = self._latest_seq()
+            decl, phys, retired = self._baseline_schema_meta(table, op)
+            new_decl, new_phys, new_retired = mutate(
+                decl, dict(phys), set(retired))
+            try:
+                self._commit_schema_meta(table, new_decl, new_phys,
+                                         new_retired, base_seq=base_seq)
+                return
+            except CommitConflict:
+                if attempt == 2:
+                    raise
+
     def _commit_schema_meta(self, table: str, decl: T.StructType,
-                            phys: dict, retired: set) -> None:
+                            phys: dict, retired: set,
+                            base_seq: int | None = None) -> None:
         txn = self.begin()
         try:
             txn.enforce_constraints = False  # metadata-only commit
+            txn.base_seq = base_seq
             if self._manifest_files(table) is None:
                 # adopt a legacy table (same contract as add_constraint)
                 txn.pending[table] = _data_files(self._path(table))
@@ -2138,6 +2410,13 @@ class Warehouse:
         if missing:
             raise ValueError(
                 f"set_bloom_filter: {missing} not columns of {table!r}")
+        nested = [c for c in cols if schema[c].startswith(
+            ("struct<", "array<", "map<", "binary"))]
+        if nested:
+            raise ValueError(
+                f"set_bloom_filter: {nested} are nested/binary columns "
+                "— bloom bitsets index atomic scalar columns only "
+                "(probe literals must cast cleanly to the hashed type)")
         _, physmap, _ = self._schema_meta(table)
         mapped = [c for c in cols
                   if physmap.get(c.lower(), c).lower() != c.lower()]
@@ -2580,7 +2859,88 @@ class Warehouse:
             return []
         return t.pending.get(table.lower(), [])
 
-    def vacuum_orphans(self, table: str) -> int:
+    def clone_table(self, src: str, dst: str) -> int:
+        """Zero-copy SHALLOW CLONE (the Delta ``CREATE TABLE dst
+        SHALLOW CLONE src`` analog): ``dst`` is born with ONE commit
+        referencing the source head snapshot's data. Files are
+        HARD-LINKED into the clone's directory (same inode, no bytes
+        moved), which makes vacuum safety structural instead of
+        policy: either side's DML/compact/vacuum unlinks only its OWN
+        directory entry, and the shared inode lives until both sides
+        drop it — no cross-table reference tracking, no retention
+        pinning. Cross-device roots degrade to a byte copy per file.
+
+        Table metadata carries: partition spec, declared schema +
+        column mapping, CHECK constraints, bloom config, live deletion
+        vectors (sidecars linked too), and per-file stats (folded into
+        a checkpoint sidecar right away, so the one O(table) clone
+        entry never burdens later replays). The clone's history starts
+        at this commit — time travel into the source's past happens on
+        the source. Returns the number of files linked."""
+        src, dst = src.lower(), dst.lower()
+        mf = self._manifest_files(src)
+        if mf is None:
+            raise ValueError(
+                f"clone_table: {src} is not commit-log tracked")
+        if self._manifest_files(dst) is not None or _data_files(
+                self._path(dst)):
+            raise ValueError(f"clone_table: {dst} already exists")
+        state = self._replay_state()
+        src_dir, dst_dir = self._path(src), self._path(dst)
+        dv_map = self._dv_state(src)
+        linked = 0
+        try:
+            for rel in list(mf) + sorted(dv_map):
+                s = os.path.join(src_dir, rel)
+                d = os.path.join(dst_dir, rel)
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)  # cross-device: correct, not 0-copy
+                linked += 1
+        except BaseException:
+            shutil.rmtree(dst_dir, ignore_errors=True)
+            raise
+        txn = Transaction(self)
+        try:
+            txn.enforce_constraints = False
+            txn.pending[dst] = list(mf)
+            st = self._manifest_stats(src)
+            if st:
+                txn.stats[dst] = {r: dict(v) for r, v in st.items()}
+            pb = state["partition_by"].get(src)
+            if pb:
+                txn.partition_by[dst] = list(pb)
+            if dv_map:
+                txn.dv[dst] = {k: list(v) for k, v in dv_map.items()}
+                rows = state["dv_rows"].get(src)
+                if rows:
+                    txn.dv_rows[dst] = dict(rows)
+            cons = state["constraints"].get(src)
+            if cons:
+                txn.constraints = {dst: {"add": dict(cons)}}
+            sj = state["schema"].get(src)
+            if sj:
+                txn.schema_updates = {dst: sj}
+            bc = state["bloom_cols"].get(src)
+            if bc:
+                txn.bloom_cols = {dst: dict(bc)}
+            txn.commit()
+        except BaseException:
+            if not txn._done:
+                txn.abort()
+            shutil.rmtree(dst_dir, ignore_errors=True)
+            raise
+        with contextlib.suppress(Exception):
+            # fold the clone entry's inline stats into a columnar
+            # checkpoint sidecar immediately: later replays stay
+            # O(suffix) JSON even for a million-file clone
+            self.write_checkpoint()
+        return linked
+
+    def vacuum_orphans(self, table: str,
+                       retain_hours: float | None = None) -> int:
         """Delete data files a crashed (uncommitted) transaction left in
         a tracked table's directory. Returns files removed.
 
@@ -2592,7 +2952,22 @@ class Warehouse:
         ``read_at``, so its superseded files are NOT orphans; only
         ``compact``/``cluster`` (which delete files themselves and
         advance the retention boundary) ever strand history. Cost is
-        O(retained entries) control-plane JSON, no data reads."""
+        O(retained entries) control-plane JSON, no data reads.
+
+        ``retain_hours`` additionally keeps any unreferenced file whose
+        mtime is younger than the cutoff (the Delta VACUUM retention
+        window): a writer mid-stage on another machine may have created
+        files this process cannot yet see a commit for."""
+        cutoff = (time.time() - retain_hours * 3600.0
+                  if retain_hours is not None else None)
+
+        def _young(fp: str) -> bool:
+            if cutoff is None:
+                return False
+            try:
+                return os.path.getmtime(fp) >= cutoff
+            except OSError:
+                return True  # racing writer: keep
         mf = self._manifest_files(table)
         if mf is None:
             return 0  # untracked: legacy layout owns every file
@@ -2614,7 +2989,8 @@ class Warehouse:
                     continue
                 rel_dir = os.path.relpath(dirpath, table_dir)
                 rel = os.path.join(rel_dir, fn) if rel_dir != "." else fn
-                if rel not in keep:
+                if rel not in keep and not _young(
+                        os.path.join(dirpath, fn)):
                     with contextlib.suppress(OSError):
                         os.remove(os.path.join(dirpath, fn))
                         removed += 1
@@ -2647,7 +3023,8 @@ class Warehouse:
                             os.remove(fp)
                             removed += 1
                     continue
-                if os.path.join("_dv", fn) not in keep_dv:
+                if os.path.join("_dv", fn) not in keep_dv \
+                        and not _young(fp):
                     with contextlib.suppress(OSError):
                         os.remove(fp)
                         removed += 1
@@ -3429,8 +3806,15 @@ class Warehouse:
                 "the initial data instead of merging into nothing"
             )
         sidecar = (cdf_table or f"{table}__cdf").lower() if cdf else None
-        evolved_json, new_target_cols = None, []
-        if schema_evolution:
+
+        def _compute_evolution() -> tuple[str | None, list]:
+            """Evolved-schema payload from the CURRENT replayed schema.
+            Called inside the retry loop: the schema channel is whole-
+            value replace, so a conflict retry must fold in any columns
+            a concurrent add_columns/evolving commit declared — a stale
+            payload would silently drop them from the declaration."""
+            if not schema_evolution:
+                return None, []
             decl, physmap, retired = self._schema_meta(table)
             if decl is None:
                 # first evolution declares the table (footer-union
@@ -3454,26 +3838,26 @@ class Warehouse:
                     "merge_when(schema_evolution=True): shared-column "
                     f"type conflict(s) {conflicts} — cast the source "
                     "explicitly; evolution only ADDS columns")
-            if new_fields:
-                physmap = dict(physmap)
-                used_phys = {physmap.get(f.name.lower(),
-                                         f.name).lower()
-                             for f in decl.fields} | set(retired)
-                for f in new_fields:
-                    if f.name.lower() in used_phys:
-                        pname = f"{f.name}__r{uuid.uuid4().hex[:6]}"
-                        physmap[f.name.lower()] = pname
-                        used_phys.add(pname.lower())
-                    else:
-                        used_phys.add(f.name.lower())
-                evolved = T.StructType(
-                    list(decl.fields) + [
-                        T.StructField(f.name, f.dataType, True)
-                        for f in new_fields])
-                evolved_json = self._schema_meta_json(
-                    evolved, physmap, set(retired))
-                new_target_cols = [(f.name, f.dataType)
-                                   for f in new_fields]
+            if not new_fields:
+                return None, []
+            physmap = dict(physmap)
+            used_phys = {physmap.get(f.name.lower(),
+                                     f.name).lower()
+                         for f in decl.fields} | set(retired)
+            for f in new_fields:
+                if f.name.lower() in used_phys:
+                    pname = f"{f.name}__r{uuid.uuid4().hex[:6]}"
+                    physmap[f.name.lower()] = pname
+                    used_phys.add(pname.lower())
+                else:
+                    used_phys.add(f.name.lower())
+            evolved = T.StructType(
+                list(decl.fields) + [
+                    T.StructField(f.name, f.dataType, True)
+                    for f in new_fields])
+            return (self._schema_meta_json(evolved, physmap,
+                                           set(retired)),
+                    [(f.name, f.dataType) for f in new_fields])
         # source ON-key bounds: a NECESSARY prune (any matched target
         # row shares its key with a source row, so it lies in bounds)
         aggs = []
@@ -3506,6 +3890,7 @@ class Warehouse:
         for attempt in range(3):
             self._invalidate_state()
             base_seq = self._latest_seq()
+            evolved_json, new_target_cols = _compute_evolution()
             mf = list(self._manifest_files(table) or [])
             stats = self._manifest_stats(table)
             dv_map = self._dv_state(table)

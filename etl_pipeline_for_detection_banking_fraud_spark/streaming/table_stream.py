@@ -788,8 +788,12 @@ def stream_table(spark, root: str, table: str, *,
     register(spark)
     if cdf:
         table = (cdf_table or f"{table}__cdf").lower()
-        if not Warehouse(None, root, checkpoint_interval=0) \
-                ._manifest_files(table):
+        # UNTRACKED (None) means no cdf=True DML ever created the
+        # sidecar — a tracked-but-currently-empty manifest ([]) is a
+        # live feed that simply has no changes yet, and the stream
+        # should open and wait for them
+        if Warehouse(spark, root, checkpoint_interval=0) \
+                ._manifest_files(table) is None:
             raise ValueError(
                 f"{table} does not exist: no cdf=True DML (delete_where"
                 " / update_where / merge_when / merge_table) has "

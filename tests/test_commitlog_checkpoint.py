@@ -570,3 +570,127 @@ class TestAutoExpiry:
     def test_bad_expire_keep_rejected(self, tmp_path):
         with pytest.raises(ValueError, match="expire_keep"):
             Warehouse(None, str(tmp_path / "wh"), expire_keep=0)
+
+
+class TestSkippedCheckpointGap:
+    """Round-12 advisor item: a checkpoint skipped as unusable (torn
+    JSON / missing stats sidecar) makes replay fall back to an older
+    base — but if expire_log already deleted entries the skipped
+    checkpoint folded, the fallback would silently reconstruct STALE
+    state. The gap must raise the same 'commit log inconsistent'."""
+
+    def test_missing_sidecar_with_expired_gap_raises(self, tmp_path):
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 20)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        wh.expire_log(keep_entries=5)  # horizon ckpt@15, entries 16..20
+        # the horizon checkpoint loses its stats sidecar (torn write)
+        os.remove(os.path.join(
+            root, "_commitlog", "000000015.checkpoint.stats.parquet"))
+        cold = Warehouse(None, root, checkpoint_interval=0)
+        with pytest.raises(RuntimeError, match="commit log inconsistent"):
+            cold._manifest_files("events")
+
+    def test_missing_sidecar_without_gap_degrades(self, tmp_path):
+        """When every entry the skipped checkpoint folded still exists,
+        the fallback replay is lossless and must succeed (checkpoints
+        stay an optimization)."""
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 20)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        wh.write_checkpoint()  # ckpt@20, all 20 entries survive
+        os.remove(os.path.join(
+            root, "_commitlog", "000000020.checkpoint.stats.parquet"))
+        cold = Warehouse(None, root, checkpoint_interval=0)
+        assert len(cold._manifest_files("events")) == 20
+        assert cold.last_replay_parsed == 20  # full replay fallback
+
+    def test_torn_checkpoint_json_with_expired_gap_raises(self, tmp_path):
+        root = str(tmp_path / "wh")
+        _fabricate_log(root, 20)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        wh.expire_log(keep_entries=5)
+        p = os.path.join(root, "_commitlog", "000000015.checkpoint.json")
+        with open(p, "w") as f:
+            f.write('{"seq": 15, "tab')  # torn mid-write
+        cold = Warehouse(None, root, checkpoint_interval=0)
+        with pytest.raises(RuntimeError, match="commit log inconsistent"):
+            cold._manifest_files("events")
+
+
+class TestTimeBasedRetention:
+    """Round-12 verdict item #8: age-based expiry (`expire_log(
+    keep_hours=...)`) and a vacuum retention window
+    (`vacuum_orphans(retain_hours=...)`) riding each entry's recorded
+    commit wall clock / file mtimes."""
+
+    @staticmethod
+    def _fabricate_aged_log(root, n, age_step_hours=1.0):
+        """n entries whose ts walk backward in time: entry 1 is the
+        oldest ((n-1) * step hours ago), entry n committed now."""
+        import time as _t
+
+        log_dir = os.path.join(root, "_commitlog")
+        os.makedirs(log_dir, exist_ok=True)
+        now = _t.time()
+        for seq in range(1, n + 1):
+            entry = {
+                "txn": f"aged{seq:06d}", "op": "add",
+                "ts": now - (n - seq) * age_step_hours * 3600.0,
+                "tables": {"events": [f"txn-aged{seq:06d}.parquet"]},
+            }
+            with open(os.path.join(log_dir, f"{seq:09d}.json"), "w") as f:
+                json.dump(entry, f)
+
+    def test_age_based_horizon_advances(self, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            SnapshotExpired,
+        )
+
+        root = str(tmp_path / "wh")
+        self._fabricate_aged_log(root, 24)  # 23h old .. now, hourly
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        removed = wh.expire_log(keep_hours=5.5)  # entries 1..18 expire
+        assert removed == 18
+        cold = Warehouse(None, root)
+        assert cold.expire_horizon() == 18
+        assert len(cold._manifest_files("events")) == 24  # state intact
+        assert [s["seq"] for s in cold.snapshots()] == list(range(19, 25))
+        with pytest.raises(SnapshotExpired):
+            cold.read_at("events", 17)
+
+    def test_age_expiry_keeps_newest_and_is_idempotent(self, tmp_path):
+        root = str(tmp_path / "wh")
+        self._fabricate_aged_log(root, 6)
+        wh = Warehouse(None, root, checkpoint_interval=0)
+        # cutoff older than everything: nothing expires
+        assert wh.expire_log(keep_hours=1e6) == 0
+        # cutoff in the future: everything but the newest entry expires
+        assert wh.expire_log(keep_hours=0) == 5
+        assert wh.expire_log(keep_hours=0) == 0  # idempotent
+        cold = Warehouse(None, root)
+        assert len(cold._manifest_files("events")) == 6
+        with pytest.raises(ValueError, match="keep_hours >= 0"):
+            wh.expire_log(keep_hours=-1)
+
+    def test_vacuum_retention_window_keeps_young_orphans(
+            self, spark, tmp_path):
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction() as t:
+            t.append(spark.createDataFrame(
+                [(1,)], "id int").coalesce(1), "ev")
+        # fabricate an orphan (a crashed writer's staged file)
+        orphan = os.path.join(root, "ev", "txn-crashed-001-00000.parquet")
+        committed = os.path.join(root, "ev", wh._manifest_files("ev")[0])
+        import shutil as _sh
+        _sh.copyfile(committed, orphan)
+        # young orphan inside the retention window survives
+        assert wh.vacuum_orphans("ev", retain_hours=1.0) == 0
+        assert os.path.exists(orphan)
+        # aged out (mtime pushed past the window): reclaimed
+        old = __import__("time").time() - 7200
+        os.utime(orphan, (old, old))
+        assert wh.vacuum_orphans("ev", retain_hours=1.0) == 1
+        assert not os.path.exists(orphan)
+        assert wh.read("ev").count() == 1

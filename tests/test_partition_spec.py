@@ -1,0 +1,187 @@
+"""Partition-spec evolution (round-12 verdict item #6).
+
+``set_partition_spec(table, cols)`` is a metadata-only commit — the
+Iceberg spec-evolution contract: writes from that commit on lay out
+under the new spec, existing files keep the layout they were written
+with (nothing is rewritten), reads union the layout groups losslessly
+(a naive basePath read over mixed layouts makes Spark's partition
+discovery silently DROP the off-layout files' rows), pruning stays
+per-file, and ``compact()`` normalizes everything to the current spec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+    Warehouse,
+)
+
+
+def _wh(spark, tmp_path, name="w"):
+    root = os.path.join(str(tmp_path), name)
+    os.makedirs(root, exist_ok=True)
+    return Warehouse(spark, root)
+
+
+def _seed_flat(spark, wh, table="ev", days=(1, 2)):
+    rows = [(d * 100 + i, f"2021-03-0{d}", float(i))
+            for d in days for i in range(5)]
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            rows, "id int, dt string, v double").coalesce(1), table)
+    return rows
+
+
+class TestSpecEvolution:
+    def test_metadata_only_commit_and_future_writes(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed_flat(spark, wh)
+        files_before = wh._manifest_files("ev")
+        wh.set_partition_spec("ev", ["dt"])
+        # metadata-only: no file rewritten, spec recorded
+        assert wh._manifest_files("ev") == files_before
+        assert wh.table_partition_by("ev") == ["dt"]
+        entry = json.load(open(os.path.join(
+            wh.root, "_commitlog", f"{wh._latest_seq():09d}.json")))
+        assert entry["partition_by"] == {"ev": ["dt"]}
+        assert not entry["tables"]
+
+        # a bare append now lands under the NEW spec without the caller
+        # passing partition_by
+        wh.append(spark.createDataFrame(
+            [(301, "2021-03-03", 9.0)], "id int, dt string, v double"),
+            "ev")
+        new = [r for r in wh._manifest_files("ev")
+               if r not in files_before]
+        assert new and all(r.startswith("dt=2021-03-03") for r in new)
+
+    def test_mixed_layout_read_is_lossless(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        rows = _seed_flat(spark, wh)
+        wh.set_partition_spec("ev", ["dt"])
+        wh.append(spark.createDataFrame(
+            [(301, "2021-03-03", 9.0), (302, "2021-03-03", 8.0)],
+            "id int, dt string, v double"), "ev")
+        got = {(r["id"], r["dt"], r["v"])
+               for r in wh.read("ev").collect()}
+        want = set(rows) | {(301, "2021-03-03", 9.0),
+                            (302, "2021-03-03", 8.0)}
+        assert got == want
+        # dt keeps its DECLARED type (string) across both layouts
+        assert dict(wh.read("ev").dtypes)["dt"] == "string"
+
+    def test_prune_across_mixed_layouts(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        wh2 = None
+        # two flat files (day 1, day 2), then two hive files (days 3, 4)
+        with _wh(spark, tmp_path).transaction():
+            pass
+        wh = _wh(spark, tmp_path, "w2")
+        for d in (1, 2):
+            with wh.transaction() as t:
+                t.append(spark.createDataFrame(
+                    [(d * 100 + i, f"2021-03-0{d}", float(i))
+                     for i in range(5)],
+                    "id int, dt string, v double").coalesce(1), "ev")
+        wh.set_partition_spec("ev", ["dt"])
+        for d in (3, 4):
+            wh.append(spark.createDataFrame(
+                [(d * 100 + i, f"2021-03-0{d}", float(i))
+                 for i in range(5)],
+                "id int, dt string, v double").coalesce(1), "ev")
+        # point-prune a FLAT day: footer stats skip the other flat file
+        # and every hive file
+        df = wh.read("ev", prune={"dt": ("2021-03-02", "2021-03-02")})
+        assert sorted(r["id"] for r in df.where(
+            "dt = '2021-03-02'").collect()) == [200 + i for i in range(5)]
+        assert len(df.inputFiles()) == 1
+        # point-prune a HIVE day: path value skips everything else
+        df = wh.read("ev", prune={"dt": ("2021-03-04", "2021-03-04")})
+        assert len(df.inputFiles()) == 1
+        assert sorted(r["id"] for r in df.collect()) == \
+            [400 + i for i in range(5)]
+        assert wh2 is None
+
+    def test_compact_normalizes_to_current_spec(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        rows = _seed_flat(spark, wh)
+        wh.set_partition_spec("ev", ["dt"])
+        wh.append(spark.createDataFrame(
+            [(301, "2021-03-03", 9.0)], "id int, dt string, v double"),
+            "ev")
+        wh.compact("ev")
+        live = wh._manifest_files("ev")
+        assert live and all(r.startswith("dt=") for r in live)
+        got = {(r["id"], r["dt"], r["v"])
+               for r in wh.read("ev").collect()}
+        assert got == set(rows) | {(301, "2021-03-03", 9.0)}
+        # post-compact the layout is uniform: single-group read path
+        assert len({tuple(sorted(k for k in [seg.split("=")[0]
+                    for seg in r.split(os.sep)[:-1]]))
+                    for r in live}) == 1
+
+    def test_evolve_back_to_flat(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed_flat(spark, wh)
+        wh.set_partition_spec("ev", ["dt"])
+        wh.append(spark.createDataFrame(
+            [(301, "2021-03-03", 9.0)], "id int, dt string, v double"),
+            "ev")
+        wh.set_partition_spec("ev", None)
+        wh.append(spark.createDataFrame(
+            [(401, "2021-03-04", 1.0)], "id int, dt string, v double"),
+            "ev")
+        new = [r for r in wh._manifest_files("ev") if "dt=" not in r]
+        assert wh.read("ev").count() == 12
+        assert len(new) >= 2  # the two flat seeds + the new flat file
+        assert wh.table_partition_by("ev") == []
+
+    def test_spec_survives_checkpoint_and_time_travel(self, spark,
+                                                      tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed_flat(spark, wh)
+        pre = wh._latest_seq()
+        wh.set_partition_spec("ev", ["dt"])
+        wh.write_checkpoint()
+        cold = Warehouse(spark, wh.root)
+        assert cold.table_partition_by("ev") == ["dt"]
+        assert cold.last_replay_parsed == 0
+        # time travel below the spec commit replays the old (derived)
+        # spec: no recorded entry -> layout-derived keys (flat = none)
+        assert cold._replay_state(at=pre)["partition_by"].get("ev") is None
+
+    def test_guards(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed_flat(spark, wh)
+        with pytest.raises(ValueError, match="not a column"):
+            wh.set_partition_spec("ev", ["nope"])
+        with pytest.raises(ValueError, match="reserved/hidden"):
+            wh.set_partition_spec("ev", ["_hidden"])
+        with pytest.raises(ValueError, match="duplicate"):
+            wh.set_partition_spec("ev", ["dt", "DT"])
+        with pytest.raises(ValueError, match="not commit-log tracked"):
+            wh.set_partition_spec("ghost", ["dt"])
+        # renamed column: physical path keys would not match
+        wh.rename_column("ev", "v", "val")
+        wh.add_columns("ev", {"v": "double"})  # re-add: mapped slot
+        with pytest.raises(ValueError, match="physical-name mapping"):
+            wh.set_partition_spec("ev", ["v"])
+
+    def test_dml_respects_mixed_layout(self, spark, tmp_path):
+        """A DELETE over a mixed-layout table rewrites the touched file
+        in ITS layout group without losing the other group's rows."""
+        wh = _wh(spark, tmp_path)
+        rows = _seed_flat(spark, wh)
+        wh.set_partition_spec("ev", ["dt"])
+        wh.append(spark.createDataFrame(
+            [(301, "2021-03-03", 9.0), (302, "2021-03-03", 8.0)],
+            "id int, dt string, v double"), "ev")
+        n = wh.delete_where("ev", "id = 302")
+        assert n == 1
+        got = {(r["id"], r["dt"]) for r in wh.read("ev").collect()}
+        assert (302, "2021-03-03") not in got
+        assert len(got) == len(rows) + 1

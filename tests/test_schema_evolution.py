@@ -490,3 +490,210 @@ class TestMergeSchemaEvolution:
             wh.append(spark.createDataFrame(
                 [(7, -1.0, "bad")], "k int, v double, note string"),
                 "t")
+
+
+class TestConcurrentSchemaCommits:
+    """The schema channel is whole-value replace per table: concurrent
+    schema commits must conflict (first-writer-wins), and retrying
+    writers must recompute from the refreshed declaration instead of
+    re-committing a stale payload that silently drops the concurrent
+    column."""
+
+    def test_merge_evolution_retry_folds_concurrent_add_columns(
+            self, spark, tmp_path, monkeypatch):
+        from etl_pipeline_for_detection_banking_fraud_spark.operators import (
+            merge as M,
+        )
+        from etl_pipeline_for_detection_banking_fraud_spark.sources import (
+            warehouse as W,
+        )
+
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        other = W.Warehouse(spark, wh.root)
+        src = spark.createDataFrame(
+            [(1, 99.0, "n")], "id int, amt double, note string")
+        real_commit = W.Transaction.commit
+        fired = {"done": False}
+
+        def hooked(txn):
+            # inject a concurrent ALTER TABLE ADD COLUMNS between the
+            # merge's base snapshot and its commit — exactly once, and
+            # only for the merge's replace transaction (the injected
+            # add_columns commits through this hook too)
+            if txn.replace and not fired["done"]:
+                fired["done"] = True
+                other.add_columns("tx", {"extra": "int"})
+            return real_commit(txn)
+
+        monkeypatch.setattr(W.Transaction, "commit", hooked)
+        res = wh.merge_when(
+            "tx", src, ["id"],
+            matched=[M.when_matched_update(
+                {"amt": "source.amt", "note": "source.note"})],
+            schema_evolution=True)
+        assert res == {"updated": 1, "deleted": 0, "inserted": 0}
+        assert fired["done"]
+        decl = wh._schema_meta("tx")[0]
+        names = [f.name for f in decl.fields]
+        # neither the concurrent column nor the evolved one was lost
+        assert "extra" in names and "note" in names
+        rows = {r["id"]: r for r in wh.read("tx").collect()}
+        assert rows[1]["amt"] == 99.0 and rows[1]["note"] == "n"
+        assert rows[1]["extra"] is None and rows[2]["extra"] is None
+
+    def test_concurrent_alter_ops_both_land(self, spark, tmp_path,
+                                            monkeypatch):
+        """Two racing ALTERs: the loser detects the conflict and
+        recomputes — both columns end up declared."""
+        from etl_pipeline_for_detection_banking_fraud_spark.sources import (
+            warehouse as W,
+        )
+
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        other = W.Warehouse(spark, wh.root)
+        real_commit = W.Transaction.commit
+        fired = {"done": False}
+
+        def hooked(txn):
+            if txn.schema_updates and not fired["done"]:
+                fired["done"] = True
+                other.add_columns("tx", {"b": "string"})
+            return real_commit(txn)
+
+        monkeypatch.setattr(W.Transaction, "commit", hooked)
+        wh.add_columns("tx", {"a": "int"})
+        decl = wh._schema_meta("tx")[0]
+        assert {"a", "b"} <= {f.name for f in decl.fields}
+
+
+class TestStructColumns:
+    """Round-12 verdict item #3: struct columns across the metadata
+    surfaces — declared-schema evolution round-trips, constraints on
+    leaf fields enforce, prune/stats degrade safely (structs carry no
+    footer bounds here — absence keeps the file), layout/bloom
+    surfaces refuse with typed errors instead of mixed behavior."""
+
+    def test_add_struct_column_roundtrips(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"meta": "struct<score:double,tag:string>"})
+        # pre-evolution rows surface a typed NULL struct
+        rows = wh.read("tx").orderBy("id").collect()
+        assert all(r["meta"] is None for r in rows)
+        # appends carry it physically; leaf access works
+        wh.append(spark.createDataFrame(
+            [(3, 30.0, (0.9, "hot"))],
+            "id int, amt double, "
+            "meta struct<score:double,tag:string>"), "tx")
+        got = wh.read("tx").where("meta.score > 0.5").collect()
+        assert [(r["id"], r["meta"]["tag"]) for r in got] == [(3, "hot")]
+        # type drift on the struct rejected loudly
+        with pytest.raises(ValueError, match="declared schema says"):
+            wh.append(spark.createDataFrame(
+                [(4, 1.0, ("x",))],
+                "id int, amt double, meta struct<tag:string>"), "tx")
+
+    def test_struct_survives_dml_and_compact(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"meta": "struct<score:double>"})
+        wh.append(spark.createDataFrame(
+            [(3, 30.0, (0.9,)), (4, 40.0, (0.1,))],
+            "id int, amt double, meta struct<score:double>"), "tx")
+        # DML with a LEAF predicate: prune derivation skips the struct
+        # term (degrades to scanning candidates), the delete is exact
+        assert wh.delete_where("tx", "meta.score < 0.5") == 1
+        assert sorted(r["id"] for r in wh.read("tx").collect()) == \
+            [1, 2, 3]
+        wh.compact("tx")
+        got = {r["id"]: r["meta"] for r in wh.read("tx").collect()}
+        assert got[3]["score"] == 0.9 and got[1] is None
+
+    def test_constraint_on_struct_leaf(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            ConstraintViolation,
+        )
+
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"meta": "struct<score:double>"})
+        wh.add_constraint("tx", "score_pos", "meta.score >= 0")
+        wh.append(spark.createDataFrame(
+            [(3, 1.0, (0.5,))],
+            "id int, amt double, meta struct<score:double>"), "tx")
+        with pytest.raises(ConstraintViolation, match="score_pos"):
+            wh.append(spark.createDataFrame(
+                [(4, 1.0, (-2.0,))],
+                "id int, amt double, meta struct<score:double>"), "tx")
+        # NULL struct passes (SQL CHECK semantics)
+        wh.append(spark.createDataFrame(
+            [(5, 1.0, None)],
+            "id int, amt double, meta struct<score:double>"), "tx")
+        assert wh.read("tx").count() == 4
+        # the leaf constraint pins its parent column against drop/rename
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            wh.drop_column("tx", "meta")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            wh.rename_column("tx", "meta", "m2")
+        wh.drop_constraint("tx", "score_pos")
+        wh.rename_column("tx", "meta", "m2")
+        assert wh.read("tx").where("m2.score > 0").count() == 1
+
+    def test_struct_column_mapping_readd(self, spark, tmp_path):
+        """Drop a struct column, re-add under the same name with a
+        DIFFERENT shape: the fresh physical slot keeps old bytes
+        invisible — exactly the scalar contract."""
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"meta": "struct<score:double>"})
+        wh.append(spark.createDataFrame(
+            [(3, 1.0, (0.9,))],
+            "id int, amt double, meta struct<score:double>"), "tx")
+        wh.drop_column("tx", "meta")
+        wh.add_columns("tx", {"meta": "struct<rank:int>"})
+        rows = wh.read("tx").collect()
+        assert all(r["meta"] is None for r in rows)  # old bytes invisible
+        wh.append(spark.createDataFrame(
+            [(6, 1.0, (7,))],
+            "id int, amt double, meta struct<rank:int>"), "tx")
+        got = {r["id"]: r["meta"] for r in wh.read("tx").collect()}
+        assert got[6]["rank"] == 7 and got[3] is None
+
+    def test_layout_and_bloom_surfaces_refuse_typed(self, spark,
+                                                    tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"meta": "struct<score:double>"})
+        with pytest.raises(ValueError, match="atomic scalars"):
+            wh.set_partition_spec("tx", ["meta"])
+        with pytest.raises(ValueError, match="atomic scalar"):
+            wh.set_bloom_filter("tx", ["meta"])
+        # leaf paths are not columns on either surface
+        with pytest.raises(ValueError, match="not a column"):
+            wh.set_partition_spec("tx", ["meta.score"])
+        with pytest.raises(ValueError, match="not columns"):
+            wh.set_bloom_filter("tx", ["meta.score"])
+
+    def test_merge_evolution_with_struct_source(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.operators import (
+            merge as M,
+        )
+
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        src = spark.createDataFrame(
+            [(1, 99.0, (0.7, "a")), (9, 9.0, (0.2, "b"))],
+            "id int, amt double, meta struct<score:double,tag:string>")
+        res = wh.merge_when(
+            "tx", src, ["id"],
+            matched=[M.when_matched_update(
+                {"amt": "source.amt", "meta": "source.meta"})],
+            not_matched=[M.when_not_matched_insert()],
+            schema_evolution=True)
+        assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+        got = {r["id"]: r for r in wh.read("tx").collect()}
+        assert got[1]["meta"]["tag"] == "a" and got[1]["amt"] == 99.0
+        assert got[9]["meta"]["score"] == 0.2
+        assert got[2]["meta"] is None

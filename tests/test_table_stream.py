@@ -858,3 +858,22 @@ class TestStreamingCDF:
             wh.append(spark.createDataFrame([(1,)], "k long"), "t")
         with pytest.raises(ValueError, match="no cdf=True DML"):
             ts.stream_table(spark, root, "t", cdf=True)
+
+    def test_cdf_gate_untracked_vs_tracked_empty(self, spark, tmp_path):
+        """The gate distinguishes an UNTRACKED sidecar (no cdf DML ever
+        — the typed "no cdf=True DML" error) from a tracked-but-
+        currently-empty one: there the gate passes and the stream
+        source's own accurate no-committed-files contract speaks (the
+        Python source needs one file for schema inference), never the
+        misleading no-cdf-DML message."""
+        root = str(tmp_path / "wh")
+        wh = Warehouse(spark, root)
+        with wh.transaction():
+            wh.append(spark.createDataFrame([(1,)], "k long"), "t")
+        # track the sidecar with an EMPTY manifest (no files)
+        txn = wh.begin()
+        txn.pending["t__cdf"] = []
+        txn.commit()
+        assert wh._manifest_files("t__cdf") == []
+        with pytest.raises(Exception, match="no committed files"):
+            ts.stream_table(spark, root, "t", cdf=True)
