@@ -1650,3 +1650,179 @@ def tpch_q22_shape(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("numcust"),
                   F.sum(F.col("c_acctbal").cast("decimal(28,10)"))
                    .cast("double").alias("totacctbal")))
+
+
+@_q(
+    "tpch_q4_shape",
+    "TPC-H Q4 shape: order-priority checking — EXISTS correlated "
+    "subquery as a semi-join with a non-equi conjunct (late-shipping "
+    "lineitem), counts per priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark, sf_dir):
+    """Scale shape: the EXISTS is ONE left-semi join keyed on the
+    equality conjunct (orderkey) with the non-equi ship-after-order
+    term riding as a residual join condition — never a per-row
+    subquery and never a cartesian. The quarter filter pushes to the
+    orders scan before the join, the lineitem side prunes to two
+    columns, and the priority count is a tiny two-phase aggregate.
+    Reference parity: NOT-EXISTS/EXISTS dedup joins per SURVEY §2 J4
+    (loading_rep_fraud.py:86) with rule 3's time-banded non-equi
+    conjunct shape (loading_rep_fraud.py:100-110)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o_sel = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")))
+    return (o_sel.join(
+                li.select("l_orderkey", "l_shipdate"),
+                (o_sel.o_orderkey == F.col("l_orderkey"))
+                & (F.col("l_shipdate") > o_sel.o_orderdate),
+                "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@_q(
+    "tpch_q11_shape",
+    "TPC-H Q11 shape: important-stock identification — per-key value "
+    "HAVING above a fraction of the GLOBAL total (scalar subquery "
+    "threshold), denominator- and fraction-free exact-decimal compare",
+    """
+    WITH v AS (
+        SELECT l.l_partkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS val
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey = 1
+        GROUP BY l.l_partkey)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM v
+    WHERE val * 10000 > (SELECT sum(val) FROM v)
+    """,
+)
+def tpch_q11_shape(spark, sf_dir):
+    """Scale shape: ONE partkey aggregate over the nation-filtered
+    fact (the supplier filter broadcasts), then the global total is a
+    1-row broadcast over the ALREADY-AGGREGATED frame — O(distinct
+    partkeys), not a second fact scan. The HAVING compares
+    ``val * 10000 > total`` in exact decimals (integer multiplier):
+    the textbook ``val > total * 0.0001`` form decides boundary keys
+    by float/decimal-scale luck and differs across engines — the same
+    denominator-free discipline as tpch_q22_shape. Reference parity:
+    scalar-threshold filters per SURVEY §2 A3 (rule 4's amount
+    comparisons, loading_rep_fraud.py:120-127)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    v = (li.join(F.broadcast(
+                s.where(F.col("s_nationkey") == 1).select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                 .alias("val")))
+    tot = v.agg(F.sum("val").alias("__tot"))
+    return (v.crossJoin(F.broadcast(tot))
+             .where(F.col("val") * 10000 > F.col("__tot"))
+             .select("l_partkey", F.col("val").cast("double")
+                     .alias("value")))
+
+
+@_q(
+    "tpch_q14_shape",
+    "TPC-H Q14 shape: promotion-effect ratio — conditional aggregate "
+    "numerator over an unconditional denominator, one fact pass, "
+    "exact-decimal sums divided only at the very end",
+    """
+    SELECT CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(28,10))
+                              ELSE CAST(0 AS DECIMAL(28,10)) END)
+                     AS DOUBLE) * 100.0
+                / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,10)))
+                       AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def tpch_q14_shape(spark, sf_dir):
+    """Scale shape: one month-pruned fact scan (the ship-date filter
+    reaches the parquet scan), the part type broadcasts, and BOTH
+    sums ride one aggregate (conditional numerator via CASE — no
+    second scan, no self-join). Division happens exactly once, at the
+    very end, on two exact-decimal totals cast to double in the same
+    order on both engines (double ops are IEEE-deterministic given
+    identical operands; only ACCUMULATING in float drifts — SURVEY §4
+    float-aggregation trap). Reference parity: conditional aggregation
+    per SURVEY §2 A2/S9 (the audit row's tagged counts, main.py:78)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec = F.col("l_extendedprice").cast("decimal(28,10)")
+    zero = F.lit(0).cast("decimal(28,10)")
+    month = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
+    return (month.join(F.broadcast(p.select("p_partkey", "p_type")),
+                       month.l_partkey == F.col("p_partkey"))
+            .agg(F.sum(F.when(F.col("p_type") == "PROMO", dec)
+                        .otherwise(zero)).alias("__num"),
+                 F.sum(dec).alias("__den"))
+            .select((F.col("__num").cast("double") * 100.0
+                     / F.col("__den").cast("double"))
+                    .cast("double").alias("promo_revenue")))
+
+
+@_q(
+    "tpch_q15_shape",
+    "TPC-H Q15 shape: top supplier(s) by period revenue — the view + "
+    "scalar MAX equality (ties kept), revenue summed in exact "
+    "decimals so the max-equality is bit-exact",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15_shape(spark, sf_dir):
+    """Scale shape: the revenue view is ONE quarter-pruned suppkey
+    aggregate; the scalar MAX is a second aggregate over that
+    ALREADY-REDUCED frame (O(suppliers) rows) broadcast back as a
+    1-row cross join — never a global sort, never a window over one
+    partition (which would serialize the whole frame through a single
+    task), and ties survive exactly as SQL's equality does. Equality
+    is safe because revenue accumulates in exact decimals (the float
+    trap SURVEY §4 pins). The supplier name attaches by broadcast
+    AFTER the reduction. Reference parity: first-row-scalar feeding a
+    filter per SURVEY §2 A3 (date_global, incr_loading.py:41)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.where(
+               (F.col("l_shipdate")
+                >= F.lit("1995-01-01").cast("timestamp"))
+               & (F.col("l_shipdate")
+                  < F.lit("1995-04-01").cast("timestamp")))
+             .groupBy("l_suppkey")
+             .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                   .alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+               .where(F.col("total_rev") == F.col("__mx"))
+               .join(F.broadcast(s.select("s_suppkey", "s_name")),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name",
+                       F.col("total_rev").cast("double")
+                        .alias("total_rev")))

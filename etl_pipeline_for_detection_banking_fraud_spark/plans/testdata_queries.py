@@ -772,7 +772,8 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r12 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
-    # (none yet)
+    "tpch_q4_shape", "tpch_q11_shape", "tpch_q14_shape",
+    "tpch_q15_shape",
     # r12 rotation: the 23 entries whose newest evidence is r09 (they
     # tailed past the ~50-entry cap in r11) lead — nothing may go >2
     # rounds stale

@@ -27,9 +27,11 @@ DELETE/UPDATE/MERGE/time travel required Python calls:
 - ``DROP TABLE [IF EXISTS] t``             → ``drop_table``
 - ``SHOW TABLES`` / ``DESCRIBE [TABLE] t`` /
   ``DESCRIBE DETAIL t``                   → catalog metadata frames
-- ``OPTIMIZE t [ZORDER BY (a, b)]`` / ``VACUUM t`` /
-  ``DESCRIBE HISTORY t`` /
-  ``RESTORE TABLE t TO VERSION AS OF n``  → maintenance API
+- ``OPTIMIZE t [ZORDER BY (a, b)]`` /
+  ``VACUUM t [RETAIN n HOURS]`` / ``DESCRIBE HISTORY t`` /
+  ``RESTORE TABLE t TO VERSION AS OF n`` /
+  ``CREATE TABLE dst SHALLOW CLONE src`` /
+  ``ALTER TABLE t SET PARTITION SPEC (a, b)`` → maintenance API
 - ``table_changes('t', since)`` in any SELECT → ``read_changes`` view
   (Delta's CDF table function; tag column surfaces as _change_type)
 - anything else                           → ``spark.sql`` over
@@ -272,6 +274,25 @@ _RESTORE = re.compile(
     r"\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# VACUUM t RETAIN n HOURS — Delta's age-based retention window
+_VACUUM_RETAIN = re.compile(
+    r"^\s*VACUUM\s+([A-Za-z_]\w*)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+# CREATE TABLE dst SHALLOW CLONE src — Delta's zero-copy table branch
+_SHALLOW_CLONE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
+    r"([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# ALTER TABLE t SET PARTITION SPEC (a, b) — Iceberg-style metadata-only
+# spec evolution (empty parens evolve back to unpartitioned writes)
+_SET_SPEC = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+PARTITION\s+SPEC\s*"
+    r"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)?\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 # OPTIMIZE t ZORDER BY (a, b)  — Delta's multi-dimensional clustering
 _ZORDER = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s+ZORDER\s+BY\s*"
@@ -323,6 +344,19 @@ def _maintenance(wh: Warehouse, stmt: str):
     r = _RESTORE.match(stmt)
     if r:  # RESTORE [TABLE] t TO VERSION AS OF n (Delta RESTORE)
         wh.restore(r.group(1), int(r.group(2)))
+        return True, None
+    vr = _VACUUM_RETAIN.match(stmt)
+    if vr:  # VACUUM t RETAIN n HOURS
+        return True, wh.vacuum_orphans(
+            vr.group(1), retain_hours=float(vr.group(2)))
+    cl = _SHALLOW_CLONE.match(stmt)
+    if cl:  # CREATE TABLE dst SHALLOW CLONE src
+        return True, wh.clone_table(cl.group(2), cl.group(1))
+    sp = _SET_SPEC.match(stmt)
+    if sp:  # ALTER TABLE t SET PARTITION SPEC (a, b)
+        cols = [c.strip() for c in sp.group(2).split(",")] \
+            if sp.group(2) else []
+        wh.set_partition_spec(sp.group(1), cols)
         return True, None
     z = _ZORDER.match(stmt)
     if z:  # OPTIMIZE t ZORDER BY (a, b)

@@ -260,3 +260,58 @@ def test_tpch_q22_scalar_threshold_is_single_broadcast(spark, sf01):
     # initial-plan section)
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tpch_q4_exists_is_semi_join(spark, sf01):
+    """EXISTS with a non-equi conjunct plans as ONE left-semi hash join
+    on the equality key (residual condition attached), never a per-row
+    subquery or cartesian; the quarter filter reaches the orders scan."""
+    df = QD["tpch_q4_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("o_orderdate" in seg[:400] for seg in pushed[1:])
+
+
+def test_tpch_q11_global_total_over_aggregated_frame(spark, sf01):
+    """The HAVING threshold's global total aggregates the ALREADY-
+    REDUCED per-key frame and broadcasts back as one 1-row join — one
+    fact scan, one partkey exchange, at most the one broadcast-scalar
+    nested loop."""
+    df = QD["tpch_q11_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1  # 1-row total
+
+
+def test_tpch_q14_single_pass_conditional_agg(spark, sf01):
+    """Numerator and denominator ride ONE aggregate over one
+    month-pruned scan (CASE, not a self-join); the part dim
+    broadcasts; the ship-date band reaches the parquet scan."""
+    df = QD["tpch_q14_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_shipdate" in seg[:400] for seg in pushed[1:])
+
+
+def test_tpch_q15_scalar_max_no_global_sort(spark, sf01):
+    """The scalar MAX reduces the aggregated view (never a window over
+    one global partition, never a sort of the fact); supplier names
+    broadcast on after the reduction."""
+    df = QD["tpch_q15_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # no single-partition window
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1  # 1-row max
+    assert "BroadcastHashJoin" in plan

@@ -354,3 +354,35 @@ class TestCreateDropTable:
         cold = Warehouse(spark, wh.root)
         assert cold.read("t").count() == 1
         assert "s" not in cold.read("t").columns
+
+
+def test_sql_door_clone_spec_vacuum_retain(spark, tmp_path):
+    """Round-12 maintenance statements: SHALLOW CLONE, SET PARTITION
+    SPEC, VACUUM RETAIN."""
+    import os as _os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(1, "2021-03-01"), (2, "2021-03-02")],
+            "id int, dt string").coalesce(1), "src")
+    n = warehouse_sql(wh, "CREATE TABLE dst SHALLOW CLONE src")
+    assert n == 1
+    assert wh.read("dst").count() == 2
+    warehouse_sql(wh, "ALTER TABLE dst SET PARTITION SPEC (dt)")
+    assert wh.table_partition_by("dst") == ["dt"]
+    wh.append(spark.createDataFrame(
+        [(3, "2021-03-03")], "id int, dt string"), "dst")
+    assert any(r.startswith("dt=") for r in wh._manifest_files("dst"))
+    warehouse_sql(wh, "ALTER TABLE dst SET PARTITION SPEC ()")
+    assert wh.table_partition_by("dst") == []
+    # VACUUM RETAIN keeps a young orphan, bare VACUUM reclaims it
+    orphan = _os.path.join(wh.root, "dst", "txn-crashed-000.parquet")
+    committed = _os.path.join(
+        wh.root, "src", wh._manifest_files("src")[0])
+    import shutil as _sh
+    _sh.copyfile(committed, orphan)
+    assert warehouse_sql(wh, "VACUUM dst RETAIN 1 HOURS") == 0
+    assert _os.path.exists(orphan)
+    assert warehouse_sql(wh, "VACUUM dst") == 1
+    assert not _os.path.exists(orphan)
