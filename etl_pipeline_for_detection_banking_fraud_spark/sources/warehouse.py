@@ -2859,6 +2859,51 @@ class Warehouse:
             return []
         return t.pending.get(table.lower(), [])
 
+    def table_files(self, table: str) -> DataFrame:
+        """Iceberg ``db.table$files``-style METADATA relation: one row
+        per live manifest file — relpath, hive partition values (JSON),
+        footer row count and bloom presence from the manifest stats,
+        on-disk size, and whether a live deletion vector covers it.
+        Pure control-plane (commit-log replay + one ``stat`` per file,
+        no data read, no Spark job besides the local frame); the
+        operational queries this answers — small-file skew before a
+        compact, dv coverage before a fold, partition spread after a
+        spec evolution — are exactly Iceberg's files-table use cases.
+        SQL surface: ``table_files('t')`` anywhere a relation goes."""
+        table = table.lower()
+        mf = self._manifest_files(table)
+        if mf is None:
+            if not self.exists(table):
+                raise ValueError(
+                    f"table_files: {table} does not exist")
+            # legacy (untracked) table: the directory listing IS the
+            # file set, exactly like legacy reads; no manifest stats
+            mf = _data_files(self._path(table))
+        stats = self._manifest_stats(table)
+        dv_map = self._dv_state(table)
+        covered = {r for cov in dv_map.values() for r in cov}
+        p = self._path(table)
+        rows = []
+        for rel in mf:
+            st = stats.get(rel) or {}
+            try:
+                size = os.path.getsize(os.path.join(p, rel))
+            except OSError:
+                size = None
+            parts = dict(_partition_pairs_of(rel))
+            rows.append((
+                rel,
+                json.dumps(parts, sort_keys=True) if parts else None,
+                st.get("__rows"),
+                size,
+                bool(st.get("__bloom")),
+                rel in covered,
+            ))
+        schema = ("file string, partition_values string, "
+                  "row_count long, size_bytes long, "
+                  "has_bloom boolean, dv_covered boolean")
+        return self.spark.createDataFrame(rows, schema)
+
     def clone_table(self, src: str, dst: str) -> int:
         """Zero-copy SHALLOW CLONE (the Delta ``CREATE TABLE dst
         SHALLOW CLONE src`` analog): ``dst`` is born with ONE commit

@@ -34,6 +34,9 @@ DELETE/UPDATE/MERGE/time travel required Python calls:
   ``ALTER TABLE t SET PARTITION SPEC (a, b)`` → maintenance API
 - ``table_changes('t', since)`` in any SELECT → ``read_changes`` view
   (Delta's CDF table function; tag column surfaces as _change_type)
+- ``table_files('t')`` in any SELECT → files-metadata relation
+  (the Iceberg ``$files`` table: per-file partition values, row
+  counts, sizes, bloom presence, dv coverage)
 - anything else                           → ``spark.sql`` over
                                             auto-registered read views
 
@@ -315,6 +318,11 @@ _TABLE_CHANGES = re.compile(
     r"table_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*\)",
     re.IGNORECASE,
 )
+# table_files('t') — the Iceberg $files metadata relation as a TVF
+_TABLE_FILES = re.compile(
+    r"table_files\s*\(\s*'([A-Za-z_]\w*)'\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_table_changes(wh: Warehouse, spark, stmt: str) -> str:
@@ -336,6 +344,20 @@ def _rewrite_table_changes(wh: Warehouse, spark, stmt: str) -> str:
         return view
 
     return _sub_outside_literals(_TABLE_CHANGES, _sub, stmt)
+
+
+def _rewrite_table_files(wh: Warehouse, spark, stmt: str) -> str:
+    """Replace every ``table_files('t')`` call with a temp view of the
+    table's files-metadata relation (``Warehouse.table_files``) — the
+    Iceberg ``$files`` table as a TVF, usable anywhere a relation is.
+    Matches inside string literals pass through untouched."""
+    def _sub(m: re.Match) -> str:
+        table = m.group(1).lower()
+        view = f"__files_{table}"
+        wh.table_files(table).createOrReplaceTempView(view)
+        return view
+
+    return _sub_outside_literals(_TABLE_FILES, _sub, stmt)
 
 
 def _maintenance(wh: Warehouse, stmt: str):
@@ -451,6 +473,7 @@ def warehouse_sql(wh: Warehouse, stmt: str):
         return maint
     stmt = _rewrite_time_travel(wh, spark, stmt)
     stmt = _rewrite_table_changes(wh, spark, stmt)
+    stmt = _rewrite_table_files(wh, spark, stmt)
     parser = spark._jsparkSession.sessionState().sqlParser()
     plan = parser.parsePlan(stmt)
     kind = _cls(plan)

@@ -185,3 +185,33 @@ class TestSpecEvolution:
         got = {(r["id"], r["dt"]) for r in wh.read("ev").collect()}
         assert (302, "2021-03-03") not in got
         assert len(got) == len(rows) + 1
+
+
+def test_stream_reads_mixed_layouts_lossless(spark, tmp_path):
+    """The table stream reads per FILE (pyarrow) with partition values
+    recovered from each file's OWN relpath — a spec-evolved table's
+    mixed flat+hive snapshot streams losslessly (no basePath partition
+    discovery to misattribute rows)."""
+    import tempfile
+
+    from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+        table_stream as ts,
+    )
+
+    root = os.path.join(str(tmp_path), "wh")
+    wh = Warehouse(spark, root)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(1, "2021-03-01"), (2, "2021-03-02")],
+            "id int, dt string").coalesce(1), "ev")
+    wh.set_partition_spec("ev", ["dt"])
+    wh.append(spark.createDataFrame(
+        [(3, "2021-03-03")], "id int, dt string").coalesce(1), "ev")
+    rows = []
+    q = (ts.stream_table(spark, root, "ev")
+         .writeStream.foreachBatch(lambda df, _i: rows.extend(df.collect()))
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted((r["id"], r["dt"]) for r in rows) == [
+        (1, "2021-03-01"), (2, "2021-03-02"), (3, "2021-03-03")]

@@ -386,3 +386,35 @@ def test_sql_door_clone_spec_vacuum_retain(spark, tmp_path):
     assert _os.path.exists(orphan)
     assert warehouse_sql(wh, "VACUUM dst") == 1
     assert not _os.path.exists(orphan)
+
+
+def test_table_files_metadata_relation(spark, tmp_path):
+    """table_files('t') — the Iceberg $files metadata relation as a
+    TVF: one row per live file with partition values, footer row
+    counts, sizes, bloom presence, dv coverage; composes in SQL."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with wh.transaction() as t:
+        for d in (1, 2):
+            t.append(spark.createDataFrame(
+                [(d * 10 + i, f"2021-03-0{d}") for i in range(5)],
+                "id int, dt string").coalesce(1),
+                "ev", partition_by=["dt"])
+    wh.delete_where("ev", "id = 11", mode="dv")
+    rows = {r["file"]: r for r in warehouse_sql(
+        wh, "SELECT * FROM table_files('ev')").collect()}
+    assert len(rows) == 2
+    assert all(r["row_count"] == 5 and r["size_bytes"] > 0
+               for r in rows.values())
+    parts = sorted(r["partition_values"] for r in rows.values())
+    assert parts == ['{"dt": "2021-03-01"}', '{"dt": "2021-03-02"}']
+    assert sorted(r["dv_covered"] for r in rows.values()) == \
+        [False, True]
+    # composes: small-file audit aggregate over the metadata relation
+    n = warehouse_sql(
+        wh, "SELECT count(*) AS n FROM table_files('ev') "
+            "WHERE size_bytes < 1024*1024").collect()[0]["n"]
+    assert n == 2
+    # a string literal containing the call is untouched
+    lit = warehouse_sql(
+        wh, "SELECT 'table_files(''ev'')' AS s").collect()[0]["s"]
+    assert lit == "table_files('ev')"
