@@ -952,7 +952,8 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str,
                  checkpoint_interval: int = 32,
                  expire_keep: int | None = None,
-                 dv_max_rows_total: int | None = 500_000):
+                 dv_max_rows_total: int | None = 500_000,
+                 expire_keep_hours: float | None = None):
         """``checkpoint_interval``: every N commits the committer folds
         the replayed log state (file set + stats + retention per table)
         into one ``<seq>.checkpoint.json`` — readers then replay
@@ -986,7 +987,14 @@ class Warehouse:
         self.checkpoint_interval = checkpoint_interval
         if expire_keep is not None and expire_keep < 1:
             raise ValueError("expire_keep must be >= 1 (or None)")
+        if expire_keep_hours is not None and expire_keep_hours < 0:
+            raise ValueError("expire_keep_hours must be >= 0 (or None)")
         self.expire_keep = expire_keep
+        # AGE-based sibling of expire_keep: at every checkpoint fold,
+        # also expire entries older than this many hours (the newest
+        # entry always survives). Composable with expire_keep; both
+        # are opt-in for the same reason (expiry narrows time travel).
+        self.expire_keep_hours = expire_keep_hours
         self.dv_max_rows_total = dv_max_rows_total
         self._active_txn: Transaction | None = None
         # entries/checkpoints are immutable once linked -> plain caches,
@@ -1367,6 +1375,9 @@ class Warehouse:
             if self.expire_keep is not None:
                 with contextlib.suppress(Exception):
                     self.expire_log(keep_entries=self.expire_keep)
+            if self.expire_keep_hours is not None:
+                with contextlib.suppress(Exception):
+                    self.expire_log(keep_hours=self.expire_keep_hours)
 
     def write_checkpoint(self, seq: int | None = None) -> int | None:
         """Write ``<seq>.checkpoint.json``: the full replayed state

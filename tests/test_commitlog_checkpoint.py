@@ -694,3 +694,19 @@ class TestTimeBasedRetention:
         assert wh.vacuum_orphans("ev", retain_hours=1.0) == 1
         assert not os.path.exists(orphan)
         assert wh.read("ev").count() == 1
+
+    def test_auto_expiry_by_age(self, tmp_path):
+        """expire_keep_hours: at the checkpoint fold an unattended
+        committer's log expires by AGE — fabricated old entries leave,
+        fresh ones (and the head state) survive."""
+        root = str(tmp_path / "wh")
+        self._fabricate_aged_log(root, 10)  # 9h old .. now, hourly
+        wh = Warehouse(None, root, checkpoint_interval=1,
+                       expire_keep_hours=2.5)
+        txn = Transaction(wh)
+        txn.pending = {"events": ["fresh.parquet"]}
+        txn.commit()  # interval=1: folds + age-expires
+        cold = Warehouse(None, root)
+        assert len(cold._manifest_files("events")) == 11
+        assert cold.expire_horizon() == 7  # entries >2.5h old are gone
+        assert [s["seq"] for s in cold.snapshots()][-1] == 11
