@@ -580,9 +580,14 @@ def _file_stats(path: str) -> dict:
     columns whose footer lacks statistics, or with exotic logical
     types, are simply absent — absence means "never prune on this
     column for this file", so stats can only ever SKIP files proven
-    irrelevant, never lose rows. Failures are swallowed: stats are an
-    optimization, not a correctness dependency, and must never fail a
-    commit."""
+    irrelevant, never lose rows. STRUCT leaves are recorded under
+    their dotted path (``meta.score`` — parquet keeps leaf-level
+    min/max for nested groups too), the Iceberg nested-field
+    data-skipping shape; list/map internals (paths through
+    ``list``/``element``/``item``/``key_value``) are skipped — their
+    leaf stats don't map to a predicate a conjunct can bound.
+    Failures are swallowed: stats are an optimization, not a
+    correctness dependency, and must never fail a commit."""
     try:
         import pyarrow.parquet as pq
 
@@ -597,9 +602,13 @@ def _file_stats(path: str) -> dict:
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 name = col.path_in_schema
-                if "." in name or name in dropped or \
-                        name in ("__rows", "__bloom"):  # nested or
-                    # reserved-key collision: skip
+                if name in dropped or name in ("__rows", "__bloom"):
+                    continue
+                if "." in name and any(
+                    seg in ("list", "element", "item", "key_value")
+                    for seg in name.split(".")
+                ):
+                    # list/map internals: no boundable predicate shape
                     continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
@@ -748,7 +757,8 @@ def _lit_value(e):
     raise ValueError(f"unsupported literal type {dt}")
 
 
-def derive_prune_bounds(spark, condition) -> dict:
+def derive_prune_bounds(spark, condition,
+                        struct_cols: set | None = None) -> dict:
     """Best-effort ``{col: (lo, hi)}`` file-skipping bounds implied by a
     DML predicate — the Delta-style partition/stats pruning derivation
     that removes the "caller must hand a NECESSARY condition" footgun:
@@ -791,6 +801,18 @@ def derive_prune_bounds(spark, condition) -> dict:
         if _cls(e) != "UnresolvedAttribute":
             raise ValueError("not an attribute")
         parts = e.nameParts()
+        if parts.length() == 2 and struct_cols and \
+                str(parts.apply(0)).lower() in struct_cols:
+            # struct-LEAF reference (s.x where the caller declared s a
+            # struct column of the target table): bounds key the dotted
+            # path — exactly the key footer stats record for nested
+            # leaves, the Iceberg nested-field data-skipping shape. The
+            # caller-supplied set is what makes this unambiguous: a
+            # table-alias-qualified t.x can only collide if the table
+            # ALSO has a struct column named t, in which case Spark
+            # itself would resolve s.x to the struct field.
+            return (str(parts.apply(0)) + "." + str(parts.apply(1))
+                    ).lower()
         if parts.length() != 1:
             # qualified (t.x) or struct-field (s.x) reference: its LAST
             # part may collide with an unrelated top-level column that
@@ -1557,7 +1579,16 @@ class Warehouse:
         _, phys, _ = self._schema_meta(table, at=at)
         if not phys:
             return prune
-        return {phys.get(c.lower(), c): b for c, b in prune.items()}
+
+        def _map(c: str) -> str:
+            # dotted struct-leaf keys map their FIRST segment (the
+            # top-level column owns the physical slot; leaf names never
+            # remap — leaf-level mapping is unsupported by design)
+            head, dot, rest = c.partition(".")
+            mapped = phys.get(head.lower(), head)
+            return mapped + dot + rest
+
+        return {_map(c): b for c, b in prune.items()}
 
     def _manifest_stats(self, table: str, at: int | None = None) -> dict:
         """Merged per-file column stats for a tracked table, mirroring
@@ -3232,10 +3263,26 @@ class Warehouse:
         files whose footer stats / partition values might match —
         no hand-written bounds, and correctness never depends on the
         derivation (the row filter always applies)."""
-        prune = derive_prune_bounds(self.spark, condition) or None
+        prune = derive_prune_bounds(
+            self.spark, condition,
+            struct_cols=self._struct_cols(table)) or None
         cond = F.expr(condition) if isinstance(condition, str) else condition
         return self.read(table, schema=schema, merge_schema=merge_schema,
                          prune=prune).where(cond)
+
+    def _struct_cols(self, table: str) -> set:
+        """Top-level STRUCT column names (lowercased) — the set that
+        lets ``derive_prune_bounds`` accept dotted leaf terms
+        (``meta.score = 5`` → bounds on the leaf's footer stats)
+        without mistaking a table-alias-qualified reference for one."""
+        try:
+            schema = self._declared_schema(table)
+            if schema is None:
+                schema = self.read(table).schema
+            return {f.name.lower() for f in schema.fields
+                    if isinstance(f.dataType, T.StructType)}
+        except Exception:  # pruning sharpness only, never correctness
+            return set()
 
     # -- versioned rewrite tables -------------------------------------------
 
@@ -4244,7 +4291,9 @@ class Warehouse:
         if mode not in ("rewrite", "dv"):
             raise ValueError("mode must be 'rewrite' or 'dv'")
         if prune is None:
-            prune = derive_prune_bounds(self.spark, condition) or None
+            prune = derive_prune_bounds(
+                self.spark, condition,
+                struct_cols=self._struct_cols(table)) or None
         if isinstance(condition, str):
             condition = F.expr(condition)
         if self._manifest_files(table) is None:
@@ -4386,7 +4435,9 @@ class Warehouse:
         if mode not in ("rewrite", "dv"):
             raise ValueError("mode must be 'rewrite' or 'dv'")
         if prune is None:
-            prune = derive_prune_bounds(self.spark, condition) or None
+            prune = derive_prune_bounds(
+                self.spark, condition,
+                struct_cols=self._struct_cols(table)) or None
         if isinstance(condition, str):
             condition = F.expr(condition)
         mf0 = self._manifest_files(table)

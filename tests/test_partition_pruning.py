@@ -84,3 +84,76 @@ def test_entry_time_tolerates_concurrently_expired_entry(spark, tmp_path):
     # a fresh handle (no entry cache) hits the missing file on both
     # the load and the stat — still None, not OSError
     assert Warehouse(spark, root)._entry_time(1) is None
+
+
+class TestStructLeafPruning:
+    """Nested-field data skipping (round-12): footer stats record
+    struct leaves under their dotted path, DML/read predicates on
+    ``struct.leaf`` derive bounds, and the column-mapping translation
+    remaps the head segment."""
+
+    @staticmethod
+    def _seed(spark, wh):
+        for base in (0, 100, 200):
+            with wh.transaction() as t:
+                t.append(spark.createDataFrame(
+                    [(base + i, (float(base + i), f"u{base + i}"))
+                     for i in range(10)],
+                    "id int, meta struct<score:double,tag:string>"
+                ).coalesce(1), "ev")
+
+    def test_leaf_stats_recorded_and_read_prunes(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "w"))
+        self._seed(spark, wh)
+        st = wh._manifest_stats("ev")
+        assert len(st) == 3
+        assert all("meta.score" in v and "meta.tag" in v
+                   for v in st.values())
+        lows = sorted(v["meta.score"][0] for v in st.values())
+        assert lows == [0.0, 100.0, 200.0]
+        # read_where derives the leaf bound and opens ONE file
+        df = wh.read_where("ev", "meta.score >= 200 AND meta.score <= 205")
+        assert len(df.inputFiles()) == 1
+        assert sorted(r["id"] for r in df.collect()) == \
+            [200, 201, 202, 203, 204, 205]
+
+    def test_dml_narrows_rewrite_set_by_leaf(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "w"))
+        self._seed(spark, wh)
+        before = wh._manifest_files("ev")
+        n = wh.delete_where("ev", "meta.score = 105")
+        assert n == 1
+        after = wh._manifest_files("ev")
+        # only the one covering file was rewritten
+        assert len(set(before) & set(after)) == 2
+        assert wh.read("ev").count() == 29
+
+    def test_leaf_prune_translates_column_mapping(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "w"))
+        self._seed(spark, wh)
+        wh.rename_column("ev", "meta", "m2")
+        # logical m2.score -> physical meta.score in the stats
+        df = wh.read_where("ev", "m2.score >= 200")
+        assert len(df.inputFiles()) == 1
+        assert df.count() == 10
+        # re-add 'meta' as a NEW struct: fresh physical slot, stale
+        # leaf stats of the old bytes must not prune the new column
+        wh.add_columns("ev", {"meta": "struct<score:double>"})
+        assert wh.read_where("ev", "meta.score >= 0").count() == 0
+
+    def test_alias_qualified_ref_not_mistaken(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (
+            derive_prune_bounds,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "w"))
+        self._seed(spark, wh)
+        # 'ev.id' is a table-qualified TOP-LEVEL ref: with no struct
+        # column named 'ev', no bound may attach (necessary-condition
+        # discipline unchanged)
+        b = derive_prune_bounds(spark, "ev.id = 5",
+                                struct_cols=wh._struct_cols("ev"))
+        assert b == {}
+        b = derive_prune_bounds(spark, "meta.score = 5",
+                                struct_cols=wh._struct_cols("ev"))
+        assert b == {"meta.score": (5, 5)}
