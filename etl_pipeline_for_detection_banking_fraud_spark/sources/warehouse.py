@@ -234,8 +234,11 @@ class Transaction:
             # Iceberg contract, and what makes set_partition_spec mean
             # "future writes use the new spec") — but only when the
             # frame actually carries every spec column; a sidecar-style
-            # frame without them keeps writing flat, as before
-            rec = self.wh._replay_state()["partition_by"].get(table)
+            # frame without them keeps writing flat, as before. This
+            # transaction's own staged spec wins over the committed one
+            # (an earlier append in the txn may have declared it).
+            rec = self.partition_by.get(table) or \
+                self.wh._replay_state()["partition_by"].get(table)
             if rec and all(c in df.columns for c in rec):
                 partition_by = list(rec)
         if partition_by:

@@ -215,3 +215,18 @@ def test_stream_reads_mixed_layouts_lossless(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted((r["id"], r["dt"]) for r in rows) == [
         (1, "2021-03-01"), (2, "2021-03-02"), (3, "2021-03-03")]
+
+
+def test_same_txn_later_append_inherits_staged_spec(spark, tmp_path):
+    """Within one transaction, an append after an explicitly
+    partitioned append to the same table inherits the STAGED spec —
+    not the (older) committed one."""
+    wh = _wh(spark, tmp_path)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(1, "2021-03-01")], "id int, dt string").coalesce(1),
+            "ev", partition_by=["dt"])
+        t.append(spark.createDataFrame(
+            [(2, "2021-03-02")], "id int, dt string").coalesce(1), "ev")
+    assert all(r.startswith("dt=") for r in wh._manifest_files("ev"))
+    assert wh.read("ev").count() == 2
