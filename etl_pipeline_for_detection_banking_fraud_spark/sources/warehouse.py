@@ -53,6 +53,7 @@ import collections
 import base64
 import contextlib
 import datetime
+import errno
 import json
 import os
 import re
@@ -239,8 +240,13 @@ class Transaction:
             # (an earlier append in the txn may have declared it).
             rec = self.partition_by.get(table) or \
                 self.wh._replay_state()["partition_by"].get(table)
-            if rec and all(c in df.columns for c in rec):
-                partition_by = list(rec)
+            if rec:
+                # case-insensitive resolution (Spark analysis is), in
+                # the FRAME's spelling so partitionBy finds the column
+                by_lower = {c.lower(): c for c in df.columns}
+                resolved = [by_lower.get(c.lower()) for c in rec]
+                if all(c is not None for c in resolved):
+                    partition_by = resolved
         if partition_by:
             self.partition_by[table] = list(partition_by)
         decl, phys = self._pending_schema_meta(table)
@@ -1287,8 +1293,12 @@ class Warehouse:
         our listing and the open — silently skipping it would drop its
         files from the replayed state. One fresh re-listing makes the
         new checkpoint visible; a second miss is real log corruption
-        and raises rather than returning wrong table contents."""
-        for attempt in (0, 1):
+        and raises rather than returning wrong table contents. The
+        expired-gap race (an unusable checkpoint whose folded entries
+        were expired) gets its OWN one-re-list budget, so hitting both
+        races back-to-back still recovers."""
+        seen_gap = seen_missing = False
+        for _ in range(3):
             entry_seqs, ckpt_seqs = self._list_log()
             if at is not None:
                 entry_seqs = [s for s in entry_seqs if s <= at]
@@ -1352,10 +1362,11 @@ class Warehouse:
                 gap = [s for s in range(start + 1, skipped + 1)
                        if s not in have]
                 if gap:
-                    if not attempt:
+                    if not seen_gap:
                         # a racing expire_log may have just written the
                         # very checkpoint we found torn: one fresh
                         # re-listing before declaring corruption
+                        seen_gap = True
                         continue
                     raise RuntimeError(
                         f"commit log inconsistent: checkpoint "
@@ -1381,12 +1392,17 @@ class Warehouse:
                 if at is None:
                     self._state_cache = (head, state)
                 return state
-            if attempt:
+            if seen_missing:
                 raise RuntimeError(
                     f"commit log inconsistent: entry {missing:09d} was "
                     "listed but is unreadable and no checkpoint covers "
                     "it — replayed state would silently lose its files"
                 )
+            seen_missing = True
+        raise RuntimeError(
+            "commit log inconsistent: replay could not converge after "
+            "re-listing for both concurrent-expiry races"
+        )
 
     def _maybe_checkpoint(self, seq: int) -> None:
         """Called after every commit link: fold state into a checkpoint
@@ -1435,6 +1451,21 @@ class Warehouse:
         schema = pa.schema([("table", pa.string()), ("rel", pa.string()),
                             ("stats", pa.string())])
         stmp = os.path.join(d, f".ckpt-stats-tmp-{uuid.uuid4().hex[:8]}")
+        # the fold reads the PREVIOUS sidecar once, whole (every table
+        # is about to be rewritten anyway) — per-table filtered reads
+        # here would re-open and re-parse the same file N times
+        prev: dict = {}
+        spath = state.get("stats_ckpt")
+        if spath:
+            try:
+                tb_prev = pq.read_table(spath)
+                for t_, rel_, sj_ in zip(
+                        tb_prev.column("table").to_pylist(),
+                        tb_prev.column("rel").to_pylist(),
+                        tb_prev.column("stats").to_pylist()):
+                    prev.setdefault(t_, {})[rel_] = json.loads(sj_)
+            except Exception:  # noqa: BLE001 — stats are optional
+                prev = {}
         # SHARDED BY TABLE: one write_table call per table = at least
         # one row group per table with tight min=max row-group stats on
         # the ``table`` column, so a reader's ``table = t`` filter
@@ -1442,7 +1473,8 @@ class Warehouse:
         # a 10-file table beside a 10M-file one materializes 10 rows.
         with pq.ParquetWriter(stmp, schema) as w:
             for t in sorted(state["tables"]):
-                merged = self._merged_stats(state, t)
+                merged = dict(prev.get(t, {}))
+                merged.update(state["stats"].get(t, {}))
                 rcol, scol = [], []
                 for rel in sorted(state["tables"][t]):
                     s = merged.get(rel)
@@ -1935,38 +1967,54 @@ class Warehouse:
                 raise ValueError(
                     f"set_partition_spec: {c!r} is a reserved/hidden "
                     "name (hidden directories stage zero visible files)")
-        decl, phys, retired = self._baseline_schema_meta(
-            table, "set_partition_spec")
-        ftypes = {f.name.lower(): f.dataType for f in decl.fields}
-        for c in cols:
-            want = ftypes.get(c.lower())
-            if want is None:
-                raise ValueError(
-                    f"set_partition_spec: {c!r} is not a column of "
-                    f"{table!r}")
-            if isinstance(want, (T.StructType, T.ArrayType, T.MapType,
-                                 T.BinaryType)):
-                raise ValueError(
-                    f"set_partition_spec: {c!r} is "
-                    f"{want.simpleString()} — partition columns must be "
-                    "atomic scalars (hive path keys are strings)")
-            if phys.get(c.lower(), c).lower() != c.lower():
-                raise ValueError(
-                    f"set_partition_spec: {c!r} has a physical-name "
-                    "mapping (renamed/re-added column) — hive path keys "
-                    "are physical; partition by an unmapped column")
-        txn = self.begin()
-        try:
-            txn.enforce_constraints = False  # metadata-only commit
-            txn.partition_by[table] = cols
-            if self._schema_meta(table)[0] is None:
-                txn.schema_updates = {
-                    table: self._schema_meta_json(decl, phys, retired)}
-            txn.commit()
-        except BaseException:
-            if not txn._done:
-                txn.abort()
-            raise
+        for attempt in range(3):
+            # optimistic-concurrency like the ALTER ops: the first-time
+            # schema declaration below rides the whole-value-replace
+            # schema channel, so it must carry its base snapshot and
+            # recompute on conflict — a stale re-commit would silently
+            # drop a concurrent add_columns
+            self._invalidate_state()
+            base_seq = self._latest_seq()
+            decl, phys, retired = self._baseline_schema_meta(
+                table, "set_partition_spec")
+            ftypes = {f.name.lower(): f.dataType for f in decl.fields}
+            for c in cols:
+                want = ftypes.get(c.lower())
+                if want is None:
+                    raise ValueError(
+                        f"set_partition_spec: {c!r} is not a column of "
+                        f"{table!r}")
+                if isinstance(want, (T.StructType, T.ArrayType,
+                                     T.MapType, T.BinaryType)):
+                    raise ValueError(
+                        f"set_partition_spec: {c!r} is "
+                        f"{want.simpleString()} — partition columns "
+                        "must be atomic scalars (hive path keys are "
+                        "strings)")
+                if phys.get(c.lower(), c).lower() != c.lower():
+                    raise ValueError(
+                        f"set_partition_spec: {c!r} has a physical-name "
+                        "mapping (renamed/re-added column) — hive path "
+                        "keys are physical; partition by an unmapped "
+                        "column")
+            txn = self.begin()
+            try:
+                txn.enforce_constraints = False  # metadata-only commit
+                txn.partition_by[table] = cols
+                if self._schema_meta(table)[0] is None:
+                    txn.base_seq = base_seq
+                    txn.schema_updates = {
+                        table: self._schema_meta_json(decl, phys,
+                                                      retired)}
+                txn.commit()
+                return
+            except CommitConflict:
+                if attempt == 2:
+                    raise
+            except BaseException:
+                if not txn._done:
+                    txn.abort()
+                raise
 
     def _schema_meta(self, table: str, at: int | None = None
                      ) -> tuple[T.StructType | None, dict, set]:
@@ -2106,9 +2154,22 @@ class Warehouse:
                 raw = F.regexp_extract(
                     F.input_file_name(),
                     "(?:^|/)" + re.escape(k) + "=([^/]+)/", 1)
+
+                # TWO encoding layers: input_file_name() returns the
+                # URI-encoded path (space -> %20, %% -> %25) and the
+                # hive DIRECTORY NAME itself carries hive's %XX escapes
+                # — decode twice. '+' is literal in both layers (hive
+                # never writes it, URIs keep it), but url_decode is a
+                # FORM decode that would map it to space — shield it as
+                # %2B before each decode.
+                def _dec(c):
+                    return F.try_url_decode(
+                        F.regexp_replace(c, r"\+", "%2B"))
+
+                dec = _dec(_dec(raw))
                 val = F.when(
                     raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
-                ).otherwise(F.coalesce(F.try_url_decode(raw), raw))
+                ).otherwise(F.coalesce(dec, _dec(raw), raw))
                 want = decl_types.get(k.lower())
                 if want is not None:
                     val = val.cast(want)
@@ -2968,6 +3029,8 @@ class Warehouse:
         at this commit — time travel into the source's past happens on
         the source. Returns the number of files linked."""
         src, dst = src.lower(), dst.lower()
+        self._invalidate_state()
+        base_seq = self._latest_seq()
         mf = self._manifest_files(src)
         if mf is None:
             raise ValueError(
@@ -2986,7 +3049,16 @@ class Warehouse:
                 os.makedirs(os.path.dirname(d), exist_ok=True)
                 try:
                     os.link(s, d)
-                except OSError:
+                except FileExistsError:
+                    # a concurrent clone already linked this name: let
+                    # the commit-time claim below decide the winner —
+                    # never fall through to a copy that would overwrite
+                    raise ValueError(
+                        f"clone_table: {dst} is being cloned "
+                        "concurrently") from None
+                except OSError as e:
+                    if e.errno != errno.EXDEV:
+                        raise
                     shutil.copy2(s, d)  # cross-device: correct, not 0-copy
                 linked += 1
         except BaseException:
@@ -2995,6 +3067,12 @@ class Warehouse:
         txn = Transaction(self)
         try:
             txn.enforce_constraints = False
+            # commit as a REPLACE with the pre-link base snapshot: a
+            # concurrent clone (or any other commit birthing dst)
+            # between our existence check and the commit raises
+            # CommitConflict instead of double-appending every relpath
+            txn.replace = True
+            txn.base_seq = base_seq
             txn.pending[dst] = list(mf)
             st = self._manifest_stats(src)
             if st:

@@ -230,3 +230,35 @@ def test_same_txn_later_append_inherits_staged_spec(spark, tmp_path):
             [(2, "2021-03-02")], "id int, dt string").coalesce(1), "ev")
     assert all(r.startswith("dt=") for r in wh._manifest_files("ev"))
     assert wh.read("ev").count() == 2
+
+
+def test_mixed_layout_special_chars_in_partition_values(spark, tmp_path):
+    """Hive path escaping is %XX only — '+' is written literally, so
+    the mixed-layout path decode must NOT form-decode it to a space;
+    '%' round-trips through the hive escape."""
+    wh = _wh(spark, tmp_path)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(1, "plain")], "id int, tag string").coalesce(1), "ev")
+    wh.set_partition_spec("ev", ["tag"])
+    for v in ("a+b", "50%off", "two words"):
+        wh.append(spark.createDataFrame(
+            [(2, v)], "id int, tag string").coalesce(1), "ev")
+    got = {r["tag"] for r in wh.read("ev").collect()}
+    assert got == {"plain", "a+b", "50%off", "two words"}
+
+
+def test_clone_concurrent_linking_raises_typed(spark, tmp_path):
+    """A concurrent clone that already linked a file surfaces as a
+    typed error — never a silent copy-over-link."""
+    wh = _wh(spark, tmp_path)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(1,)], "id int").coalesce(1), "ev")
+    rel = wh._manifest_files("ev")[0]
+    os.makedirs(os.path.join(wh.root, "ev2"), exist_ok=True)
+    # pre-link one target name, simulating the racing clone mid-flight
+    os.link(os.path.join(wh.root, "ev", rel),
+            os.path.join(wh.root, "ev2", rel))
+    with pytest.raises(ValueError, match="already exists|concurrently"):
+        wh.clone_table("ev", "ev2")
