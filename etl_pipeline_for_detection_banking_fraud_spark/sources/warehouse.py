@@ -2224,7 +2224,10 @@ class Warehouse:
                 else:
                     used_phys.add(name.lower())
                 fields.append(T.StructField(
-                    name, T._parse_datatype_string(typ), True))
+                    name,
+                    typ if isinstance(typ, T.DataType)
+                    else T._parse_datatype_string(typ),
+                    True))
                 have.add(name.lower())
             return T.StructType(fields), phys, retired
 

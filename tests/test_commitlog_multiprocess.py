@@ -141,3 +141,69 @@ def test_concurrent_appends_replaces_checkpoints(tmp_path):
     for s in seqs:
         with open(os.path.join(log_dir, f"{s:09d}.json")) as f:
             json.load(f)
+
+
+N_ALTERERS = 4
+M_COLS = 6
+
+
+def _alter_worker(root: str, wid: int, barrier, errors) -> None:
+    """Concurrent ALTER TABLE ADD COLUMNS: the schema channel is
+    whole-value replace, so without commit-time conflict detection a
+    racing writer would re-commit a stale declaration and silently
+    DROP another worker's column. Each op retries internally; under
+    heavier contention than its 3 attempts, retry around it."""
+    try:
+        barrier.wait()
+        wh = Warehouse(None, root, checkpoint_interval=8)
+        for i in range(M_COLS):
+            while True:
+                try:
+                    import pyspark.sql.types as T
+                    wh.add_columns(
+                        "tbl", {f"c_{wid}_{i}": T.IntegerType()})
+                    break
+                except CommitConflict:
+                    continue
+    except BaseException as e:
+        errors.put(f"alterer {wid}: {type(e).__name__}: {e}")
+
+
+def test_concurrent_schema_alters_lose_nothing(tmp_path):
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "wh")
+    boot = Warehouse(None, root, checkpoint_interval=0)
+    txn = Transaction(boot)
+    txn.pending = {"tbl": ["seed.parquet"]}
+    # pre-declare the schema so add_columns never needs a Spark footer
+    # read in the workers (pure metadata contention)
+    txn.schema_updates = {"tbl": Warehouse._schema_meta_json(
+        T.StructType([T.StructField("id", T.IntegerType(), True)]),
+        {}, set())}
+    txn.commit()
+
+    ctx = multiprocessing.get_context("fork")
+    barrier = ctx.Barrier(N_ALTERERS)
+    errors = ctx.Queue()
+    procs = [ctx.Process(target=_alter_worker,
+                         args=(root, wid, barrier, errors))
+             for wid in range(N_ALTERERS)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+    errs = []
+    while not errors.empty():
+        errs.append(errors.get())
+    assert not errs, errs
+
+    cold = Warehouse(None, root)
+    decl = cold._schema_meta("tbl")[0]
+    names = {f.name for f in decl.fields}
+    want = {"id"} | {f"c_{w}_{i}" for w in range(N_ALTERERS)
+                     for i in range(M_COLS)}
+    assert names == want  # zero lost schema updates under contention
+    # the log is gapless: every alter claimed exactly one seq
+    seqs = cold._list_log()[0]
+    assert seqs == list(range(1, len(seqs) + 1))
