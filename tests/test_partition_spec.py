@@ -262,3 +262,26 @@ def test_clone_concurrent_linking_raises_typed(spark, tmp_path):
             os.path.join(wh.root, "ev2", rel))
     with pytest.raises(ValueError, match="already exists|concurrently"):
         wh.clone_table("ev", "ev2")
+
+
+def test_mixed_layout_adversarial_partition_values(spark, tmp_path):
+    """Round-trip the full hive escape set through a mixed-layout
+    read: '=', '/', ':', '#', unicode, and NULL (Spark's
+    __HIVE_DEFAULT_PARTITION__ sentinel). The mixed read must agree
+    with what a post-compact single-layout basePath read returns."""
+    wh = _wh(spark, tmp_path)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(0, "plain")], "id int, tag string").coalesce(1), "ev")
+    wh.set_partition_spec("ev", ["tag"])
+    vals = ["a=b", "x/y", "a:b", "q#r", "naïve", None]
+    for i, v in enumerate(vals, start=1):
+        wh.append(spark.createDataFrame(
+            [(i, v)], "id int, tag string").coalesce(1), "ev")
+    got = {r["id"]: r["tag"] for r in wh.read("ev").collect()}
+    want = {0: "plain", **{i: v for i, v in enumerate(vals, start=1)}}
+    assert got == want
+    # the single-layout read after compact agrees exactly
+    wh.compact("ev")
+    got2 = {r["id"]: r["tag"] for r in wh.read("ev").collect()}
+    assert got2 == want
