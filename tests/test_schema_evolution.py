@@ -697,3 +697,19 @@ class TestStructColumns:
         assert got[1]["meta"]["tag"] == "a" and got[1]["amt"] == 99.0
         assert got[9]["meta"]["score"] == 0.2
         assert got[2]["meta"] is None
+
+
+def test_sql_door_add_struct_column(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    _seed(spark, wh)
+    warehouse_sql(
+        wh, "ALTER TABLE tx ADD COLUMNS (meta STRUCT<score: DOUBLE>)")
+    decl = wh._schema_meta("tx")[0]
+    assert decl["meta"].dataType.simpleString() == "struct<score:double>"
+    wh.append(spark.createDataFrame(
+        [(3, 1.0, (0.5,))],
+        "id int, amt double, meta struct<score:double>"), "tx")
+    assert wh.read("tx").where("meta.score = 0.5").count() == 1
+    # adding a field INTO an existing struct is refused, typed
+    with pytest.raises(ValueError, match="nested field"):
+        warehouse_sql(wh, "ALTER TABLE tx ADD COLUMNS (meta.rank INT)")
