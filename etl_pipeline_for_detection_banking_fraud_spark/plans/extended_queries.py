@@ -1826,3 +1826,305 @@ def tpch_q15_shape(spark, sf_dir):
                .select("s_suppkey", "s_name",
                        F.col("total_rev").cast("double")
                         .alias("total_rev")))
+
+
+@_q(
+    "tpch_q8_shape",
+    "TPC-H Q8 shape: national market share — a conditional-numerator "
+    "ratio per year over one region-and-type-filtered fact pass, "
+    "division of exact-decimal totals only at the very end",
+    """
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN n2.n_name = 'CHINA' THEN amount
+                              ELSE CAST(0 AS DECIMAL(28,10)) END)
+                     AS DOUBLE)
+                / CAST(sum(amount) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(28,10)) AS amount,
+               s.s_nationkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    ) x JOIN nation n2 ON n2.n_nationkey = x.s_nationkey
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_shape(spark, sf_dir):
+    """Scale shape: every dimension folds to a broadcast sliver
+    (region->nation->customer-nationkey set, PROMO part keys, supplier
+    nation names) so the fact is reduced BEFORE its one orderkey join
+    with orders; numerator and denominator ride ONE aggregate
+    (CASE — no second scan) and the only division happens on two
+    exact-decimal totals cast to double at the very end (q14's
+    discipline). Reference parity: conditional aggregation per SURVEY
+    §2 A2/S9 (main.py:78's tagged audit counts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia_nk = (n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                      n.n_regionkey == r.r_regionkey)
+                .select("n_nationkey"))
+    cust = (c.join(F.broadcast(asia_nk),
+                   c.c_nationkey == F.col("n_nationkey"))
+             .select("c_custkey"))
+    p_sel = p.where(F.col("p_type") == "PROMO").select("p_partkey")
+    sup = (s.join(F.broadcast(n.select("n_nationkey", "n_name")),
+                  s.s_nationkey == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name"))
+    amount = F.col("l_extendedprice").cast("decimal(28,10)")
+    zero = F.lit(0).cast("decimal(28,10)")
+    fact = (li.join(F.broadcast(p_sel), li.l_partkey == F.col("p_partkey"))
+              .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+              .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                    li.l_orderkey == F.col("o_orderkey"))
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                      amount.alias("amount"), F.col("n_name")))
+    return (fact.groupBy("o_year")
+                .agg(F.sum(F.when(F.col("n_name") == "CHINA",
+                                  F.col("amount")).otherwise(zero))
+                      .alias("__num"),
+                     F.sum("amount").alias("__den"))
+                .select("o_year",
+                        (F.col("__num").cast("double")
+                         / F.col("__den").cast("double"))
+                        .cast("double").alias("mkt_share")))
+
+
+@_q(
+    "tpch_q10_shape",
+    "TPC-H Q10 shape: returned-item revenue by customer — quarter + "
+    "returnflag filters on the fact, customer/nation attach after the "
+    "custkey aggregate",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    """,
+)
+def tpch_q10_shape(spark, sf_dir):
+    """Scale shape: both fact filters (quarter on orders, 'R' on
+    lineitem) push to their scans BEFORE the orderkey join; the
+    aggregate keys on custkey ALONE (one exchange over the filtered
+    fact) and the wide customer/nation attributes broadcast on AFTER
+    the reduction — grouping by the full wide key would haul c_name
+    through the shuffle for nothing. Reference parity: join-chain +
+    group per SURVEY §2 J1/A1 (rule joins, loading_rep_fraud.py:60)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o_sel = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = (li.where(F.col("l_returnflag") == "R")
+             .select("l_orderkey",
+                     F.col("l_extendedprice").cast("decimal(28,10)")
+                      .alias("amount"))
+             .join(o_sel, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_custkey")
+             .agg(F.sum("amount").alias("__rev")))
+    cn = (c.join(F.broadcast(n.select("n_nationkey", "n_name")),
+                 c.c_nationkey == F.col("n_nationkey"))
+           .select("c_custkey", "c_name", "n_name"))
+    return (rev.join(F.broadcast(cn),
+                     rev.o_custkey == F.col("c_custkey"))
+               .select("c_custkey", "c_name", "n_name",
+                       F.col("__rev").cast("double").alias("revenue")))
+
+
+@_q(
+    "tpch_q12_shape",
+    "TPC-H Q12 shape: priority buckets per class — conditional counts "
+    "(CASE inside SUM) after a banded fact filter and an orderkey join",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_shape(spark, sf_dir):
+    """Scale shape: the year band pushes to the lineitem scan, orders
+    prunes to two columns, both partial-aggregate maps combine before
+    the single tiny exchange (3 groups), and the two buckets are ONE
+    pass of conditional sums — never two filtered scans. Reference
+    parity: conditional tagged counts per SURVEY §2 A2/S9
+    (main.py:78)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    band = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    return (band.join(o.select("o_orderkey", "o_orderpriority"),
+                      band.l_orderkey == F.col("o_orderkey"))
+                .groupBy("l_returnflag")
+                .agg(F.sum(F.when(hi, 1).otherwise(0))
+                      .alias("high_line_count"),
+                     F.sum(F.when(~hi, 1).otherwise(0))
+                      .alias("low_line_count")))
+
+
+@_q(
+    "tpch_q13_shape",
+    "TPC-H Q13 shape: customer order-count distribution — LEFT join "
+    "preserving zero-order customers, then an aggregate OF an "
+    "aggregate (count per customer, customers per count)",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) d
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_shape(spark, sf_dir):
+    """Scale shape: the classic double aggregate. The join-side filter
+    rides the JOIN CONDITION (not a WHERE, which would turn the left
+    join inner and silently drop zero-order customers); the first
+    aggregate keys on custkey (the one real exchange), the second is a
+    tiny distribution over distinct counts. count(o_orderkey) counts
+    non-null MATCHES, so customers with no surviving order land in the
+    c_count=0 bucket exactly as SQL does. Reference parity: left join
+    + count per SURVEY §2 J2 (loading_rep_fraud.py:66's left-join
+    terminal check)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    o_sel = o.where(F.col("o_orderpriority") != "1-URGENT") \
+             .select("o_orderkey", "o_custkey")
+    per_cust = (c.select("c_custkey")
+                 .join(o_sel, c.c_custkey == o_sel.o_custkey, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@_q(
+    "tpch_q19_shape",
+    "TPC-H Q19 shape: disjunctive bracket predicates — an OR of "
+    "conjunctive (brand, size-band, quantity-band) brackets evaluated "
+    "in one fact pass over one broadcast dim join",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,10)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 5 AND 35)
+    """,
+)
+def tpch_q19_shape(spark, sf_dir):
+    """Scale shape: the OR-of-brackets stays ONE residual predicate on
+    one broadcast hash join — never a UNION of per-bracket scans
+    (which would read the fact twice), and the part side pre-filters
+    to the union of the brackets' dimension terms before broadcasting.
+    The fact-only term union (quantity 1..35) is still pushable to the
+    scan. Reference parity: compound AND/OR predicates per SURVEY §2
+    F8 (rule 1's composite predicate, loading_rep_fraud.py:33-40)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    p_sel = p.where(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(5, 25))
+    ).select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 10) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(5, 25) & q.between(5, 35)))
+    return (li.where(q.between(1, 35))
+              .join(F.broadcast(p_sel), li.l_partkey == F.col("p_partkey"))
+              .where(bracket)
+              .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                    .cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+@_q(
+    "tpch_q20_shape",
+    "TPC-H Q20 shape: excess-share suppliers — per-supplier period "
+    "quantity vs half their all-time quantity, BOTH sums in one "
+    "conditional-aggregate fact pass, doubled-integer compare "
+    "(no 0.5 multiplier)",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN (
+        SELECT l.l_suppkey,
+               sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1995-01-01'
+                         AND l.l_shipdate < TIMESTAMP '1996-01-01'
+                        THEN CAST(l.l_quantity AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS q_period,
+               sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS q_total
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'PROMO'
+        GROUP BY l.l_suppkey
+    ) x ON x.l_suppkey = s.s_suppkey
+    WHERE x.q_period * 2 > x.q_total
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def tpch_q20_shape(spark, sf_dir):
+    """Scale shape: the original's correlated half-sum subquery
+    decorrelates into ONE conditional aggregate (period sum and total
+    sum in the same groupBy — a second fact scan would double the
+    dominant cost), the half threshold compares as ``2 * period >
+    total`` in exact decimals (multiplying by 0.5 would leave the
+    boundary supplier to decimal-scale luck), and supplier names
+    broadcast onto the already-reduced per-supplier frame. Reference
+    parity: scalar-threshold comparisons per SURVEY §2 A3 (rule 4's
+    amount thresholds, loading_rep_fraud.py:120-127)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    in_period = (
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
+    promo = p.where(F.col("p_type") == "PROMO").select("p_partkey")
+    per_sup = (li.join(F.broadcast(promo),
+                       li.l_partkey == F.col("p_partkey"))
+                 .groupBy("l_suppkey")
+                 .agg(F.sum(F.when(in_period, qty).otherwise(zero))
+                       .alias("q_period"),
+                      F.sum(qty).alias("q_total"))
+                 .where(F.col("q_period") * 2 > F.col("q_total")))
+    return (per_sup.join(F.broadcast(s.select("s_suppkey", "s_name")),
+                         per_sup.l_suppkey == F.col("s_suppkey"))
+                   .select("s_suppkey", "s_name").distinct())

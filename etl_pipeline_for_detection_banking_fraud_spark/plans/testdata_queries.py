@@ -773,7 +773,9 @@ _REPORT_FIRST = [
     # new in r12 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
     "tpch_q4_shape", "tpch_q11_shape", "tpch_q14_shape",
-    "tpch_q15_shape",
+    "tpch_q15_shape", "tpch_q8_shape", "tpch_q10_shape",
+    "tpch_q12_shape", "tpch_q13_shape", "tpch_q19_shape",
+    "tpch_q20_shape",
     # r12 rotation: the 23 entries whose newest evidence is r09 (they
     # tailed past the ~50-entry cap in r11) lead — nothing may go >2
     # rounds stale

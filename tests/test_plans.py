@@ -315,3 +315,75 @@ def test_tpch_q15_scalar_max_no_global_sort(spark, sf01):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("BroadcastNestedLoopJoin") <= 1  # 1-row max
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q8_single_pass_share(spark, sf01):
+    """Every dim folds to a broadcast; numerator and denominator ride
+    ONE aggregate (no second fact scan, no scalar cross join)."""
+    df = QD["tpch_q8_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q10_aggregates_before_wide_attach(spark, sf01):
+    """Both fact filters reach their scans; the custkey aggregate runs
+    BEFORE the wide customer/nation attributes broadcast on."""
+    df = QD["tpch_q10_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_returnflag" in seg[:400] for seg in pushed[1:])
+    assert any("o_orderdate" in seg[:400] for seg in pushed[1:])
+
+
+def test_tpch_q12_one_pass_buckets(spark, sf01):
+    df = QD["tpch_q12_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_shipdate" in seg[:400] for seg in pushed[1:])
+
+
+def test_tpch_q13_left_join_double_aggregate(spark, sf01):
+    """The join-side filter rides the LEFT join condition (zero-order
+    customers survive into the c_count=0 bucket); no cartesian."""
+    df = QD["tpch_q13_shape"].spark(spark, sf01)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # sf0.01 has customers with zero surviving orders -> a 0 bucket
+    assert 0 in rows
+
+
+def test_tpch_q19_or_brackets_one_scan(spark, sf01):
+    """The OR-of-brackets is ONE residual on one broadcast join — not
+    a union of per-bracket scans; the quantity union band pushes."""
+    df = QD["tpch_q19_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 2  # lineitem once + part once
+
+
+def test_tpch_q20_conditional_halfsum_single_scan(spark, sf01):
+    """Period and total sums ride one conditional aggregate (the
+    correlated half-sum decorrelated without a second fact scan)."""
+    df = QD["tpch_q20_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 3  # lineitem, part, supplier
