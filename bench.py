@@ -100,6 +100,10 @@ EXTENDED = [
     "group_median_mad",
     "snapshot_diff",
     "dedup_chunk_level",
+    # round-12 additions: the widest join fan (q8) and the double
+    # aggregate (q13) of the new TPC-H shapes
+    "tpch_q8_shape",
+    "tpch_q13_shape",
 ]
 
 REF_DATA = "/root/reference/data"
