@@ -120,14 +120,14 @@ REF_PROBES = {"cpu_probe": 0.1013, "shuffle_probe": 0.4231,
 # Sub-second queries where scheduler noise dominates the median-of-3
 # (round-8 verdict item #8): they get extra trials so dispersion is on
 # record and probe-adjusted regressions on them are attributable.
-# The r10 watch pair (tpch_q3_shape, sim_cosine_topk) resolved as
-# environment in r11 and rotates off. groupby_agg: r11 raw drift
-# 0.75->1.34 s with zero code change (machine probes moved 21%) — on
-# watch for one round (r12 verdict item #5); dedup_ngram_jaccard's r11
-# drift was at sf1 where extra trials live in the sf1 block, so its
-# sf0.1 point goes on watch as the attributable proxy.
+# The r11 watch pair (groupby_agg, dedup_ngram_jaccard) resolved as
+# environment in r12 and rotates off. r13 rotation (r12 verdict item
+# #5): timeband_window (r12 raw 1.14x), tpch_q3_shape (1.11x) and
+# sim_cosine_topk (1.09x) drifted mildly slower on a FASTER machine
+# with zero code change to any of them — 7 trials each this round to
+# adjudicate environment vs code.
 WATCHLIST = ["scan_filter_project", "first_per_group", "scd2_apply",
-             "groupby_agg", "dedup_ngram_jaccard"]
+             "timeband_window", "tpch_q3_shape", "sim_cosine_topk"]
 WATCHLIST_TRIALS = 7
 
 # The 5 most expensive headline queries (per BENCH_r03/r04) — these get
@@ -381,6 +381,35 @@ def _replay_secs(spark, incremental: bool, atomic: bool = False) -> float | None
     return round(time.perf_counter() - t0, 4)
 
 
+def _master_fingerprint(root: str) -> dict:
+    """size+mtime_ns of every file under the bench master warehouse.
+    Every cloned timing point hard-links the master (zero-copy branch),
+    which is only safe because no warehouse code path ever writes a
+    file in place — a future in-place mutation through a clone would
+    corrupt the shared master silently mid-benchmark (advisor r12).
+    stat-only, no reads: ~O(files) syscalls, microseconds at sf0.1."""
+    snap = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            snap[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
+def _check_master_unchanged(root: str, snap: dict, ctx: str) -> None:
+    """Fail the bench LOUDLY if the hard-linked master drifted."""
+    cur = _master_fingerprint(root)
+    if cur != snap:
+        drift = sorted(set(cur) ^ set(snap)
+                       | {p for p in set(cur) & set(snap)
+                          if cur[p] != snap[p]})
+        raise RuntimeError(
+            f"bench master warehouse mutated during {ctx} — the "
+            f"hard-link-clone invariant is broken; drifted files: "
+            f"{drift[:10]}{'…' if len(drift) > 10 else ''}")
+
+
 def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | None:
     """Fraud-rules phase vs fact-history LENGTH — the scaling curve that
     makes the incremental mode's point legible: faithful mode re-scans
@@ -430,6 +459,7 @@ def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | 
     # 46.98 s vs 22.1/21.1 s at 90d/365d — warmup artifact, not
     # signal). One throwaway rules pass per mode at the cheap 1-day
     # history warms both code paths before anything is timed.
+    master_snap = _master_fingerprint(master)
     for flag in (False, True):
         warm_root = tempfile.mkdtemp(prefix="bench_rules_warm_")
         shutil.rmtree(warm_root)
@@ -441,6 +471,7 @@ def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | 
         DailyBatch(spark, warm_root, dims,
                    incremental=flag).run_fraud_rules(day1)
         shutil.rmtree(warm_root, ignore_errors=True)
+        _check_master_unchanged(master, master_snap, "warmup clone run")
     out: dict[str, float] = {}
     have_days = 1
     for n_days in sorted(day_counts):
@@ -462,6 +493,7 @@ def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | 
             )
             seed.wh.append_transactions(ext)
             have_days = n_days
+            master_snap = _master_fingerprint(master)
         target = day1 + datetime.timedelta(days=n_days - 1)
         # Attribution yardstick (round-5 verdict item #3): a bare full
         # scan of the same fact history. If rules_full_{n}d drifts
@@ -483,6 +515,8 @@ def _rules_history_curve(spark, day_counts=(30, 90, 365)) -> dict[str, float] | 
             batch.run_fraud_rules(target)
             out[f"rules_{mode}_{n_days}d"] = round(time.perf_counter() - t0, 4)
             shutil.rmtree(run_root, ignore_errors=True)
+            _check_master_unchanged(
+                master, master_snap, f"rules_{mode}_{n_days}d clone run")
     shutil.rmtree(master, ignore_errors=True)
     # r1-r3 recorded the 90-day pair under these names; keep them stable
     if "rules_full_90d" in out:

@@ -770,61 +770,55 @@ def sessionize(spark, sf_dir):
 # row plus the local parity suite (tests/test_oracle_parity.py runs every
 # catalog entry against its DuckDB oracle at sf0.01 each CI run).
 _REPORT_FIRST = [
-    # new in r12 — never reported: add new catalog entries HERE, above
+    # new in r13 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
-    "tpch_q4_shape", "tpch_q11_shape", "tpch_q14_shape",
-    "tpch_q15_shape", "tpch_q8_shape", "tpch_q10_shape",
-    "tpch_q12_shape", "tpch_q13_shape", "tpch_q19_shape",
-    "tpch_q20_shape",
-    # r12 rotation: the 23 entries whose newest evidence is r09 (they
-    # tailed past the ~50-entry cap in r11) lead — nothing may go >2
-    # rounds stale
-    "graph_pagerank", "json_extract", "quantiles_exact",
-    "scalar_subquery", "snapshot_diff", "split_leakage_safe",
-    "string_funcs", "text_char_entropy", "text_fingerprint",
-    "text_lang_id", "text_pii_redact", "text_quality",
-    "text_tfidf_topk", "text_token_stats", "timeband_self_join",
-    "timeband_window", "topk_per_group", "tpch_q21_shape",
-    "tpch_q3_shape", "union_except", "unpivot_melt", "window_hopping",
-    "zscore_outliers",
-    # newest evidence r10: next in line; whatever tails past the cap
-    # stays r10-fresh and must lead the r13 rotation
-    "merge_conditional", "tpch_q7_shape", "tpch_q9_shape",
-    "histogram_equiwidth", "intersect_key", "interval_overlap_join",
-    "join_chain", "kmeans_iter2", "left_join_count", "min_max_date",
-    "multimodal_image", "null_filters", "nullsafe_neq",
-    "pack_sequences", "range_frame_window", "ratio_to_report",
-    "row_counts", "scan_filter_project", "semi_join",
-    "semi_join_prefilter",
-    "tpch_q5_shape", "tpch_q17_shape", "window_session_native",
-    "approx_distinct_bounds", "tpch_q18_shape", "text_bigram_topk",
-    "skew_salted_agg", "string_agg_ordered", "text_chunk",
-    "text_decontaminate", "text_regex_scan", "text_repetition",
-    "text_tokens_bpe", "text_winnow", "window_count_distinct",
-    "window_tumbling", "asof_join", "bm25_topk", "decreasing_triple",
-    "dedup_chunk_level", "dedup_clusters", "dedup_containment",
-    "dedup_exact", "dedup_keep_canonical", "dedup_minhash_lsh",
-    "distinct_count_agg", "distinct_pairs", "first_per_group",
-    "fuzzy_match_pairs", "global_topk",
+    # r13 rotation (r12 verdict ask #2): the 33 entries whose newest
+    # evidence is r10 lead — nothing may go >2 rounds stale
+    "approx_distinct_bounds", "asof_join", "bm25_topk",
+    "decreasing_triple", "dedup_chunk_level", "dedup_clusters",
+    "dedup_containment", "dedup_exact", "dedup_keep_canonical",
+    "dedup_minhash_lsh", "distinct_count_agg", "distinct_pairs",
+    "first_per_group", "fuzzy_match_pairs", "global_topk",
+    "scan_filter_project", "semi_join", "semi_join_prefilter",
+    "skew_salted_agg", "string_agg_ordered", "text_bigram_topk",
+    "text_chunk", "text_decontaminate", "text_regex_scan",
+    "text_repetition", "text_tokens_bpe", "text_winnow", "tpch_q17_shape",
+    "tpch_q18_shape", "tpch_q5_shape", "window_count_distinct",
+    "window_session_native", "window_tumbling",
+    # newest evidence r11: next in line; whatever tails past the cap
+    # stays r11-fresh and must lead the r14 rotation
+    "anti_join", "approx_stats_bounds", "array_funcs", "between_filter",
+    "case_when_bucketing", "cast_project", "cdc_upsert", "concat_coalesce",
+    "corpus_mix", "cube_agg", "date_arith", "date_parts",
+    "dedup_clusters_star", "dedup_minhash_incr", "dedup_ngram_incr",
+    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
+    "dedup_simhash_pairs", "dq_checks", "embedding_centroids",
+    "embedding_quantize", "events_funnel", "events_pathing",
+    "events_retention", "freq_items_bounds", "full_outer_join",
+    "group_median_mad", "groupby_agg", "grouping_sets_agg",
+    "lead_lag_window", "multimodal_features", "pivot_agg", "rank_funcs",
+    "rollup_agg", "running_window", "sample_hash", "sample_stratified_n",
+    "sample_weighted", "scd2_apply", "sessionize", "sim_ann_ivf",
+    "sim_ann_lsh", "sim_cosine_pairs", "sim_cosine_pairs_lsh",
+    "sim_cosine_topk", "skew_salted_join", "tpch_q16_shape",
+    "tpch_q22_shape", "tpch_q2_shape",
 ]
 _REPORT_LAST = [
-    # reported green in r11 — freshest evidence, can wait
-    "tpch_q2_shape", "tpch_q16_shape", "tpch_q22_shape",
-    "group_median_mad", "groupby_agg", "grouping_sets_agg",
-    "lead_lag_window", "multimodal_features", "pivot_agg",
-    "rank_funcs", "rollup_agg", "running_window", "sample_hash",
-    "sample_stratified_n", "sample_weighted", "scd2_apply",
-    "sessionize", "sim_ann_ivf", "sim_ann_lsh", "sim_cosine_pairs",
-    "sim_cosine_pairs_lsh", "sim_cosine_topk", "skew_salted_join",
-    "anti_join", "approx_stats_bounds", "array_funcs",
-    "between_filter", "case_when_bucketing", "cast_project",
-    "cdc_upsert", "concat_coalesce", "corpus_mix", "cube_agg",
-    "date_arith", "date_parts", "dedup_clusters_star",
-    "dedup_minhash_incr", "dedup_ngram_incr", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs",
-    "dq_checks", "embedding_centroids", "embedding_quantize",
-    "events_funnel", "events_pathing", "events_retention",
-    "freq_items_bounds", "full_outer_join",
+    # reported green in r12 — freshest evidence, can wait
+    "graph_pagerank", "histogram_equiwidth", "intersect_key",
+    "interval_overlap_join", "join_chain", "json_extract", "kmeans_iter2",
+    "left_join_count", "merge_conditional", "min_max_date",
+    "multimodal_image", "null_filters", "nullsafe_neq", "pack_sequences",
+    "quantiles_exact", "range_frame_window", "ratio_to_report",
+    "row_counts", "scalar_subquery", "snapshot_diff", "split_leakage_safe",
+    "string_funcs", "text_char_entropy", "text_fingerprint",
+    "text_lang_id", "text_pii_redact", "text_quality", "text_tfidf_topk",
+    "text_token_stats", "timeband_self_join", "timeband_window",
+    "topk_per_group", "tpch_q10_shape", "tpch_q11_shape", "tpch_q12_shape",
+    "tpch_q13_shape", "tpch_q14_shape", "tpch_q15_shape", "tpch_q19_shape",
+    "tpch_q20_shape", "tpch_q21_shape", "tpch_q3_shape", "tpch_q4_shape",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "union_except",
+    "unpivot_melt", "window_hopping", "zscore_outliers",
 ]
 
 
