@@ -2128,7 +2128,8 @@ class Warehouse:
         as NULL via ``allowMissingColumns``."""
         decl_types = {f.name.lower(): f.dataType
                       for f in (decl.fields if decl is not None else [])}
-        frames = []
+        raw_frames = []
+        native_types: dict[str, T.DataType] = {}
         for keys, group in sorted(layouts.items(),
                                   key=lambda kv: sorted(kv[0])):
             kl = {k.lower() for k in keys}
@@ -2150,10 +2151,28 @@ class Warehouse:
                     reader = reader.option("mergeSchema", "true")
                 df = reader.parquet(
                     *[os.path.join(p, r) for r in group])
+                # remember each column's NATIVE (in-file) type so a
+                # layout group that only carries it as a path value can
+                # lift it at the same type — otherwise unionByName would
+                # silently coerce the whole column to string against the
+                # flat group's e.g. int (advisor r12)
+                for f in df.schema.fields:
+                    nt = native_types.get(f.name.lower())
+                    if nt is None or isinstance(nt, T.StringType):
+                        native_types[f.name.lower()] = f.dataType
+            raw_frames.append((keys, df))
+        frames = []
+        for keys, df in raw_frames:
             for k in sorted(keys):
+                # greedy ".*/" anchors the capture to the LAST
+                # "k=value/" path segment — the file's OWN partition
+                # dir. A first-occurrence match would pick up an
+                # ANCESTOR directory of the warehouse root that happens
+                # to look like "k=..." (e.g. a root under /data/dt=old/)
+                # and stamp every row with it (advisor r12, medium).
                 raw = F.regexp_extract(
                     F.input_file_name(),
-                    "(?:^|/)" + re.escape(k) + "=([^/]+)/", 1)
+                    ".*/" + re.escape(k) + "=([^/]+)/", 1)
 
                 # TWO encoding layers: input_file_name() returns the
                 # URI-encoded path (space -> %20, %% -> %25) and the
@@ -2170,8 +2189,10 @@ class Warehouse:
                 val = F.when(
                     raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
                 ).otherwise(F.coalesce(dec, _dec(raw), raw))
-                want = decl_types.get(k.lower())
-                if want is not None:
+                want = decl_types.get(k.lower(),
+                                      native_types.get(k.lower()))
+                if want is not None and not isinstance(want,
+                                                       T.StringType):
                     val = val.cast(want)
                 df = df.withColumn(k, val)
             frames.append(df)
@@ -2693,9 +2714,15 @@ class Warehouse:
         """Partition columns a maintenance rewrite of ``table`` must
         write with: the recorded spec, restricted to columns the
         rewritten frame actually carries (a spec column absent from the
-        data would otherwise crash the write)."""
-        return [c for c in self.table_partition_by(table)
-                if c in df.columns]
+        data would otherwise crash the write). Matching is CASE-
+        INSENSITIVE, returning the FRAME's spelling — mirroring
+        ``Transaction.append``'s spec resolution, so a spec recorded in
+        a different case than the frame still takes the per-partition
+        repartitioned sizing path instead of silently coalescing
+        (advisor r12)."""
+        by_lower = {c.lower(): c for c in df.columns}
+        return [by_lower[c.lower()] for c in self.table_partition_by(table)
+                if c.lower() in by_lower]
 
     def snapshots(self) -> list[dict]:
         """The commit history: one row per committed transaction —
@@ -3033,17 +3060,24 @@ class Warehouse:
         the source. Returns the number of files linked."""
         src, dst = src.lower(), dst.lower()
         self._invalidate_state()
+        # ONE snapshot for everything below: file list, stats, dv map,
+        # spec, constraints, schema are all derived from the state at
+        # base_seq, so a concurrent commit landing mid-clone can't
+        # produce mixed-snapshot metadata (e.g. a dv referencing a data
+        # file this clone didn't link) — advisor r12
         base_seq = self._latest_seq()
-        mf = self._manifest_files(src)
+        state = self._replay_state(base_seq) if base_seq else \
+            self._replay_state()
+        mf = state["tables"].get(src)
         if mf is None:
             raise ValueError(
                 f"clone_table: {src} is not commit-log tracked")
-        if self._manifest_files(dst) is not None or _data_files(
+        mf = list(mf)
+        if state["tables"].get(dst) is not None or _data_files(
                 self._path(dst)):
             raise ValueError(f"clone_table: {dst} already exists")
-        state = self._replay_state()
         src_dir, dst_dir = self._path(src), self._path(dst)
-        dv_map = self._dv_state(src)
+        dv_map = state["dv"].get(src, {})
         linked = 0
         try:
             for rel in list(mf) + sorted(dv_map):
@@ -3077,7 +3111,7 @@ class Warehouse:
             txn.replace = True
             txn.base_seq = base_seq
             txn.pending[dst] = list(mf)
-            st = self._manifest_stats(src)
+            st = self._manifest_stats(src, at=base_seq or None)
             if st:
                 txn.stats[dst] = {r: dict(v) for r, v in st.items()}
             pb = state["partition_by"].get(src)

@@ -285,3 +285,53 @@ def test_mixed_layout_adversarial_partition_values(spark, tmp_path):
     wh.compact("ev")
     got2 = {r["id"]: r["tag"] for r in wh.read("ev").collect()}
     assert got2 == want
+
+
+def test_mixed_layout_ancestor_partition_lookalike_dir(spark, tmp_path):
+    """A warehouse rooted under an ancestor directory that LOOKS like a
+    hive partition dir (…/dt=archive/…) must not leak the ancestor's
+    value into the lifted partition column — the extraction anchors to
+    the LAST k=v/ path segment, the file's own (advisor r12, medium)."""
+    root = os.path.join(str(tmp_path), "dt=archive", "nested", "w")
+    os.makedirs(root, exist_ok=True)
+    wh = Warehouse(spark, root)
+    with wh.transaction() as t:
+        t.append(spark.createDataFrame(
+            [(1, "2021-03-01")], "id int, dt string").coalesce(1), "ev")
+    wh.set_partition_spec("ev", ["dt"])
+    wh.append(spark.createDataFrame(
+        [(2, "2021-03-02")], "id int, dt string").coalesce(1), "ev")
+    got = {r["id"]: r["dt"] for r in wh.read("ev").collect()}
+    assert got == {1: "2021-03-01", 2: "2021-03-02"}
+    assert "archive" not in got.values()
+
+
+def test_mixed_layout_undeclared_keeps_native_dtype(spark, tmp_path):
+    """Legacy explicit-partition_by mixes (no declared schema): the
+    path-lifted partition column must come back at the dtype the flat
+    group carries IN-FILE (int here), not silently coerce the whole
+    unioned column to string (advisor r12)."""
+    wh = _wh(spark, tmp_path)
+    with wh.transaction() as t:  # flat: k is a real int data column
+        t.append(spark.createDataFrame(
+            [(1, 10), (2, 20)], "id int, k int").coalesce(1), "ev")
+    with wh.transaction() as t:  # hive: k only in the path
+        t.append(spark.createDataFrame(
+            [(3, 30)], "id int, k int").coalesce(1), "ev",
+            partition_by=["k"])
+    df = wh.read("ev")
+    assert dict(df.dtypes)["k"] == "int"
+    assert {(r["id"], r["k"]) for r in df.collect()} == {
+        (1, 10), (2, 20), (3, 30)}
+
+
+def test_rewrite_part_cols_case_insensitive(spark, tmp_path):
+    """A spec recorded in a different case than the rewritten frame
+    still resolves (returning the FRAME's spelling), matching
+    Transaction.append's case-insensitive resolution — so compact/
+    fold_dv keep the per-partition file sizing path (advisor r12)."""
+    wh = _wh(spark, tmp_path)
+    _seed_flat(spark, wh)
+    wh.set_partition_spec("ev", ["dt"])
+    df = wh.read("ev").withColumnRenamed("dt", "DT")
+    assert wh._rewrite_part_cols("ev", df) == ["DT"]
