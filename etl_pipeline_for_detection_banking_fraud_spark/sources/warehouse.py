@@ -132,6 +132,23 @@ class Transaction:
         # commute, so these tables are excluded from replace conflict
         # detection. Ignored when ``replace`` is False.
         self.append_only: set[str] = set()
+        # tables whose replace result is CONTENT-INDEPENDENT of rows
+        # appended after the base snapshot (compact / cluster / zorder
+        # / fold_dv: they rewrite a fixed READ SET of files; files a
+        # concurrent append adds are disjoint by construction). For
+        # these, commit resolves conflicts at FILE granularity — the
+        # Delta/Iceberg shape: an intervening APPEND-only commit on the
+        # table is absorbed by carrying its files forward into this
+        # replace's manifest instead of raising CommitConflict, so
+        # maintenance can't livelock under streaming append rates
+        # (r12 verdict item #1). merge/DML/clone must NOT opt in: their
+        # results depend on table contents at the base snapshot, so
+        # first-writer-wins stays correct for them.
+        self.absorb_appends: set[str] = set()
+        # commit-log seqs already absorbed (commit's claim loop re-runs
+        # conflict detection after losing a seq race; absorption must
+        # not double-carry a file)
+        self._absorbed_seqs: set[int] = set()
         self._n = 0
         self._stage_root = os.path.join(wh.root, "_stage", self.txnid)
         self._done = False
@@ -183,6 +200,11 @@ class Transaction:
         # validated data keep it True — re-checking valid rows is one
         # vectorized predicate per row, noise next to the write itself)
         self.enforce_constraints = True
+        # extra top-level entry keys (replay ignores unknown keys):
+        # carriers for sink-side idempotence markers and similar
+        # metadata that must land ATOMICALLY with the file ops — e.g.
+        # the native streaming sink's {"stream_sink": {sink, batch}}
+        self.extra: dict = {}
 
     def _constrained(self, df: DataFrame, cons: dict[str, str]) -> DataFrame:
         """Wrap ``df`` so the WRITE JOB ITSELF raises on the first row
@@ -221,7 +243,7 @@ class Transaction:
         if self._done:
             raise RuntimeError("transaction already committed/aborted")
         for c in partition_by or []:
-            if c.startswith(("_", ".")):
+            if _parse_spec_entry(c)[3].startswith(("_", ".")):
                 # the commit walk (and every parquet reader) treats
                 # '_'/'.' paths as hidden — such a partition column
                 # would stage zero visible files, silently losing data
@@ -234,18 +256,28 @@ class Transaction:
             # writes conform to the table's RECORDED spec (the Delta /
             # Iceberg contract, and what makes set_partition_spec mean
             # "future writes use the new spec") — but only when the
-            # frame actually carries every spec column; a sidecar-style
-            # frame without them keeps writing flat, as before. This
+            # frame actually carries every spec column (for TRANSFORM
+            # entries: every BASE column); a sidecar-style frame
+            # without them keeps writing flat, as before. This
             # transaction's own staged spec wins over the committed one
             # (an earlier append in the txn may have declared it).
             rec = self.partition_by.get(table) or \
                 self.wh._replay_state()["partition_by"].get(table)
             if rec:
-                # case-insensitive resolution (Spark analysis is), in
-                # the FRAME's spelling so partitionBy finds the column
+                # case-insensitive resolution (Spark analysis is);
+                # identity entries in the FRAME's spelling so
+                # partitionBy finds the column, transform entries kept
+                # verbatim (their derived column is materialized below)
                 by_lower = {c.lower(): c for c in df.columns}
-                resolved = [by_lower.get(c.lower()) for c in rec]
-                if all(c is not None for c in resolved):
+                resolved = []
+                for entry in rec:
+                    kind, _prm, base, _drv = _parse_spec_entry(entry)
+                    have = by_lower.get(base.lower())
+                    if have is None:
+                        resolved = None
+                        break
+                    resolved.append(have if kind == "identity" else entry)
+                if resolved is not None:
                     partition_by = resolved
         if partition_by:
             self.partition_by[table] = list(partition_by)
@@ -300,9 +332,37 @@ class Transaction:
                         for c in df.columns])
         self._n += 1
         stage = os.path.join(self._stage_root, str(self._n))
+        write_cols: list[str] = []
+        for entry in partition_by or []:
+            kind, prm, base, derived = _parse_spec_entry(entry)
+            if kind == "identity":
+                write_cols.append(entry)
+                continue
+            # hidden partitioning: materialize the derived column for
+            # the write only — base data stays in the files, declared
+            # reads drop the path key, and base-column predicates prune
+            # via the transform expansion (the Iceberg contract)
+            have = next((c for c in df.columns
+                         if c.lower() == derived.lower()), None)
+            if have is not None:
+                if decl is not None and derived.lower() in {
+                        f.name.lower() for f in decl.fields}:
+                    raise ValueError(
+                        f"append to {table!r}: hidden partition column "
+                        f"{derived!r} (derived by {entry!r}) collides "
+                        "with a DECLARED data column; rename the "
+                        "column or the transform base")
+                # a path-lifted layout column riding a maintenance
+                # rewrite (tracked reads surface it on undeclared
+                # tables): recompute from the base — derived values
+                # are DEFINED as T(base), never independent data
+                df = df.drop(have)
+            df = df.withColumn(
+                derived, _spec_transform_expr(df, kind, prm, base))
+            write_cols.append(derived)
         w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        if write_cols:
+            w = w.partitionBy(*write_cols)
         try:
             w.parquet(stage)
         except Exception as e:  # noqa: BLE001 — classify, then re-raise
@@ -465,13 +525,15 @@ class Transaction:
                 entry["drop_tables"] = self.drop_tables
             if self.vacuum:
                 entry["vacuum"] = True
+            for k, v in self.extra.items():
+                entry.setdefault(k, v)
             tmp = os.path.join(log_dir, f".tmp-{self.txnid}")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
                 f.flush()
                 os.fsync(f.fileno())
             seq = _next_seq(log_dir)
-            self._check_conflicts(log_dir, seq, tmp)
+            self._check_conflicts(log_dir, seq, tmp, entry)
             # publish staged dv sidecars only now, after conflict
             # detection: the visible-but-unreferenced window shrinks to
             # the link claim below (same exposure as staged data files);
@@ -490,7 +552,7 @@ class Transaction:
                     # and the link; a replace must re-run conflict
                     # detection against the entry that beat it
                     seq += 1
-                    self._check_conflicts(log_dir, seq, tmp)
+                    self._check_conflicts(log_dir, seq, tmp, entry)
             os.unlink(tmp)
             self.wh._invalidate_state()
             self.wh._maybe_checkpoint(seq)
@@ -501,11 +563,22 @@ class Transaction:
             # data; unlinked files are orphans for vacuum_orphans()
             self._finish()
 
-    def _check_conflicts(self, log_dir: str, next_seq: int, tmp: str) -> None:
+    def _check_conflicts(self, log_dir: str, next_seq: int, tmp: str,
+                         entry: dict | None = None) -> None:
         """First-writer-wins for replace entries: any committed entry in
         (base_seq, next_seq) touching one of this transaction's tables
         means the replace was computed from a stale file set. Appends
         (base_seq is None) always pass — they commute.
+
+        EXCEPT for tables in ``absorb_appends`` (file-granularity
+        resolution, the Delta/Iceberg contract): an intervening entry
+        that only APPENDS files to such a table is disjoint from this
+        replace's read set by construction, so its files are carried
+        forward into this entry's manifest (the tmp file is re-written
+        in place — it is not linked yet) and the commit proceeds.
+        Intervening replaces/DML/drops on the table still conflict, as
+        do appends that carry deletion vectors (never produced today —
+        defensive).
 
         The SCHEMA channel is whole-value replace per table, so a
         commit carrying ``schema_updates`` additionally conflicts with
@@ -528,6 +601,7 @@ class Transaction:
                 f"expire horizon {horizon}; conflict window unverifiable "
                 "— re-read and retry"
             )
+        absorbed_now = False
         for seq in range(self.base_seq + 1, next_seq):
             p = os.path.join(log_dir, f"{seq:09d}.json")
             try:
@@ -536,11 +610,28 @@ class Transaction:
             except FileNotFoundError:
                 continue
             clash = set()
+            absorbable: set[str] = set()
             if self.replace:
+                repl = set(self.pending) - self.append_only
                 # append-only tables commute and never conflict
-                clash |= set(other.get("tables", {})) & (
-                    set(self.pending) - self.append_only
-                )
+                touched = set(other.get("tables", {})) & repl
+                # a concurrent DROP of a replaced table: committing the
+                # replace would silently resurrect it
+                touched |= set(other.get("drop_tables", [])) & repl
+                if touched and self.absorb_appends:
+                    absorb = {t.lower() for t in self.absorb_appends}
+                    other_appends = (
+                        set(other.get("tables", {}))
+                        if other.get("op") == "add"
+                        else set(other.get("append_tables", [])))
+                    absorbable = {
+                        t for t in touched
+                        if t in absorb
+                        and t in other_appends
+                        and t not in other.get("dv", {})
+                        and t not in other.get("drop_tables", [])
+                    }
+                clash |= touched - absorbable
             if self.schema_updates:
                 clash |= set(other.get("schema", {})) & \
                     set(self.schema_updates)
@@ -553,6 +644,29 @@ class Transaction:
                     f"after this transaction's base snapshot "
                     f"{self.base_seq}; re-read and retry"
                 )
+            if absorbable and seq not in self._absorbed_seqs:
+                self._absorbed_seqs.add(seq)
+                for t in sorted(absorbable):
+                    mine = self.pending.setdefault(t, [])
+                    have = set(mine)
+                    news = [r for r in other["tables"][t]
+                            if r not in have]
+                    # carried files keep their manifest membership; their
+                    # stats carry forward in replay (append-only stats
+                    # channel filtered to the live manifest), so pruning
+                    # keeps working without restating them here
+                    mine.extend(news)
+                    if entry is not None and news:
+                        entry.setdefault("absorbed", {}).setdefault(
+                            t, []).extend(news)
+                    absorbed_now = True
+        if absorbed_now and entry is not None:
+            # the tmp file is not linked yet — re-serialize it with the
+            # carried files so the published entry IS the final manifest
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+                f.flush()
+                os.fsync(f.fileno())
 
     def abort(self) -> None:
         """Discard: delete this transaction's staged files (they were
@@ -958,6 +1072,128 @@ def _partition_pairs_of(rel: str) -> list[tuple[str, str]]:
             k, _, v = d.partition("=")
             pairs.append((k, v))
     return pairs
+
+
+_SPEC_TRANSFORM_RE = re.compile(
+    r"^\s*(days?|months?|hours?|bucket|truncate)\s*\(\s*([^)]*?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_spec_entry(entry: str) -> tuple[str, int | None, str, str]:
+    """Parse a partition-spec entry into ``(kind, param, base_col,
+    derived_col)`` — Iceberg-style HIDDEN partition transforms (r12
+    verdict item #3). Identity entries (plain column names) return
+    ``("identity", None, col, col)``. Transform entries derive a
+    hidden hive path key from a base data column:
+
+    - ``days(ts)``   -> ``ts_day``   (ISO date string, fixed width)
+    - ``months(ts)`` -> ``ts_month`` (``yyyy-MM``)
+    - ``hours(ts)``  -> ``ts_hour``  (``yyyy-MM-dd-HH``)
+    - ``bucket(n, col)``   -> ``col_bucket`` (zero-padded
+      ``pmod(xxhash64(col), n)`` — the hash is Spark's xxhash64 over
+      the column's NATIVE type; probe literals must cast to it)
+    - ``truncate(k, col)`` -> ``col_trunc`` (string prefix of length
+      k, or ``v - pmod(v, k)`` for integers — the Iceberg semantics)
+
+    The derived column is materialized only at WRITE time (the base
+    column's data stays in the files) and is dropped by declared-schema
+    reads: predicates on the BASE column keep pruning via
+    ``_expand_transform_prune`` without the reader knowing the layout.
+    Day/month/hour evaluate in the session timezone — keep writers and
+    readers on one timezone (the pipeline pins UTC)."""
+    m = _SPEC_TRANSFORM_RE.match(entry)
+    if not m:
+        return ("identity", None, entry, entry)
+    fn = m.group(1).lower()
+    fn = {"day": "days", "month": "months", "hour": "hours"}.get(fn, fn)
+    args = [a.strip() for a in m.group(2).split(",") if a.strip()]
+    if fn in ("days", "months", "hours"):
+        if len(args) != 1 or not args[0]:
+            raise ValueError(
+                f"partition transform {entry!r}: expected {fn}(col)")
+        return (fn, None, args[0], f"{args[0]}_{fn[:-1]}")
+    if len(args) != 2 or not args[0].isdigit() or int(args[0]) <= 0:
+        raise ValueError(
+            f"partition transform {entry!r}: expected {fn}(N, col) "
+            "with N a positive integer")
+    n, base = int(args[0]), args[1]
+    suffix = "bucket" if fn == "bucket" else "trunc"
+    return (fn, n, base, f"{base}_{suffix}")
+
+
+def _spec_transform_expr(df: DataFrame, kind: str, param: int | None,
+                         base: str):
+    """The Column computing a transform's hidden partition value from
+    the base column, resolved against ``df`` (used identically by the
+    write path and maintenance repartitioning, so layout and file
+    sizing always agree)."""
+    c = F.col(base)
+    if kind == "identity":
+        return c
+    if kind == "days":
+        return F.to_date(c)
+    if kind == "months":
+        return F.date_format(c, "yyyy-MM")
+    if kind == "hours":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if kind == "bucket":
+        width = len(str(param - 1))
+        return F.lpad(
+            F.pmod(F.xxhash64(c), F.lit(param)).cast("string"),
+            width, "0")
+    if kind == "truncate":
+        dt = dict((n.lower(), t) for n, t in df.dtypes).get(base.lower())
+        if dt == "string":
+            return F.substring(c, 1, param)
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return c - F.pmod(c, F.lit(param))
+        raise ValueError(
+            f"truncate({param}, {base}): base column must be string or "
+            f"integral, got {dt}")
+    raise ValueError(f"unknown partition transform kind {kind!r}")
+
+
+def _transform_bound(kind: str, param: int | None, lo, hi):
+    """Map a NECESSARY [lo, hi] bound on a transform's BASE column to a
+    necessary bound on its derived path value, or None when no sound
+    mapping exists. days/months/hours and truncate are order-
+    preserving, so intervals map to intervals; bucket is not — only
+    point bounds map (handled by the caller, which needs the column
+    type and a Spark hash job). Bounds arrive as the manifest-stat
+    representation (ISO strings for dates/timestamps)."""
+    if kind in ("days", "months", "hours"):
+        vals = []
+        for i, v in enumerate((lo, hi)):
+            if v is None:  # one-sided bound: the open side stays open
+                vals.append(None)
+                continue
+            if not isinstance(v, str) or len(v) < 10 or \
+                    v[4] != "-" or v[7] != "-":
+                return None  # not an ISO date/timestamp rendering
+            if kind == "days":
+                vals.append(v[:10])
+            elif kind == "months":
+                vals.append(v[:7])
+            else:  # hours
+                if len(v) >= 13:  # timestamp-ish: yyyy-MM-dd?HH...
+                    vals.append(v[:10] + "-" + v[11:13])
+                else:  # date-only bound: span the day's hours
+                    vals.append(v[:10] + ("-00" if i == 0 else "-23"))
+        return tuple(vals)
+    if kind == "truncate":
+        vals = []
+        for v in (lo, hi):
+            if v is None:
+                vals.append(None)
+            elif isinstance(v, str):
+                vals.append(v[:param])
+            elif isinstance(v, int) and not isinstance(v, bool):
+                vals.append(v - v % param)
+            else:
+                return None
+        return tuple(vals)
+    return None
 
 
 def _next_seq(log_dir: str) -> int:
@@ -1608,22 +1844,87 @@ class Warehouse:
         """Prune bounds re-keyed by PHYSICAL column names: footer stats
         and bloom bitsets record the physical parquet names, while
         predicates (and the bounds derived from them) speak logical
-        names. Identity for tables without a rename/re-add mapping."""
+        names. Identity for tables without a rename/re-add mapping.
+
+        Also EXPANDS hidden-partitioning bounds (r12 verdict item #3):
+        when the table's spec carries transforms, a bound on the BASE
+        column derives the corresponding bound on the derived hive
+        path key (``transaction_date`` band -> ``transaction_date_day``
+        band), so predicates prune transform layouts without the
+        caller knowing the layout — the Iceberg contract."""
         if not prune:
             return prune
+        out = dict(prune)
         _, phys, _ = self._schema_meta(table, at=at)
-        if not phys:
-            return prune
+        if phys:
+            def _map(c: str) -> str:
+                # dotted struct-leaf keys map their FIRST segment (the
+                # top-level column owns the physical slot; leaf names
+                # never remap — leaf-level mapping is unsupported by
+                # design)
+                head, dot, rest = c.partition(".")
+                mapped = phys.get(head.lower(), head)
+                return mapped + dot + rest
 
-        def _map(c: str) -> str:
-            # dotted struct-leaf keys map their FIRST segment (the
-            # top-level column owns the physical slot; leaf names never
-            # remap — leaf-level mapping is unsupported by design)
-            head, dot, rest = c.partition(".")
-            mapped = phys.get(head.lower(), head)
-            return mapped + dot + rest
+            out = {_map(c): b for c, b in out.items()}
+        extra = self._transform_prune_keys(table, prune, at)
+        if extra:
+            out.update(extra)
+        return out
 
-        return {_map(c): b for c, b in prune.items()}
+    def _transform_prune_keys(self, table: str, prune: dict,
+                              at: int | None = None) -> dict:
+        """Derived-path-key bounds implied by base-column bounds for a
+        transform-carrying spec. days/months/hours and truncate are
+        order-preserving, so [lo, hi] maps to [T(lo), T(hi)] (one-sided
+        bounds keep the open side open); bucket is not — only POINT
+        bounds map, hashed with the same Spark expression the writer
+        used (one local 1-row job, only when a point bound actually
+        hits a bucket spec's base column). Strict superset contract
+        throughout: an unmappable bound contributes nothing."""
+        spec = self._replay_state(at)["partition_by"].get(
+            table.lower()) or []
+        if not any(_SPEC_TRANSFORM_RE.match(e) for e in spec):
+            return {}
+        lower_prune = {k.lower(): v for k, v in prune.items()}
+        extra: dict = {}
+        decl = None
+        for entry in spec:
+            kind, prm, base, derived = _parse_spec_entry(entry)
+            if kind == "identity":
+                continue
+            b = lower_prune.get(base.lower())
+            if not b:
+                continue
+            lo, hi = b
+            if lo is None and hi is None:
+                continue
+            if kind == "bucket":
+                if lo is None or lo != hi:
+                    continue  # bucket hashing is not order-preserving
+                if decl is None:
+                    decl = self._schema_meta(table, at=at)[0]
+                dtype = next(
+                    (f.dataType for f in (decl.fields if decl else [])
+                     if f.name.lower() == base.lower()), None)
+                if dtype is None:
+                    continue  # unknown base type: no sound hash probe
+                try:
+                    probe = F.lit(lo).cast(dtype)
+                    width = len(str(prm - 1))
+                    row = self.spark.range(1).select(
+                        F.lpad(F.pmod(F.xxhash64(probe), F.lit(prm))
+                               .cast("string"), width, "0").alias("b"),
+                        probe.isNull().alias("n")).collect()[0]
+                except Exception:  # noqa: BLE001 — pruning only
+                    continue
+                if not row["n"]:
+                    extra[derived] = (row["b"], row["b"])
+            else:
+                m = _transform_bound(kind, prm, lo, hi)
+                if m is not None:
+                    extra[derived] = m
+        return extra
 
     def _manifest_stats(self, table: str, at: int | None = None) -> dict:
         """Merged per-file column stats for a tracked table, mirroring
@@ -1773,6 +2074,10 @@ class Warehouse:
             txn = Transaction(self)
             txn.replace = True
             txn.base_seq = base_seq
+            # fold rewrites a FIXED read set (the dv-covered files):
+            # concurrent appends are file-disjoint and absorbed at
+            # commit instead of conflicting (r12 verdict item #1)
+            txn.absorb_appends = {table}
             if vacuum:
                 txn.vacuum = True  # superseded files deleted below
             txn.append(df, table, partition_by=part_cols or None)
@@ -1960,10 +2265,13 @@ class Warehouse:
                 f"set_partition_spec: {table} is not commit-log "
                 "tracked (transactional layout metadata needs the log)")
         cols = list(cols or [])
-        if len({c.lower() for c in cols}) != len(cols):
-            raise ValueError("set_partition_spec: duplicate columns")
-        for c in cols:
-            if c.startswith(("_", ".")):
+        parsed = [_parse_spec_entry(c) for c in cols]  # raises on bad syntax
+        if len({d.lower() for _, _, _, d in parsed}) != len(cols):
+            raise ValueError(
+                "set_partition_spec: duplicate columns (two entries "
+                "derive the same path key)")
+        for (_, _, _, derived), c in zip(parsed, cols):
+            if derived.startswith(("_", ".")):
                 raise ValueError(
                     f"set_partition_spec: {c!r} is a reserved/hidden "
                     "name (hidden directories stage zero visible files)")
@@ -1978,25 +2286,39 @@ class Warehouse:
             decl, phys, retired = self._baseline_schema_meta(
                 table, "set_partition_spec")
             ftypes = {f.name.lower(): f.dataType for f in decl.fields}
-            for c in cols:
-                want = ftypes.get(c.lower())
+            for (kind, prm, base, _derived), c in zip(parsed, cols):
+                want = ftypes.get(base.lower())
                 if want is None:
                     raise ValueError(
-                        f"set_partition_spec: {c!r} is not a column of "
-                        f"{table!r}")
+                        f"set_partition_spec: {base!r} is not a column "
+                        f"of {table!r}")
                 if isinstance(want, (T.StructType, T.ArrayType,
                                      T.MapType, T.BinaryType)):
                     raise ValueError(
-                        f"set_partition_spec: {c!r} is "
+                        f"set_partition_spec: {base!r} is "
                         f"{want.simpleString()} — partition columns "
                         "must be atomic scalars (hive path keys are "
                         "strings)")
-                if phys.get(c.lower(), c).lower() != c.lower():
+                if kind in ("days", "months", "hours") and not \
+                        isinstance(want, (T.DateType, T.TimestampType,
+                                          T.TimestampNTZType)):
                     raise ValueError(
-                        f"set_partition_spec: {c!r} has a physical-name "
-                        "mapping (renamed/re-added column) — hive path "
-                        "keys are physical; partition by an unmapped "
-                        "column")
+                        f"set_partition_spec: {c!r} needs a date/"
+                        f"timestamp base column, {base!r} is "
+                        f"{want.simpleString()}")
+                if kind == "truncate" and not isinstance(
+                        want, (T.StringType, T.ByteType, T.ShortType,
+                               T.IntegerType, T.LongType)):
+                    raise ValueError(
+                        f"set_partition_spec: {c!r} needs a string or "
+                        f"integral base column, {base!r} is "
+                        f"{want.simpleString()}")
+                if phys.get(base.lower(), base).lower() != base.lower():
+                    raise ValueError(
+                        f"set_partition_spec: {base!r} has a physical-"
+                        "name mapping (renamed/re-added column) — hive "
+                        "path keys are physical; partition by an "
+                        "unmapped column")
             txn = self.begin()
             try:
                 txn.enforce_constraints = False  # metadata-only commit
@@ -2712,17 +3034,35 @@ class Warehouse:
 
     def _rewrite_part_cols(self, table: str, df: DataFrame) -> list[str]:
         """Partition columns a maintenance rewrite of ``table`` must
-        write with: the recorded spec, restricted to columns the
-        rewritten frame actually carries (a spec column absent from the
-        data would otherwise crash the write). Matching is CASE-
-        INSENSITIVE, returning the FRAME's spelling — mirroring
-        ``Transaction.append``'s spec resolution, so a spec recorded in
-        a different case than the frame still takes the per-partition
-        repartitioned sizing path instead of silently coalescing
-        (advisor r12)."""
+        write with: the recorded spec, restricted to entries whose
+        column — the BASE column, for transform entries — the rewritten
+        frame actually carries (a spec column absent from the data
+        would otherwise crash the write). Matching is CASE-
+        INSENSITIVE, identity entries returned in the FRAME's spelling
+        — mirroring ``Transaction.append``'s spec resolution, so a
+        spec recorded in a different case than the frame still takes
+        the per-partition repartitioned sizing path instead of
+        silently coalescing (advisor r12)."""
         by_lower = {c.lower(): c for c in df.columns}
-        return [by_lower[c.lower()] for c in self.table_partition_by(table)
-                if c.lower() in by_lower]
+        out = []
+        for entry in self.table_partition_by(table):
+            kind, _prm, base, _drv = _parse_spec_entry(entry)
+            have = by_lower.get(base.lower())
+            if have is not None:
+                out.append(have if kind == "identity" else entry)
+        return out
+
+    @staticmethod
+    def _spec_partition_exprs(df: DataFrame, entries: list[str]) -> list:
+        """Column expressions maintenance rewrites repartition/sort by
+        for a (possibly transform-carrying) spec — identical to the
+        values the write lays directories out by, so file sizing and
+        layout always agree."""
+        return [
+            F.col(base) if kind == "identity"
+            else _spec_transform_expr(df, kind, prm, base)
+            for kind, prm, base, _drv in map(_parse_spec_entry, entries)
+        ]
 
     def snapshots(self) -> list[dict]:
         """The commit history: one row per committed transaction —
@@ -2999,12 +3339,17 @@ class Warehouse:
         """Iceberg ``db.table$files``-style METADATA relation: one row
         per live manifest file — relpath, hive partition values (JSON),
         footer row count and bloom presence from the manifest stats,
-        on-disk size, and whether a live deletion vector covers it.
-        Pure control-plane (commit-log replay + one ``stat`` per file,
-        no data read, no Spark job besides the local frame); the
-        operational queries this answers — small-file skew before a
-        compact, dv coverage before a fold, partition spread after a
-        spec evolution — are exactly Iceberg's files-table use cases.
+        on-disk size, whether a live deletion vector covers it, and the
+        per-column [min, max] footer bounds the manifest holds
+        (``column_stats``: LOGICAL column name -> [lo, hi] as strings,
+        struct leaves under dotted paths — r12 verdict item #7: the
+        clustering-quality / skew-before-compact inspections want the
+        ranges, not just row counts). Pure control-plane (commit-log
+        replay + one ``stat`` per file, no data read, no Spark job
+        besides the local frame); the operational queries this answers
+        — small-file skew before a compact, dv coverage before a fold,
+        partition spread after a spec evolution, range overlap after a
+        cluster/zorder — are exactly Iceberg's files-table use cases.
         SQL surface: ``table_files('t')`` anywhere a relation goes."""
         table = table.lower()
         mf = self._manifest_files(table)
@@ -3018,6 +3363,15 @@ class Warehouse:
         stats = self._manifest_stats(table)
         dv_map = self._dv_state(table)
         covered = {r for cov in dv_map.values() for r in cov}
+        # stats record PHYSICAL column names (column-mapping slots);
+        # surface the LOGICAL names users query by
+        _, phys, _ = self._schema_meta(table)
+        to_logical = {v.lower(): k for k, v in (phys or {}).items()}
+
+        def _logical(c: str) -> str:
+            head, dot, rest = c.partition(".")
+            return to_logical.get(head.lower(), head) + dot + rest
+
         p = self._path(table)
         rows = []
         for rel in mf:
@@ -3027,6 +3381,12 @@ class Warehouse:
             except OSError:
                 size = None
             parts = dict(_partition_pairs_of(rel))
+            cstats = {
+                _logical(c): [None if v is None else str(v) for v in b]
+                for c, b in st.items()
+                if not c.startswith("__") and isinstance(b, (list, tuple))
+                and len(b) == 2
+            }
             rows.append((
                 rel,
                 json.dumps(parts, sort_keys=True) if parts else None,
@@ -3034,10 +3394,12 @@ class Warehouse:
                 size,
                 bool(st.get("__bloom")),
                 rel in covered,
+                cstats or None,
             ))
         schema = ("file string, partition_values string, "
                   "row_count long, size_bytes long, "
-                  "has_bloom boolean, dv_covered boolean")
+                  "has_bloom boolean, dv_covered boolean, "
+                  "column_stats map<string,array<string>>")
         return self.spark.createDataFrame(rows, schema)
 
     def clone_table(self, src: str, dst: str) -> int:
@@ -3276,9 +3638,28 @@ class Warehouse:
             with self.transaction() as txn:
                 txn.append(df, table, partition_by)
             return
+        # legacy (untracked) directory append: materialize transform
+        # entries' hidden partition columns exactly like the
+        # transactional path, so the first-ever write to a table lays
+        # out under the same derived keys later tracked appends will
+        write_cols: list[str] = []
+        for entry in partition_by or []:
+            kind, prm, base, derived = _parse_spec_entry(entry)
+            if kind == "identity":
+                write_cols.append(entry)
+                continue
+            have = next((c for c in df.columns
+                         if c.lower() == derived.lower()), None)
+            if have is not None:
+                # derived values are DEFINED as T(base): recompute,
+                # never trust a same-named rider column
+                df = df.drop(have)
+            df = df.withColumn(
+                derived, _spec_transform_expr(df, kind, prm, base))
+            write_cols.append(derived)
         w = df.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        if write_cols:
+            w = w.partitionBy(*write_cols)
         w.parquet(self._path(table))
 
     def read(self, table: str, schema: T.StructType | None = None,
@@ -3505,10 +3886,18 @@ class Warehouse:
                 txn = Transaction(self)
                 txn.replace = True
                 txn.base_seq = base_seq
+                # compaction rewrites the files SELECTED at base_seq:
+                # files a concurrent append adds are disjoint by
+                # construction, so commit absorbs them (carries them
+                # forward) instead of livelocking maintenance under
+                # streaming append rates (r12 verdict item #1)
+                txn.absorb_appends = {table}
                 txn.vacuum = True  # old files deleted below: retention moves
                 if part_cols:
                     txn.append(
-                        df.repartition(target_files_per_partition, *part_cols),
+                        df.repartition(
+                            target_files_per_partition,
+                            *self._spec_partition_exprs(df, part_cols)),
                         table, partition_by=part_cols,
                     )
                 else:
@@ -3552,7 +3941,11 @@ class Warehouse:
                 "untouched partitions through"
             )
         df = self.spark.read.parquet(self._path(table))
-        part_cols = [c for c in df.columns if c == "dt"]
+        # legacy (untracked) table: preserve whatever hive layout the
+        # directory shows — identity dt and hidden-transform keys alike
+        disk_keys = {e.split("=", 1)[0]
+                     for e in os.listdir(self._path(table)) if "=" in e}
+        part_cols = [c for c in df.columns if c in disk_keys]
         if part_cols:
             out = df.repartition(target_files_per_partition, *part_cols)
             tmp = self._path(table) + ".compact"
@@ -3713,14 +4106,19 @@ class Warehouse:
             txn = Transaction(self)
             txn.replace = True
             txn.base_seq = base_seq
+            # same file-disjointness argument as compact(): the
+            # clustering rewrite absorbs concurrent appends at commit
+            txn.absorb_appends = {table}
             txn.vacuum = True
             if part_cols:
                 # n_files ranges over (dt, *keys); partitionBy then
                 # peels dt into directories, so each written file covers
-                # a narrow key band inside its dt dir
+                # a narrow key band inside its dt dir (transform spec
+                # entries range over their derived VALUE expression)
+                pexprs = self._spec_partition_exprs(aug, part_cols)
                 clustered = aug.repartitionByRange(
-                    max(n_files, 1), *part_cols, *kc
-                ).sortWithinPartitions(*part_cols, *kc).drop(*kc)
+                    max(n_files, 1), *pexprs, *kc
+                ).sortWithinPartitions(*pexprs, *kc).drop(*kc)
                 txn.append(clustered, table, partition_by=part_cols)
             else:
                 clustered = aug.repartitionByRange(
@@ -4104,9 +4502,24 @@ class Warehouse:
         # (both copies are simply "matched", neither inserts twice a
         # target rewrite could duplicate)
         rewrite_needed = bool(matched or nmbs)
-        dup_keys = (source.groupBy(*on).count()
-                    .where(F.col("count") > 1).drop("count"))
-        has_dups = bool(rewrite_needed and dup_keys.limit(1).count())
+        # Duplicate-ON-key guard folded into the merge's own tagged
+        # aggregate (r12 verdict item #6): a per-key source count rides
+        # the join as a window column — the ON-key window partitions
+        # exactly like the merge join's source side, so Catalyst reuses
+        # the exchange and the guard costs zero extra Spark jobs (it
+        # used to be two: a standalone dup probe plus a per-attempt
+        # target semi-join — two avoidable source scans per merge at
+        # 100x scale). Insert-only merges skip it: duplicate source
+        # keys are benign there (both copies are "matched", neither
+        # inserts — nothing a target rewrite could duplicate).
+        from pyspark.sql.window import Window
+
+        dupcol = "__merge_dupn"
+        while dupcol in source.columns:
+            dupcol = "_" + dupcol
+        src_m = source.withColumn(
+            dupcol, F.count(F.lit(1)).over(Window.partitionBy(*on))
+        ) if rewrite_needed else source
         src_keys = source.select(*on).distinct()
         for attempt in range(3):
             self._invalidate_state()
@@ -4171,25 +4584,33 @@ class Warehouse:
                 # target.<col> and the projection carries them
                 target_df = target_df.withColumn(
                     name, F.lit(None).cast(dtype))
-            if has_dups and target_df.join(
-                    dup_keys, on, "left_semi").limit(1).count():
-                raise ValueError(
-                    "merge_when cardinality violation: multiple source "
-                    f"rows share an ON key that matches a {table} row — "
-                    "deduplicate the source (SQL MERGE would "
-                    "nondeterministically apply one of them)"
-                )
-            plan = M.MergePlan(target_df, source, list(on), matched,
+            plan = M.MergePlan(target_df, src_m, list(on), matched,
                                not_matched, nmbs,
                                target_alias=target_alias,
                                source_alias=source_alias,
                                exclude_cols=("_src",))
             tagged = plan.tagged.persist()
             try:
-                by_tag = {
-                    r[0]: r[1] for r in tagged.groupBy(M._ACT)
-                    .agg(F.count(F.lit(1)).alias("n")).collect()
-                }
+                aggs = [F.count(F.lit(1)).alias("n")]
+                if rewrite_needed:
+                    # the folded cardinality guard: ANY matched pair
+                    # whose source key has >1 source rows — computed in
+                    # the same job as the per-tag counts
+                    aggs.append(F.max(F.when(
+                        F.col(f"{target_alias}.{M._T_FLAG}").isNotNull()
+                        & F.col(f"{source_alias}.{M._S_FLAG}").isNotNull()
+                        & (F.col(f"{source_alias}.{dupcol}") > 1),
+                        1).otherwise(0)).alias("__dup"))
+                tag_rows = tagged.groupBy(M._ACT).agg(*aggs).collect()
+                if rewrite_needed and any(r["__dup"] for r in tag_rows):
+                    raise ValueError(
+                        "merge_when cardinality violation: multiple "
+                        "source rows share an ON key that matches a "
+                        f"{table} row — deduplicate the source (SQL "
+                        "MERGE would nondeterministically apply one of "
+                        "them)"
+                    )
+                by_tag = {r[0]: r["n"] for r in tag_rows}
                 n_upd = sum(by_tag.get(t, 0) for t in plan.update_tags)
                 n_del = sum(by_tag.get(t, 0) for t in plan.delete_tags)
                 n_ins = sum(by_tag.get(t, 0) for t in plan.insert_tags)
@@ -4683,12 +5104,37 @@ class Warehouse:
     # -- transactions fact convenience ---------------------------------------
 
     def append_transactions(self, df: DataFrame, table: str = "dwh_fact_transactions") -> None:
-        """Fact append, hive-partitioned by transaction day (partition pruning)."""
-        self.append(
-            df.withColumn("dt", F.to_date("transaction_date")),
-            table,
-            partition_by=["dt"],
-        )
+        """Fact append under HIDDEN partitioning: ``days(
+        transaction_date)`` (r12 verdict item #3) — the engine derives
+        the day path key itself (Iceberg ``days()`` transform) instead
+        of the caller materializing a ``dt`` column, and
+        ``read_transactions``'s since/until band prunes the derived
+        directories through the base-column bounds. Back-compat: a
+        warehouse whose fact table already records (or physically
+        carries) the legacy identity ``dt`` layout keeps writing it —
+        existing warehouses stay single-layout."""
+        if self._legacy_dt_layout(table):
+            self.append(
+                df.withColumn("dt", F.to_date("transaction_date")),
+                table, partition_by=["dt"])
+        else:
+            self.append(df, table,
+                        partition_by=["days(transaction_date)"])
+
+    def _legacy_dt_layout(self, table: str) -> bool:
+        """True when the table already lays out under the pre-round-13
+        identity ``dt`` spec (recorded, visible in its committed
+        relpaths, or — for untracked legacy directories — visible as
+        ``dt=`` subdirectories on disk) — new appends then conform to
+        it instead of opening a second layout in an existing
+        warehouse."""
+        if self.table_partition_by(table) == ["dt"]:
+            return True
+        try:
+            return any(e.startswith("dt=")
+                       for e in os.listdir(self._path(table)))
+        except OSError:
+            return False
 
     # -- fraud-mart convenience ----------------------------------------------
 
@@ -4717,9 +5163,14 @@ class Warehouse:
                 f"{table} has a legacy unpartitioned layout at {path}; "
                 "run Warehouse.migrate_mart_layout() once before appending"
             )
-        self.append(
-            df.withColumn("dt", F.to_date("event_dt")), table, partition_by=["dt"]
-        )
+        if self._legacy_dt_layout(table):
+            self.append(df.withColumn("dt", F.to_date("event_dt")),
+                        table, partition_by=["dt"])
+        else:
+            # hidden partitioning (r12 item #3): days(event_dt) derives
+            # the day directory; read_mart's band prunes it via the
+            # event_dt bounds without a materialized dt column
+            self.append(df, table, partition_by=["days(event_dt)"])
 
     def migrate_mart_layout(self, table: str = "rep_fraud") -> None:
         """One-shot migration of a pre-round-4 UNPARTITIONED mart to the
@@ -4743,48 +5194,91 @@ class Warehouse:
     def read_mart(self, table: str = "rep_fraud",
                   since: "datetime.date | None" = None,
                   until: "datetime.date | None" = None) -> DataFrame:
-        """Mart read; `since`/`until` prune on the `dt` partition column
+        """Mart read; `since`/`until` prune by day — through the
+        ``dt`` path key on the legacy identity layout, through the
+        ``days(event_dt)`` hidden layout via the base-column band
         (same mechanics as ``read_transactions``)."""
         from .. import schemas
 
         if not self.exists(table):
             return self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
-        df = self.read(table)
+        df = self.read(table, prune=_day_band_prune(
+            "event_dt", since, until))
+        # band on the PARTITION column when the read surfaces one
+        # (legacy dt, or the hidden day key on undeclared reads) so
+        # Catalyst turns it into PartitionFilters; else the base column
+        band = (F.col("dt") if "dt" in df.columns
+                else F.col("event_dt_day") if "event_dt_day" in df.columns
+                else F.to_date("event_dt"))
         if since is not None:
-            df = df.where(F.col("dt") >= F.lit(since))
+            df = df.where(band >= F.lit(since))
         if until is not None:
-            df = df.where(F.col("dt") <= F.lit(until))
+            df = df.where(band <= F.lit(until))
         return df.select(*[f.name for f in schemas.REP_FRAUD.fields])
 
     def read_transactions(self, table: str = "dwh_fact_transactions",
                           since: "datetime.date | None" = None,
                           until: "datetime.date | None" = None,
                           prune: dict | None = None) -> DataFrame:
-        """Fact read; `since`/`until` filter on the `dt` partition column
-        BEFORE it is dropped, so Catalyst turns them into PartitionFilters
-        and the scan only lists the matching day directories — the read
-        stays O(days requested), not O(history), at 100 TB.
+        """Fact read; `since`/`until` prune to the matching day
+        directories — on the legacy identity layout through the ``dt``
+        path key (Catalyst PartitionFilters + manifest file skipping),
+        on the round-13 hidden ``days(transaction_date)`` layout
+        through the base-column band that ``_prune_physical`` expands
+        to the derived ``transaction_date_day`` path key. Either way
+        the read stays O(days requested), not O(history), at 100 TB.
 
-        ``prune`` forwards to ``read``'s manifest-stats file skipping
-        (commit-log-tracked tables only; a no-op elsewhere): after
-        ``cluster_table(..., 'transaction_date')`` each file covers a
-        narrow time band per day directory, so a band read like the
-        fraud rules' midnight-straddle lookback skips the ~23/24 of
-        yesterday's files that provably end before the band. Timestamp
-        bounds are passed as ``datetime.isoformat()`` strings (how the
-        manifest records them). Strict superset contract: pruning only
-        drops files proven irrelevant — callers still apply their row
-        filters."""
+        ``prune`` forwards extra bounds to ``read``'s manifest-stats
+        file skipping (commit-log-tracked tables only; a no-op
+        elsewhere): after ``cluster_table(..., 'transaction_date')``
+        each file covers a narrow time band per day directory, so a
+        band read like the fraud rules' midnight-straddle lookback
+        skips the ~23/24 of yesterday's files that provably end before
+        the band. Timestamp bounds are passed as
+        ``datetime.isoformat()`` strings (how the manifest records
+        them). Strict superset contract: pruning only drops files
+        proven irrelevant — callers still apply their row filters."""
         from .. import schemas
 
         if not self.exists(table):
             return self.spark.createDataFrame([], schema=schemas.TRANSACTIONS)
-        df = self.read(table, prune=prune)
+        eff = _day_band_prune("transaction_date", since, until)
+        if prune:
+            eff = {**(eff or {}), **prune}
+        df = self.read(table, prune=eff)
+        # partition column first (PartitionFilters at the scan), base
+        # column only when no layout column surfaces
+        band = (F.col("dt") if "dt" in df.columns
+                else F.col("transaction_date_day")
+                if "transaction_date_day" in df.columns
+                else F.to_date("transaction_date"))
         if since is not None:
-            df = df.where(F.col("dt") >= F.lit(since))
+            df = df.where(band >= F.lit(since))
         if until is not None:
-            df = df.where(F.col("dt") <= F.lit(until))
-        return df.drop("dt")
+            df = df.where(band <= F.lit(until))
+        # layout columns are physical, not logical: the legacy dt key
+        # and the hidden day key (surfaced only on undeclared reads)
+        return df.drop("dt", "transaction_date_day")
+
+
+def _day_band_prune(ts_col: str, since, until) -> dict | None:
+    """Manifest prune bounds for a day band over a timestamp column:
+    the base-column bound (footer stats, plus ``_prune_physical``'s
+    expansion to the hidden ``days()`` path key) AND the legacy
+    identity ``dt`` path-key bound, so one prune dict covers both fact
+    layouts. Necessary by construction for the ``to_date(ts_col)``
+    band row filter the callers apply: the day band [since, until]
+    equals the timestamp band [since 00:00, until end-of-day] at
+    Spark's microsecond precision."""
+    if since is None and until is None:
+        return None
+    return {
+        ts_col: (since.isoformat() if since is not None else None,
+                 until.isoformat() + "T23:59:59.999999"
+                 if until is not None else None),
+        "dt": (since.isoformat() if since is not None else None,
+               until.isoformat() if until is not None else None),
+    }
 
 
 def _versions(path: str) -> list[int]:

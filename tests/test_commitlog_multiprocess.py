@@ -207,3 +207,107 @@ def test_concurrent_schema_alters_lose_nothing(tmp_path):
     # the log is gapless: every alter claimed exactly one seq
     seqs = cold._list_log()[0]
     assert seqs == list(range(1, len(seqs) + 1))
+
+
+N_ABS_APPENDERS = 4
+M_ABS_APPENDS = 20
+N_ABS_REWRITES = 10
+
+
+def _absorbing_rewrite_worker(root: str, barrier, errors,
+                              conflicts) -> None:
+    """Maintenance-shaped rewrites with append absorption on: racing
+    ONLY appenders, they must never see CommitConflict (the livelock
+    the file-granularity resolution exists to end) and every racing
+    append's file must survive into the final state — carried forward
+    by the replace entry when it lands after the worker's base seq."""
+    try:
+        barrier.wait()
+        wh = Warehouse(None, root, checkpoint_interval=8)
+        for _ in range(N_ABS_REWRITES):
+            wh._invalidate_state()
+            base = wh._latest_seq()
+            files = wh._manifest_files("tbl") or []
+            txn = Transaction(wh)
+            txn.replace = True
+            txn.base_seq = base
+            txn.absorb_appends = {"tbl"}
+            txn.pending = {"tbl": list(files)}
+            try:
+                txn.commit()
+            except CommitConflict:
+                with conflicts.get_lock():
+                    conflicts.value += 1
+    except BaseException as e:
+        errors.put(f"absorbing rewriter: {type(e).__name__}: {e}")
+
+
+def _abs_append_worker(root: str, wid: int, barrier, errors) -> None:
+    try:
+        barrier.wait()
+        wh = Warehouse(None, root, checkpoint_interval=8)
+        for i in range(M_ABS_APPENDS):
+            txn = Transaction(wh)
+            txn.pending = {"tbl": [f"a{wid}-{i:03d}.parquet"]}
+            txn.commit()
+    except BaseException as e:
+        errors.put(f"abs appender {wid}: {type(e).__name__}: {e}")
+
+
+def test_absorbing_rewrites_never_conflict_never_lose(tmp_path):
+    """r12 verdict item #1, multiprocess shape: one absorbing
+    maintenance rewriter vs a stampede of appenders. Zero conflicts
+    (no maintenance livelock), zero lost appends, raw-entry replay
+    agrees with the warehouse replay."""
+    root = str(tmp_path / "wh")
+    boot = Warehouse(None, root, checkpoint_interval=0)
+    txn = Transaction(boot)
+    txn.pending = {"tbl": ["seed.parquet"]}
+    txn.commit()
+
+    ctx = multiprocessing.get_context("fork")
+    barrier = ctx.Barrier(N_ABS_APPENDERS + 1)
+    errors = ctx.Queue()
+    conflicts = ctx.Value("i", 0)
+    procs = [
+        ctx.Process(target=_abs_append_worker,
+                    args=(root, w, barrier, errors))
+        for w in range(N_ABS_APPENDERS)
+    ] + [ctx.Process(target=_absorbing_rewrite_worker,
+                     args=(root, barrier, errors, conflicts))]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert not p.is_alive(), "worker hung"
+        assert p.exitcode == 0
+    errs = []
+    while not errors.empty():
+        errs.append(errors.get())
+    assert errs == []
+    # the whole point: racing nothing but appends, the absorbing
+    # rewriter NEVER conflicted
+    assert conflicts.value == 0
+
+    cold = Warehouse(None, root)
+    final = cold._manifest_files("tbl")
+    expect = {f"a{w}-{i:03d}.parquet"
+              for w in range(N_ABS_APPENDERS) for i in range(M_ABS_APPENDS)}
+    assert expect <= set(final)          # zero lost updates
+    assert len(final) == len(set(final))  # no double-carried files
+
+    # independent raw-entry oracle replay (absorbed files are IN the
+    # replace entries' file lists, so the naive replay agrees)
+    log_dir = os.path.join(root, "_commitlog")
+    seqs = sorted(int(fn[:-5]) for fn in os.listdir(log_dir)
+                  if fn.endswith(".json") and fn[:-5].isdigit())
+    assert seqs == list(range(1, seqs[-1] + 1))  # gapless claims
+    oracle: list[str] = []
+    for s in seqs:
+        with open(os.path.join(log_dir, f"{s:09d}.json")) as f:
+            entry = json.load(f)
+        t = entry["tables"].get("tbl")
+        if t is None:
+            continue
+        oracle = list(t) if entry["op"] == "replace" else oracle + list(t)
+    assert sorted(final) == sorted(oracle)
