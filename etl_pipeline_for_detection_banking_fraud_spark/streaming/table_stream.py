@@ -63,6 +63,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+from contextlib import suppress as _suppress
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -71,12 +72,21 @@ import pyarrow.parquet as pq
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
-from ..sources.warehouse import SnapshotExpired, SnapshotVacuumed, Warehouse
+from ..sources.warehouse import (
+    SnapshotExpired,
+    SnapshotVacuumed,
+    Transaction,
+    Warehouse,
+    _data_files,
+    _file_stats,
+)
 
 SOURCE_NAME = "warehouse_stream"
 
@@ -683,6 +693,192 @@ class WarehouseStreamDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> _WarehouseStreamReader:
         _, part_fields = _resolve_schema(self.options)
         return _WarehouseStreamReader(dict(self.options), schema, part_fields)
+
+    def streamWriter(self, schema: T.StructType,
+                     overwrite: bool) -> "_WarehouseStreamWriter":
+        if overwrite:
+            raise ValueError(
+                "warehouse_stream sink is append-only (outputMode "
+                "append); complete/update modes are not supported")
+        return _WarehouseStreamWriter(dict(self.options), schema)
+
+
+class _SinkCommitMessage(WriterCommitMessage):
+    def __init__(self, rel: str | None, rows: int):
+        self.rel = rel
+        self.rows = rows
+
+
+class _WarehouseStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("warehouse_stream")`` — the commit log
+    as a NATIVE Structured Streaming SINK (r12 verdict item #8), the
+    write-side sibling of ``_WarehouseStreamReader`` through PySpark
+    4.1's Python Data Source Arrow write path.
+
+    Exactly-once protocol, per microbatch:
+
+    1. ``write`` (executors, Arrow RecordBatches — no row-at-a-time
+       Python): each task streams its batches into ONE dot-prefixed
+       parquet file in the table directory. Dot-prefixed files are
+       invisible to every reader and to ``vacuum_orphans``'s data
+       sweep, so a mid-batch crash leaves no observable state.
+    2. ``commit`` (driver, once per ``batchId``): publish the staged
+       files under manifest names and link ONE commit-log entry that
+       carries the file set, their footer stats, AND the sink's
+       idempotence marker ``{"stream_sink": {"sink", "batch"}}`` —
+       atomically. A restart that replays a committed batch finds the
+       marker in the log and drops its re-staged files instead of
+       double-appending (the same marker-in-transaction shape the
+       ``foreachBatch`` wrapper ``stream_to_warehouse`` uses, moved
+       into the entry itself). ``abort`` deletes the staged files.
+
+    Files land FLAT (no hive dirs): partition-spec layout needs a
+    per-partition shuffle the sink cannot impose on the caller's plan;
+    ``compact()`` normalizes to the recorded spec in maintenance — and
+    mixed layouts read losslessly meanwhile. Options: ``root``,
+    ``table``, ``sink_id`` (marker scope; default ``sink_<table>`` —
+    set it when two different queries append to one table).
+    Declared-schema tables validate the input schema up front;
+    CHECK-constrained and column-mapped tables are refused with typed
+    errors (enforcement happens inside Spark write jobs, which this
+    path bypasses — use ``stream_to_warehouse`` for those).
+
+    Ledger caveat: markers live in the raw entry files; ``expire_log``
+    must retain at least the streaming checkpoint's replay window
+    (one batch) — the default (no expiry) always does."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.root = options["root"]
+        self.table = options["table"].lower()
+        self.sink_id = options.get("sink_id", f"sink_{self.table}")
+        self._committed: set | None = None
+        wh = Warehouse(None, self.root, checkpoint_interval=0)
+        state = wh._replay_state()
+        if state.get("constraints", {}).get(self.table):
+            raise ValueError(
+                f"warehouse_stream sink: {self.table!r} has CHECK "
+                "constraints, which are enforced inside Spark write "
+                "jobs — this sink writes executor-side Arrow batches; "
+                "use streaming.ingest.stream_to_warehouse instead")
+        decl, phys, _ = wh._schema_meta(self.table)
+        if decl is not None:
+            declared = {f.name.lower(): f.dataType for f in decl.fields}
+            for f in schema.fields:
+                want = declared.get(f.name.lower())
+                if want is None:
+                    raise ValueError(
+                        f"warehouse_stream sink: column {f.name!r} is "
+                        f"not in {self.table!r}'s declared schema — "
+                        "ALTER TABLE ADD COLUMNS first")
+                if want != f.dataType:
+                    raise ValueError(
+                        f"warehouse_stream sink: column {f.name!r} is "
+                        f"{f.dataType.simpleString()} but the declared "
+                        f"schema says {want.simpleString()}")
+                if phys.get(f.name.lower(),
+                            f.name).lower() != f.name.lower():
+                    raise ValueError(
+                        f"warehouse_stream sink: column {f.name!r} "
+                        "carries a physical-name mapping (renamed / "
+                        "re-added) — the sink writes logical names; "
+                        "use stream_to_warehouse for mapped tables")
+
+    # -- executor side ------------------------------------------------------
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid as _uuid
+
+        name = f".stream-{self.sink_id}-{_uuid.uuid4().hex}.parquet"
+        path = os.path.join(self.root, self.table, name)
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        except BaseException:
+            if writer is not None:
+                writer.close()
+                with _suppress(OSError):
+                    os.remove(path)
+            raise
+        if writer is None:
+            return _SinkCommitMessage(rel=None, rows=0)
+        writer.close()
+        return _SinkCommitMessage(rel=name, rows=rows)
+
+    # -- driver side --------------------------------------------------------
+    def _ledger(self, wh: Warehouse) -> set:
+        """Batch ids this sink already committed, from the raw entry
+        files (markers survive checkpoint folding; only ``expire_log``
+        reclaims them, long after the one-batch replay window)."""
+        out: set = set()
+        log_dir = wh._manifest_dir()
+        try:
+            names = os.listdir(log_dir)
+        except FileNotFoundError:
+            return out
+        for fn in names:
+            if not fn.endswith(".json") or not fn[:-5].isdigit():
+                continue
+            try:
+                with open(os.path.join(log_dir, fn)) as f:
+                    mark = json.load(f).get("stream_sink")
+            except (OSError, ValueError):
+                continue
+            if mark and mark.get("sink") == self.sink_id:
+                out.add(mark.get("batch"))
+        return out
+
+    def commit(self, messages, batchId: int) -> None:
+        wh = Warehouse(None, self.root)
+        staged = sorted(m.rel for m in messages if m is not None and m.rel)
+        if self._committed is None:
+            self._committed = self._ledger(wh)
+        table_dir = wh._path(self.table)
+        if batchId in self._committed:
+            # replayed batch: the marker proves data + marker linked
+            # atomically last time — drop the re-staged files
+            for rel in staged:
+                with _suppress(OSError):
+                    os.remove(os.path.join(table_dir, rel))
+            return
+        txn = Transaction(wh)
+        txn.enforce_constraints = False  # refused at setup if any
+        files = txn.pending.setdefault(self.table, [])
+        if wh._manifest_files(self.table) is None:
+            # first transactional write to a legacy table: adopt its
+            # files (same contract as Transaction.append)
+            files.extend(_data_files(table_dir))
+        for i, rel in enumerate(staged):
+            new = f"txn-{txn.txnid}-{i:05d}.parquet"
+            os.replace(os.path.join(table_dir, rel),
+                       os.path.join(table_dir, new))
+            files.append(new)
+            st = _file_stats(os.path.join(table_dir, new))
+            if st:
+                txn.stats.setdefault(self.table, {})[new] = st
+        txn.extra = {"stream_sink": {"sink": self.sink_id,
+                                     "batch": batchId}}
+        txn.commit()
+        self._committed.add(batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        wh = Warehouse(None, self.root, checkpoint_interval=0)
+        table_dir = wh._path(self.table)
+        # listed staged files, plus a best-effort sweep of this sink's
+        # stranded dot-files (tasks that failed before reporting)
+        names = {m.rel for m in messages if m is not None and m.rel}
+        with _suppress(OSError):
+            names |= {fn for fn in os.listdir(table_dir)
+                      if fn.startswith(f".stream-{self.sink_id}-")}
+        for rel in names:
+            with _suppress(OSError):
+                os.remove(os.path.join(table_dir, rel))
 
 
 def _resolve_schema(options: dict) -> tuple[T.StructType, list[str]]:

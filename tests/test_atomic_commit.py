@@ -56,7 +56,7 @@ def test_txn_commit_is_atomic_across_tables(spark, tmp_path):
         "meta_loading",
     )
     # data files are physically present but uncommitted
-    assert glob.glob(os.path.join(root, "dwh_fact_transactions", "dt=*", "txn-*"))
+    assert glob.glob(os.path.join(root, "dwh_fact_transactions", "transaction_date_day=*", "txn-*"))
     assert other.read_transactions().count() == 0  # invisible to readers
     assert not other.exists("meta_loading")
     assert wh.read_transactions().count() == 5  # read-your-own-writes
@@ -79,7 +79,8 @@ def test_txn_abort_leaves_nothing(spark, tmp_path):
             raise RuntimeError("boom")
     assert wh.read_transactions().count() == 0
     assert not glob.glob(
-        os.path.join(root, "dwh_fact_transactions", "dt=*", "txn-*")
+        os.path.join(root, "dwh_fact_transactions",
+                     "transaction_date_day=*", "txn-*")
     )  # abort deleted its staged files
 
 
@@ -142,10 +143,12 @@ def test_compact_tracked_table_snapshot(spark, tmp_path):
             with wh.transaction():
                 wh.append_transactions(_tx_rows(spark, 4, day=d, prefix=f"d{d}b{b}"))
     table_dir = os.path.join(root, "dwh_fact_transactions")
-    files_before = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    files_before = glob.glob(os.path.join(
+        table_dir, "transaction_date_day=*", "*.parquet"))
     assert wh.read_transactions().count() == 24
     wh.compact("dwh_fact_transactions")
-    files_after = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    files_after = glob.glob(os.path.join(
+        table_dir, "transaction_date_day=*", "*.parquet"))
     assert len(files_after) < len(files_before)
     assert wh.read_transactions().count() == 24
     assert wh.read_transactions(
@@ -305,7 +308,9 @@ def test_time_travel_reads(spark, tmp_path):
     assert wh.read_transactions().count() == 15  # latest == normal read
     # partition pruning works in historical reads too
     old = wh.read_at("dwh_fact_transactions", seqs[1])
-    assert old.where(old.dt == datetime.date(2021, 3, 2)).count() == 5
+    assert old.where(
+        old.transaction_date_day == datetime.date(2021, 3, 2)
+    ).count() == 5
 
     # legacy tables have no history
     wh.append_transactions(_tx_rows(spark, 2, prefix="legacy"), "legacy_tx")

@@ -319,7 +319,8 @@ class TestClusterTablePartitioned:
         # every live file sits under a dt=... directory, none at root
         table_dir = os.path.join(root, "dwh_fact_transactions")
         live = wh._manifest_files("dwh_fact_transactions")
-        assert live and all(rel.startswith("dt=") for rel in live)
+        assert live and all(
+            rel.startswith("transaction_date_day=") for rel in live)
         assert not glob.glob(os.path.join(table_dir, "*.parquet"))
 
         # a subsequent partitioned append composes cleanly

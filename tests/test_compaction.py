@@ -22,12 +22,13 @@ def test_compact_partitioned_fact(spark, tmp_path):
         wh.append_transactions(spark.createDataFrame(rows, schema=schemas.TRANSACTIONS))
 
     table_dir = str(tmp_path / "wh" / "dwh_fact_transactions")
-    files_before = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    files_before = glob.glob(os.path.join(
+        table_dir, "transaction_date_day=*", "*.parquet"))
     n_before = wh.read_transactions().count()
     assert len(files_before) >= 10
 
     wh.compact("dwh_fact_transactions")
-    files_after = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    files_after = glob.glob(os.path.join(table_dir, "*_day=*", "*.parquet"))
     assert len(files_after) < len(files_before)
     assert wh.read_transactions().count() == n_before
 
@@ -47,12 +48,12 @@ def test_compact_partitioned_mart(spark, tmp_path):
         wh.append_mart(spark.createDataFrame(rows, schema=schemas.REP_FRAUD))
 
     table_dir = str(tmp_path / "wh" / "rep_fraud")
-    files_before = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    files_before = glob.glob(os.path.join(table_dir, "*_day=*", "*.parquet"))
     rows_before = sorted(map(tuple, wh.read_mart().collect()))
     assert len(files_before) >= 6  # 1+2+3 (one per touched partition per day)
 
     wh.compact("rep_fraud")
-    files_after = glob.glob(os.path.join(table_dir, "dt=*", "*.parquet"))
+    files_after = glob.glob(os.path.join(table_dir, "*_day=*", "*.parquet"))
     assert len(files_after) == 3  # one per dt partition
     assert sorted(map(tuple, wh.read_mart().collect())) == rows_before
 
@@ -61,7 +62,7 @@ def test_compact_partitioned_mart(spark, tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="commit-log tracked"):
-        wh.compact("rep_fraud", where={"dt": "2021-03-01"})
+        wh.compact("rep_fraud", where={"event_dt_day": "2021-03-01"})
 
 
 def test_partition_scoped_compact(spark, tmp_path):
@@ -83,17 +84,17 @@ def test_partition_scoped_compact(spark, tmp_path):
 
     mf_before = wh._manifest_files("rep_fraud")
     rows_before = sorted(map(tuple, wh.read_mart().collect()))
-    d3_before = [r for r in mf_before if r.startswith("dt=2021-03-03")]
+    d3_before = [r for r in mf_before if r.startswith("event_dt_day=2021-03-03")]
     others_before = sorted(r for r in mf_before
-                           if not r.startswith("dt=2021-03-03"))
+                           if not r.startswith("event_dt_day=2021-03-03"))
     assert len(d3_before) >= 1 and others_before
 
     seq_before = wh._latest_seq()
-    wh.compact("rep_fraud", where={"dt": "2021-03-03"})
+    wh.compact("rep_fraud", where={"event_dt_day": "2021-03-03"})
     mf_after = wh._manifest_files("rep_fraud")
-    d3_after = [r for r in mf_after if r.startswith("dt=2021-03-03")]
+    d3_after = [r for r in mf_after if r.startswith("event_dt_day=2021-03-03")]
     others_after = sorted(r for r in mf_after
-                          if not r.startswith("dt=2021-03-03"))
+                          if not r.startswith("event_dt_day=2021-03-03"))
     assert others_after == others_before  # untouched partitions verbatim
     assert d3_after and set(d3_after).isdisjoint(d3_before)  # rewritten
     assert len(d3_after) <= len(d3_before)
@@ -111,7 +112,7 @@ def test_partition_scoped_compact(spark, tmp_path):
     # non-matching filter: no commit, no rewrite
     seq_mid = wh._latest_seq()
     assert seq_mid == seq_before + 1
-    wh.compact("rep_fraud", where={"dt": "2021-03-09"})
+    wh.compact("rep_fraud", where={"event_dt_day": "2021-03-09"})
     assert wh._latest_seq() == seq_mid
 
     # a where-key that is NOT a partition key is a caller bug, not a
@@ -122,7 +123,7 @@ def test_partition_scoped_compact(spark, tmp_path):
     assert wh._latest_seq() == seq_mid
 
     # list form compacts several partitions at once
-    wh.compact("rep_fraud", where={"dt": ["2021-03-01", "2021-03-02"]})
+    wh.compact("rep_fraud", where={"event_dt_day": ["2021-03-01", "2021-03-02"]})
     assert sorted(map(tuple, wh.read_mart().collect())) == rows_before
 
 

@@ -58,7 +58,7 @@ def test_pruned_fact_read_has_partition_filters(spark, tmp_path):
     pruned = wh.read_transactions(since=day, until=day)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
-    assert "dt" in plan.split("PartitionFilters")[1][:300]
+    assert "transaction_date_day" in plan.split("PartitionFilters")[1][:300]
     assert pruned.count() == 10
     # band read (rules 3-4 lookback) prunes too
     band = wh.read_transactions(since=day - datetime.timedelta(days=1), until=day)
@@ -81,14 +81,14 @@ def test_mart_is_partitioned_and_prunes(spark, tmp_path):
     wh.append_mart(spark.createDataFrame(rows, schema=schemas.REP_FRAUD))
 
     assert any(
-        d.startswith("dt=")
+        d.startswith("event_dt_day=")
         for d in os.listdir(tmp_path / "wh" / "rep_fraud")
     )
     day = datetime.date(2021, 3, 2)
     pruned = wh.read_mart(since=day, until=day)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
-    assert "dt" in plan.split("PartitionFilters")[1][:300]
+    assert "event_dt_day" in plan.split("PartitionFilters")[1][:300]
     assert pruned.count() == 10
     assert pruned.columns == [f.name for f in schemas.REP_FRAUD.fields]
     # unpruned read returns everything, same logical schema

@@ -241,7 +241,8 @@ class TestEntriesAreOTouched:
                     wh.append_transactions(spark.createDataFrame(
                         rows, schema=schemas.TRANSACTIONS))
         stats_before = wh._manifest_stats("dwh_fact_transactions")
-        wh.compact("dwh_fact_transactions", where={"dt": "2021-03-01"})
+        wh.compact("dwh_fact_transactions",
+                   where={"transaction_date_day": "2021-03-01"})
         # the compact's entry: stats only for the newly-written files
         # (identified by its own txn id)
         seqs = wh._list_log()[0]
@@ -252,7 +253,7 @@ class TestEntriesAreOTouched:
         # day-2 files kept their (identical) stats through the replace
         after = wh._manifest_stats("dwh_fact_transactions")
         for rel, s in stats_before.items():
-            if rel.startswith("dt=2021-03-02"):
+            if rel.startswith("transaction_date_day=2021-03-02"):
                 assert after[rel] == s
         # pruning by partition value still exact
         assert wh.read_transactions(

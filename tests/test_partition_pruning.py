@@ -13,6 +13,10 @@ from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import War
 
 
 def test_fact_scan_prunes_day_partitions(spark, tmp_path):
+    """r13: the fact sink lays out under HIDDEN days(transaction_date)
+    partitioning — the derived transaction_date_day directories prune
+    at the scan, and read_transactions' since/until band selects them
+    through the BASE column without the caller knowing the layout."""
     wh = Warehouse(spark, str(tmp_path / "wh"))
     rows = [
         (f"t{i}", datetime.datetime(2021, 3, 1 + (i % 3), 10, 0), Decimal("1.00"),
@@ -23,13 +27,20 @@ def test_fact_scan_prunes_day_partitions(spark, tmp_path):
     wh.append_transactions(tx)
 
     df = spark.read.parquet(str(tmp_path / "wh" / "dwh_fact_transactions"))
-    pruned = df.where(F.col("dt") == "2021-03-02")
+    pruned = df.where(F.col("transaction_date_day") == "2021-03-02")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    # partition filter on dt present; only 1 of 3 day-partitions selected
+    # partition filter on the derived day key; 1 of 3 day dirs selected
     assert "PartitionFilters" in plan
-    assert "dt" in plan.split("PartitionFilters")[1][:200]
+    assert "transaction_date_day" in plan.split("PartitionFilters")[1][:200]
     assert pruned.count() == 10
-    assert pruned.select("dt").distinct().count() == 1
+    assert pruned.select("transaction_date_day").distinct().count() == 1
+    # the hidden-partitioning read path: a day band through the BASE
+    # column returns the day's rows and hides the layout column
+    day = wh.read_transactions(since=datetime.date(2021, 3, 2),
+                               until=datetime.date(2021, 3, 2))
+    assert day.count() == 10
+    assert "transaction_date_day" not in day.columns
+    assert "dt" not in day.columns
 
 
 def test_file_may_match_partition_width_guard():

@@ -713,3 +713,147 @@ def test_sql_door_add_struct_column(spark, tmp_path):
     # adding a field INTO an existing struct is refused, typed
     with pytest.raises(ValueError, match="nested field"):
         warehouse_sql(wh, "ALTER TABLE tx ADD COLUMNS (meta.rank INT)")
+
+
+class TestArrayMapColumns:
+    """Round-12 verdict item #4 (r13): array/map columns across the
+    declared-schema surfaces — the struct parity bar. SUPPORTED:
+    add_columns evolution, physical appends, CHECK constraints over
+    collection expressions, MERGE schema evolution, column-mapping
+    rename + re-add, DML/compact carry-through, streaming reads.
+    REFUSING (typed errors, like structs): partition specs and bloom
+    indexes — hive path keys and bitset probes are atomic scalars."""
+
+    def test_add_array_map_roundtrip(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"tags": "array<string>",
+                              "attrs": "map<string,int>"})
+        rows = wh.read("tx").orderBy("id").collect()
+        assert all(r["tags"] is None and r["attrs"] is None
+                   for r in rows)
+        wh.append(spark.createDataFrame(
+            [(3, 30.0, ["a", "b"], {"k": 7})],
+            "id int, amt double, tags array<string>, "
+            "attrs map<string,int>"), "tx")
+        got = wh.read("tx").where("array_contains(tags, 'a')").collect()
+        assert [(r["id"], r["attrs"]["k"]) for r in got] == [(3, 7)]
+        # element-type drift rejected loudly, same as scalar drift
+        with pytest.raises(ValueError, match="declared schema says"):
+            wh.append(spark.createDataFrame(
+                [(4, 1.0, [1, 2], {"k": 7})],
+                "id int, amt double, tags array<int>, "
+                "attrs map<string,int>"), "tx")
+
+    def test_check_constraint_on_collection(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (  # noqa: E501
+            ConstraintViolation,
+        )
+
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"tags": "array<string>"})
+        wh.add_constraint("tx", "few_tags", "size(tags) <= 2")
+        wh.append(spark.createDataFrame(
+            [(3, 1.0, ["a"])],
+            "id int, amt double, tags array<string>"), "tx")
+        with pytest.raises(ConstraintViolation, match="few_tags"):
+            wh.append(spark.createDataFrame(
+                [(4, 1.0, ["a", "b", "c"])],
+                "id int, amt double, tags array<string>"), "tx")
+        assert wh.read("tx").count() == 3
+
+    def test_merge_schema_evolution_adds_array(self, spark, tmp_path):
+        from etl_pipeline_for_detection_banking_fraud_spark.operators import (
+            merge as M,
+        )
+
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        src = spark.createDataFrame(
+            [(1, 99.0, ["x", "y"]), (9, 9.0, ["z"])],
+            "id int, amt double, tags array<string>")
+        res = wh.merge_when(
+            "tx", src, ["id"],
+            matched=[M.when_matched_update({"amt": "source.amt",
+                                            "tags": "source.tags"})],
+            not_matched=[M.when_not_matched_insert()],
+            schema_evolution=True,
+        )
+        assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+        got = {r["id"]: r["tags"] for r in wh.read("tx").collect()}
+        assert got == {1: ["x", "y"], 2: None, 9: ["z"]}
+
+    def test_column_mapping_rename_and_readd(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"tags": "array<string>"})
+        wh.append(spark.createDataFrame(
+            [(3, 1.0, ["a"])],
+            "id int, amt double, tags array<string>"), "tx")
+        warehouse_sql(wh, "ALTER TABLE tx RENAME COLUMN tags TO labels")
+        got = {r["id"]: r["labels"] for r in wh.read("tx").collect()}
+        assert got == {1: None, 2: None, 3: ["a"]}
+        warehouse_sql(wh, "ALTER TABLE tx DROP COLUMN labels")
+        assert "labels" not in wh.read("tx").columns
+        # re-add under the same name with a DIFFERENT element type:
+        # fresh physical slot, old files' bytes stay invisible
+        wh.add_columns("tx", {"labels": "array<int>"})
+        vals = {tuple(r["labels"]) if r["labels"] is not None else None
+                for r in wh.read("tx").collect()}
+        assert vals == {None}
+        wh.append(spark.createDataFrame(
+            [(5, 1.0, [1, 2])],
+            "id int, amt double, labels array<int>"), "tx")
+        got = {r["id"]: r["labels"] for r in wh.read("tx").collect()}
+        assert got[5] == [1, 2] and got[3] is None
+
+    def test_dml_and_compact_carry_collections(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"attrs": "map<string,int>"})
+        wh.append(spark.createDataFrame(
+            [(3, 1.0, {"n": 1}), (4, 2.0, {"n": 2})],
+            "id int, amt double, attrs map<string,int>"), "tx")
+        assert wh.delete_where("tx", "id = 3") == 1
+        wh.compact("tx")
+        got = {r["id"]: (r["attrs"] or {}).get("n")
+               for r in wh.read("tx").collect()}
+        assert got == {1: None, 2: None, 4: 2}
+
+    def test_refusing_surfaces_typed(self, spark, tmp_path):
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"tags": "array<string>",
+                              "attrs": "map<string,int>"})
+        with pytest.raises(ValueError, match="atomic scalars"):
+            wh.set_partition_spec("tx", ["tags"])
+        with pytest.raises(ValueError, match="atomic scalars"):
+            wh.set_partition_spec("tx", ["attrs"])
+        with pytest.raises(ValueError, match="nested/binary"):
+            wh.set_bloom_filter("tx", ["tags"])
+        with pytest.raises(ValueError, match="nested/binary"):
+            wh.set_bloom_filter("tx", ["attrs"])
+
+    def test_stream_reads_collection_columns(self, spark, tmp_path):
+        import tempfile
+
+        from etl_pipeline_for_detection_banking_fraud_spark.streaming import (
+            table_stream as ts,
+        )
+
+        wh = _wh(spark, tmp_path)
+        _seed(spark, wh)
+        wh.add_columns("tx", {"tags": "array<string>"})
+        wh.append(spark.createDataFrame(
+            [(3, 1.0, ["s", "t"])],
+            "id int, amt double, tags array<string>"), "tx")
+        rows = []
+        q = (ts.stream_table(spark, wh.root, "tx")
+             .writeStream.foreachBatch(
+                 lambda df, _i: rows.extend(df.collect()))
+             .option("checkpointLocation", tempfile.mkdtemp())
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["id"]: r["tags"] for r in rows}
+        assert got == {1: None, 2: None, 3: ["s", "t"]}

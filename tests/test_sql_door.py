@@ -418,3 +418,49 @@ def test_table_files_metadata_relation(spark, tmp_path):
     lit = warehouse_sql(
         wh, "SELECT 'table_files(''ev'')' AS s").collect()[0]["s"]
     assert lit == "table_files('ev')"
+
+
+def test_table_files_column_stats_show_clustering_quality(spark,
+                                                          tmp_path):
+    """r12 verdict item #7: table_files surfaces the per-column
+    [min, max] bounds the manifest already holds, so clustering
+    quality is inspectable straight from the TVF — after
+    cluster_table('ev', 'id') every file's id-range is narrow and the
+    ranges are pairwise DISJOINT, where the pre-cluster round-robin
+    files all spanned the full domain."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with wh.transaction() as t:
+        # 4 round-robin files, each spanning ~the whole id domain
+        t.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(400)],
+            "id int, v double").repartition(4), "ev")
+
+    def ranges():
+        rows = warehouse_sql(
+            wh, "SELECT file, column_stats FROM table_files('ev')"
+        ).collect()
+        out = []
+        for r in rows:
+            cs = r["column_stats"]
+            assert cs is not None and "id" in cs
+            lo, hi = cs["id"]
+            out.append((int(lo), int(hi)))
+        return sorted(out)
+
+    before = ranges()
+    assert len(before) == 4
+    # round-robin: every file's range covers most of the domain
+    assert all(hi - lo > 300 for lo, hi in before)
+
+    wh.cluster_table("ev", "id", n_files=4)
+    after = ranges()
+    assert len(after) == 4
+    assert all(hi - lo < 200 for lo, hi in after)
+    # pairwise disjoint ranges = the clustering actually clusters
+    for (lo1, hi1), (lo2, _hi2) in zip(after, after[1:]):
+        assert hi1 < lo2
+    # row_count still rides along and sums to the table
+    tot = warehouse_sql(
+        wh, "SELECT sum(row_count) AS n FROM table_files('ev')"
+    ).collect()[0]["n"]
+    assert tot == 400
