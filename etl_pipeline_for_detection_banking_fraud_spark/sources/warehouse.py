@@ -4055,10 +4055,16 @@ class Warehouse:
             # days a timestamp dimension gets <1 bucket/day and the
             # midnight-band skip dies. Costs one extra exchange (by dt)
             # during the maintenance rewrite only.
-            per_dt = "dt" in df.columns
+            # the per-partition scaling key: the recorded spec's value
+            # expression (identity column or hidden-transform derived
+            # value — the r13 days() fact layout), else the legacy dt
+            # column when present
+            pexprs = self._spec_partition_exprs(
+                df, self._rewrite_part_cols(table, df))
+            per_dt = bool(pexprs) or "dt" in df.columns
             if per_dt:
                 from pyspark.sql.window import Window
-                w = Window.partitionBy("dt")
+                w = Window.partitionBy(*(pexprs or [F.col("dt")]))
             scaled = []
             for i, (c, (b, is_str)) in enumerate(zip(cols, base)):
                 lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
