@@ -104,6 +104,10 @@ EXTENDED = [
     # aggregate (q13) of the new TPC-H shapes
     "tpch_q8_shape",
     "tpch_q13_shape",
+    # round-13 additions: the named set is now complete 1-22 — q1 (the
+    # canonical partial-agg fact pass) and q6 (the pure pushdown scan)
+    "tpch_q1_shape",
+    "tpch_q6_shape",
 ]
 
 REF_DATA = "/root/reference/data"

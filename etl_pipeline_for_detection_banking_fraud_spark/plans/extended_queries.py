@@ -2128,3 +2128,114 @@ def tpch_q20_shape(spark, sf_dir):
     return (per_sup.join(F.broadcast(s.select("s_suppkey", "s_name")),
                          per_sup.l_suppkey == F.col("s_suppkey"))
                    .select("s_suppkey", "s_name").distinct())
+
+
+@_q(
+    "tpch_q1_shape",
+    "TPC-H Q1 shape: the pricing-summary report — one fact pass, six "
+    "aggregates per (returnflag, linestatus), exact-decimal "
+    "accumulation of per-row double products, averages divided once "
+    "at the end",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                     AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                     AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,10)))
+                     AS DECIMAL(28,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) AS DECIMAL(28,10)))
+                     AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+           CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                          AS DECIMAL(28,6)) AS DOUBLE)
+                / count(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,10)))
+                          AS DECIMAL(28,6)) AS DOUBLE)
+                / count(*) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_shape(spark, sf_dir):
+    """Scale shape: ONE partial-aggregated fact pass (map-side combine
+    on the 6-ish (flag, status) groups — the shuffle moves a handful
+    of rows per partition, not data), the ship-date filter pushed to
+    the scan. Per-row products stay DOUBLE (IEEE-identical across
+    engines given identical operands), accumulation is exact DECIMAL,
+    and the averages divide two exact totals once at the end — the
+    SURVEY §4 float-aggregation discipline that keeps the DuckDB
+    oracle bit-exact. Averages are sum/count rather than engine AVG
+    (whose internal accumulation order differs). Reference parity:
+    the A2 tagged-count aggregate family (main.py:78) at TPC-H shape."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dec(c):
+        return c.cast("decimal(28,10)")
+
+    def out(c):
+        # re-quantize the EXACT sum to scale 6 (lossless: every per-row
+        # product has <= 6 decimals) before the double cast — a scale-6
+        # total's scaled integer fits 53 bits at this magnitude, so
+        # decimal->double is ONE correctly-rounded conversion in both
+        # engines; at scale 10 the conversion path differs by 1 ulp
+        # (DuckDB scales in floating point, Spark rounds the exact
+        # BigDecimal). Envelope: group totals stay < ~9e9 (53 bits at
+        # scale 6) through sf1; beyond that, quantize to scale 2
+        # (rounds exact cents identically — both engines round half
+        # away from zero on positives)
+        return c.cast("decimal(28,6)").cast("double")
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.where(F.col("l_shipdate")
+                     <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(out(F.sum(dec(F.col("l_quantity")))).alias("sum_qty"),
+                 out(F.sum(dec(F.col("l_extendedprice"))))
+                  .alias("sum_base_price"),
+                 out(F.sum(dec(disc_price))).alias("sum_disc_price"),
+                 out(F.sum(dec(charge))).alias("sum_charge"),
+                 (out(F.sum(dec(F.col("l_quantity"))))
+                  / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+                 (out(F.sum(dec(F.col("l_discount"))))
+                  / F.count(F.lit(1))).cast("double").alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@_q(
+    "tpch_q6_shape",
+    "TPC-H Q6 shape: the forecasting-revenue scan — a pure "
+    "filter+aggregate with every predicate pushed to the scan, no "
+    "join, no shuffle beyond the final 1-row combine",
+    """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(28,10)))
+                     AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_shape(spark, sf_dir):
+    """Scale shape: the canonical pushdown probe — all three
+    predicates reach the parquet scan (PushedFilters), the projection
+    reads exactly three columns (ReadSchema), and the aggregate is a
+    map-side partial with a 1-row final combine: zero data shuffled.
+    At 100 TB this query IS the scan; anything beyond a
+    filter-complete single pass would be waste. Exact-decimal
+    accumulation of per-row double products, same discipline as Q1."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                   .cast("decimal(28,10)")).cast("decimal(28,6)")
+             .cast("double").alias("revenue")))

@@ -772,6 +772,7 @@ def sessionize(spark, sf_dir):
 _REPORT_FIRST = [
     # new in r13 — never reported: add new catalog entries HERE, above
     # the rotation block, so they get driver-oracle evidence this round
+    "tpch_q1_shape", "tpch_q6_shape",
     # r13 rotation (r12 verdict ask #2): the 33 entries whose newest
     # evidence is r10 lead — nothing may go >2 rounds stale
     "approx_distinct_bounds", "asof_join", "bm25_topk",

@@ -387,3 +387,37 @@ def test_tpch_q20_conditional_halfsum_single_scan(spark, sf01):
     assert "BroadcastNestedLoopJoin" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") <= 3  # lineitem, part, supplier
+
+
+def test_tpch_q1_single_exchange_partial_agg(spark, sf01):
+    """The pricing report is ONE partial-aggregated fact pass: the
+    map side combines onto the handful of (flag, status) groups before
+    the single exchange; the ship-date bound reaches the scan; no
+    join of any kind appears."""
+    df = QD["tpch_q1_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final
+    assert final.count("Exchange") <= 2  # agg exchange (+AQE read)
+    pushed = plan.split("PushedFilters")
+    assert any("l_shipdate" in seg[:400] for seg in pushed[1:])
+
+
+def test_tpch_q6_filters_pushed_no_shuffle(spark, sf01):
+    """The forecasting scan: all three predicates reach the parquet
+    scan, the projection reads only the three needed columns, and the
+    only exchange is the 1-row final-aggregate combine."""
+    df = QD["tpch_q6_shape"].spark(spark, sf01)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final
+    pushed = plan.split("PushedFilters")
+    assert any("l_shipdate" in seg[:400] and "l_discount" in seg[:400]
+               for seg in pushed[1:])
+    rs = plan.split("ReadSchema")
+    assert rs[1:] and all(
+        "l_orderkey" not in seg[:300] and "l_returnflag" not in seg[:300]
+        for seg in rs[1:])  # column pruning: 3 columns, not the table
