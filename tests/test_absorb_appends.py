@@ -221,3 +221,36 @@ def test_absorption_does_not_swallow_concurrent_replace(
     assert raises["n"] >= 1  # the replace raced a replace: conflicted
     got = {r["id"] for r in Warehouse(spark, wh.root).read("ev").collect()}
     assert got == {1, 2, 3, 100, 101, 102, 103}
+
+
+def test_concurrent_drop_conflicts_with_replace(tmp_path):
+    """A DROP TABLE landing inside a replace's conflict window is a
+    hard conflict even for an absorbing maintenance rewrite —
+    committing the replace would silently resurrect the dropped table
+    (pure commit-log, no Spark needed)."""
+    from etl_pipeline_for_detection_banking_fraud_spark.sources.warehouse import (  # noqa: E501
+        CommitConflict,
+    )
+
+    root = os.path.join(str(tmp_path), "wh")
+    boot = Warehouse(None, root, checkpoint_interval=0)
+    t0 = Transaction(boot)
+    t0.pending = {"tbl": ["seed.parquet"]}
+    t0.commit()
+
+    rewriter = Warehouse(None, root, checkpoint_interval=0)
+    txn = Transaction(rewriter)
+    txn.replace = True
+    txn.base_seq = 1
+    txn.absorb_appends = {"tbl"}
+    txn.pending = {"tbl": ["compacted.parquet"]}
+
+    dropper = Warehouse(None, root, checkpoint_interval=0)
+    td = Transaction(dropper)
+    td.drop_tables = ["tbl"]
+    td.commit()
+
+    with pytest.raises(CommitConflict):
+        txn.commit()
+    cold = Warehouse(None, root)
+    assert cold._replay_state()["tables"].get("tbl") is None
