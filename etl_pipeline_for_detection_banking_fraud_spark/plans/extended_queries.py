@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .testdata_queries import _q, _t
+from .testdata_queries import _q, _spread, _t
 
 
 @_q(
@@ -2191,8 +2191,18 @@ def tpch_q1_shape(spark, sf_dir):
 
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (li.where(F.col("l_shipdate")
-                     <= F.lit("1998-09-02").cast("timestamp"))
+    # spread the filtered+projected rows before the six exact-decimal
+    # partial sums: the one-row-group testdata scan would otherwise run
+    # the whole BigDecimal accumulation as a single task (identity at
+    # real scale — see _spread in testdata_queries)
+    filtered = _spread(
+        spark,
+        li.where(F.col("l_shipdate")
+                 <= F.lit("1998-09-02").cast("timestamp"))
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus"),
+    )
+    return (filtered
             .groupBy("l_returnflag", "l_linestatus")
             .agg(out(F.sum(dec(F.col("l_quantity")))).alias("sum_qty"),
                  out(F.sum(dec(F.col("l_extendedprice"))))
