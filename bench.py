@@ -209,14 +209,26 @@ def _build_sf1(spark, sf_dir: str) -> str:
     Keys are shifted by SF1_STRIDE per replica so join fan-outs stay
     realistic (each replica is a self-contained key space; orders'
     o_custkey and lineitem's l_orderkey shift together so the join
-    graph is preserved). Document text gets a per-replica word
-    substitution (~50% of words, crc32-keyed so the SAME substitution
-    applies to every doc in a replica): planted near-dup pairs inside a
-    replica survive verbatim, while cross-replica copies drop to
-    trigram-Jaccard ~0.07 — below the catalog's 0.1 pair threshold — so
-    this is a 10x corpus with the same dup-rate, not one where every
-    doc has 9 near-twins (which would make the sf1 number measure a
-    100x pair explosion instead of a 10x scale-up).
+    graph is preserved). Document text gets a per-replica vocabulary
+    shift (every word suffixed with the replica id; rep 0 verbatim):
+    a bijective token rename, so every within-replica trigram/minhash
+    relationship — and therefore the planted near-dup rate — is
+    preserved exactly, while cross-replica shingle intersections are
+    ZERO by construction. This is a 10x corpus with the same dup-rate,
+    not one where every doc gains 9 near-twins.
+
+    r13 measurement fix (documented in OPTIMIZATION_r13.md): the
+    previous ~50%-of-words crc32 substitution keyed on (word, replica)
+    leaked cross-replica pairs on the current testdata — docs with a
+    tiny distinct vocabulary pass through whole (one coin flip per
+    distinct word), and trigram Jaccard over few distinct shingles
+    stays above the 0.1 threshold. Measured at sf1: 55,525 candidate
+    pairs of which 52,925 were cross-replica (within-replica exactly
+    260 x 10 = 2,600, i.e. the dup-rate itself was preserved) — the
+    sf1 dedup numbers were measuring a pair explosion the docstring
+    above explicitly forbids, 25.7 s vs the ~10x-scale ~5 s. The
+    vocabulary shift closes the leak structurally instead of
+    probabilistically.
 
     Scaled tables are written as 32 files (repartition before write):
     a single 10x-size zstd file caps the scan at 1-2 tasks and the sf1
@@ -250,8 +262,12 @@ def _build_sf1(spark, sf_dir: str) -> str:
             perturbed = F.array_join(
                 F.transform(
                     F.split(F.col("text"), " "),
+                    # suffix only non-empty tokens: an empty split cell
+                    # (double space) must stay empty or the tokenizer's
+                    # drop-empties filter would see a NEW token and the
+                    # replica's token counts would drift from rep 0's
                     lambda w: F.when(
-                        F.crc32(F.concat(w, rep.cast("string"))) % 2 == 0,
+                        w != "",
                         F.concat(w, F.lit("_"), rep.cast("string")),
                     ).otherwise(w),
                 ),
