@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from . import schemas
+from .functions.localframe import local_rows_df
 from .sources.warehouse import Warehouse
 
 TABLE = "meta_loading"
@@ -62,10 +63,12 @@ def flush_meta(wh: Warehouse, independent: bool = False) -> None:
     if not buf:
         return
     spark: SparkSession = wh.spark
-    # coalesce(1): createDataFrame slices local rows across the default
-    # parallelism, which would write one file per non-empty slice and
-    # defeat the point of buffering
-    df = spark.createDataFrame(list(buf), schema=schemas.META_LOADING).coalesce(1)
+    # single-slice local frame: one file per flush (the point of
+    # buffering) AND one Python-worker round-trip per flush — a
+    # coalesce(1) over a default-sliced createDataFrame serialized one
+    # round-trip PER SLICE into the write task (~6 s per flush at 32
+    # cores; see functions/localframe.py)
+    df = local_rows_df(spark, list(buf), schemas.META_LOADING)
     active = getattr(wh, "_active_txn", None)
     if independent and active is not None and not active._done:
         wh._active_txn = None

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from . import schemas
 from .audit import flush_meta, log_meta
+from .functions.localframe import empty_df
 from .operators import fraud_rules, scd2
 from .sources.csv_source import extract_date_global, read_transactions
 from .sources.warehouse import Warehouse
@@ -285,7 +286,10 @@ class DailyBatch:
             stored = self.wh.read_mart(MART)
 
         counts: dict[str, int] = {}
-        acc = self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
+        # zero-partition empty frame: a python-sliced empty would cost
+        # one worker round-trip per slice in EVERY action over the
+        # accumulator union (see functions/localframe.py)
+        acc = empty_df(self.spark, schemas.REP_FRAUD)
         persisted = []
         deferred: list[tuple[str, str, DataFrame]] = []
         if not self.incremental and self.cache_faithful_scans:

@@ -16,6 +16,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import schemas
+from ..functions.localframe import local_rows_df
 
 _INSERT_RE = re.compile(
     r"insert\s+into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*?)\)\s*;",
@@ -99,5 +100,5 @@ def load_seed_dims(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     for name, schema in _SEED_SCHEMAS.items():
         rows = parsed.get(name, [])
         data = [tuple(r.get(f.name) for f in schema.fields) for r in rows]
-        out[name] = spark.createDataFrame(data, schema=schema)
+        out[name] = local_rows_df(spark, data, schema)
     return out

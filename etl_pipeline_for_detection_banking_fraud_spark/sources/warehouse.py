@@ -66,6 +66,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.localframe import empty_df as _empty_df
+from ..functions.localframe import local_rows_df as _local_rows_df
+
 
 class CommitConflict(RuntimeError):
     """A ``replace`` transaction lost the optimistic-concurrency race:
@@ -3201,7 +3204,7 @@ class Warehouse:
                 raise FileNotFoundError(
                     f"table {table} empty as of seq {seq} and no schema given"
                 )
-            df = self.spark.createDataFrame([], schema=schema or decl)
+            df = _empty_df(self.spark, schema or decl)
             if schema is not None:
                 df = df.select(*[f.name for f in schema.fields])
             return df
@@ -3400,7 +3403,7 @@ class Warehouse:
                   "row_count long, size_bytes long, "
                   "has_bloom boolean, dv_covered boolean, "
                   "column_stats map<string,array<string>>")
-        return self.spark.createDataFrame(rows, schema)
+        return _local_rows_df(self.spark, rows, schema)
 
     def clone_table(self, src: str, dst: str) -> int:
         """Zero-copy SHALLOW CLONE (the Delta ``CREATE TABLE dst
@@ -3688,13 +3691,13 @@ class Warehouse:
             if decl is not None:
                 # CREATE TABLE'd (or fully-purged) declared table with
                 # zero files: empty typed frame from the declaration
-                df = self.spark.createDataFrame([], schema=decl)
+                df = _empty_df(self.spark, decl)
                 if schema is not None:
                     df = df.select(*[f.name for f in schema.fields])
                 return df
             if schema is None:
                 raise FileNotFoundError(f"table {table} absent and no schema given")
-            return self.spark.createDataFrame([], schema=schema)
+            return _empty_df(self.spark, schema)
         p = self._path(table)
         versions = _versions(p)
         mf = self._manifest_files(table)
@@ -3729,7 +3732,7 @@ class Warehouse:
                     # data) so a mergeSchema read still unions evolved
                     # columns into the empty result.
                     if schema is not None:
-                        return self.spark.createDataFrame([], schema=schema)
+                        return _empty_df(self.spark, schema)
                     return self._tracked_read(
                         table, (mf or []) + pend,
                         merge_schema=merge_schema).limit(0)
@@ -5207,7 +5210,7 @@ class Warehouse:
         from .. import schemas
 
         if not self.exists(table):
-            return self.spark.createDataFrame([], schema=schemas.REP_FRAUD)
+            return _empty_df(self.spark, schemas.REP_FRAUD)
         df = self.read(table, prune=_day_band_prune(
             "event_dt", since, until))
         # band on the PARTITION column when the read surfaces one
@@ -5247,7 +5250,7 @@ class Warehouse:
         from .. import schemas
 
         if not self.exists(table):
-            return self.spark.createDataFrame([], schema=schemas.TRANSACTIONS)
+            return _empty_df(self.spark, schemas.TRANSACTIONS)
         eff = _day_band_prune("transaction_date", since, until)
         if prune:
             eff = {**(eff or {}), **prune}

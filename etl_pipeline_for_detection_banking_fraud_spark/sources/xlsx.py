@@ -31,6 +31,7 @@ import xml.etree.ElementTree as ET
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import schemas
+from ..functions.localframe import local_rows_df
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _EXCEL_EPOCH = datetime.date(1899, 12, 30)
@@ -113,7 +114,7 @@ def read_terminals(spark: SparkSession, path: str) -> DataFrame:
         (r["terminal_id"], r["terminal_type"], r["terminal_city"], r["terminal_address"])
         for r in recs
     ]
-    return spark.createDataFrame(data, schema=schemas.TERMINALS)
+    return local_rows_df(spark, data, schemas.TERMINALS)
 
 
 def read_passport_blacklist(spark: SparkSession, path: str) -> DataFrame:
@@ -128,7 +129,7 @@ def read_passport_blacklist(spark: SparkSession, path: str) -> DataFrame:
         if isinstance(d, (int, float)):
             d = _EXCEL_EPOCH + datetime.timedelta(days=int(d))
         data.append((d, str(r["passport"]) if r["passport"] is not None else None))
-    return spark.createDataFrame(data, schema=schemas.PASSPORT_BLACKLIST)
+    return local_rows_df(spark, data, schemas.PASSPORT_BLACKLIST)
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .functions.localframe import local_rows_df
 from .sources.warehouse import Warehouse
 
 
@@ -403,8 +404,8 @@ def _maintenance(wh: Warehouse, stmt: str):
             ddl += ("\n-- bloom filter: cols="
                     f"{','.join(bloom['cols'])} m={bloom['m']} "
                     f"k={bloom['k']}")
-        return True, wh.spark.createDataFrame(
-            [(ddl,)], "createtab_stmt string")
+        return True, local_rows_df(
+            wh.spark, [(ddl,)], "createtab_stmt string")
     d = _DETAIL.match(stmt)
     if d:  # DESCRIBE DETAIL t — Delta's one-row table summary
         import json as _json
@@ -425,8 +426,8 @@ def _maintenance(wh: Warehouse, stmt: str):
             _json.dumps(wh.table_constraints(table)),
             wh._latest_seq(),
         )
-        return True, wh.spark.createDataFrame(
-            [row],
+        return True, local_rows_df(
+            wh.spark, [row],
             "name string, location string, format string, "
             "partition_columns string, num_files long, "
             "size_bytes long, num_rows long, constraints string, "
@@ -448,8 +449,8 @@ def _maintenance(wh: Warehouse, stmt: str):
                        | set(entry.get("bloom_cols", {})))
             if t in touches:  # data AND metadata commits of THIS table
                 rows.append(s)
-        return True, wh.spark.createDataFrame(
-            [(s["seq"], s.get("txn"), s.get("op"),
+        return True, local_rows_df(
+            wh.spark, [(s["seq"], s.get("txn"), s.get("op"),
               s.get("committed_at"), _json.dumps(s.get("tables", {})))
              for s in rows],
             "version long, txn string, operation string, "
@@ -566,8 +567,8 @@ def warehouse_sql(wh: Warehouse, stmt: str):
         rows = [(t, len(wh._manifest_files(t) or []),
                  ",".join(wh.table_partition_by(t)))
                 for t in wh.tables()]
-        return spark.createDataFrame(
-            rows or [("", 0, "")],
+        return local_rows_df(
+            spark, rows or [("", 0, "")],
             "table_name string, num_files int, partitioned_by string"
         ).where(F.col("table_name") != "")
     if kind == "DescribeRelation":
@@ -582,8 +583,8 @@ def warehouse_sql(wh: Warehouse, stmt: str):
             table = parts[0]
             part = set(wh.table_partition_by(table))
             schema = wh.read(table).schema
-            return spark.createDataFrame(
-                [(f.name, f.dataType.simpleString(),
+            return local_rows_df(
+                spark, [(f.name, f.dataType.simpleString(),
                   "partition" if f.name in part else "")
                  for f in schema.fields],
                 "col_name string, data_type string, comment string")

@@ -43,6 +43,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
 from ..sources.warehouse import Transaction, Warehouse
 from .table_stream import stream_table
 
@@ -111,8 +112,9 @@ def _commit_rollup(wh: Warehouse, rollup_table: str, combined: DataFrame,
                    extra_tables: dict | None = None) -> None:
     """Publish the new rollup state + batch-id watermark (+ any extra
     sidecars, e.g. the applied-txn set) as ONE replace transaction."""
-    meta = wh.spark.createDataFrame(
-        [(int(batch_id), stream_id)], "batch_id long, stream_id string")
+    meta = local_rows_df(
+        wh.spark, [(int(batch_id), stream_id)],
+        "batch_id long, stream_id string")
     txn = Transaction(wh)
     txn.replace = True
     txn.append(combined, rollup_table)
