@@ -44,10 +44,21 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b"),
         *[F.col(c) for c in block_cols],
     )
+    # banded levenshtein (Spark 3.5+ threshold form): O(len * k) per
+    # pair instead of O(len^2), with the length-difference early-out
+    # built in — ~2x at sf0.1 (9.7 s -> 5.1 s), identical pairs and
+    # distances. Returns -1 when the distance exceeds the threshold,
+    # and the exact distance otherwise, so the kept rows carry the
+    # same value the unbounded form produced; NULL texts still yield
+    # NULL, which fails the >= 0 predicate exactly like the old
+    # <= max_distance one (guide §1.2: per-task work, after the
+    # blocking algorithm is right).
     return (
         a.join(b, list(block_cols))
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("distance", F.levenshtein("_t_a", "_t_b"))
-        .where(F.col("distance") <= max_distance)
+        .withColumn(
+            "distance", F.levenshtein("_t_a", "_t_b", max_distance)
+        )
+        .where(F.col("distance") >= 0)
         .select("id_a", "id_b", "distance")
     )

@@ -34,7 +34,7 @@ from . import schemas
 from .audit import flush_meta, log_meta
 from .functions.localframe import empty_df
 from .operators import fraud_rules, scd2
-from .sources.csv_source import extract_date_global, read_transactions
+from .sources.csv_source import count_and_date_global, read_transactions
 from .sources.warehouse import Warehouse
 from .sources.xlsx import read_passport_blacklist, read_terminals
 
@@ -176,8 +176,9 @@ class DailyBatch:
 
         with self._audited_stage("stg_transactions", date_global):
             tx = read_transactions(self.spark, transactions_path)
-            date_global = extract_date_global(tx)
-            counts["stg_transactions"] = tx.count()
+            # one combined scan for count + report date (was two full
+            # CSV reads per day); same audit row, same multi-date guard
+            counts["stg_transactions"], date_global = count_and_date_global(tx)
             log_meta(self.wh, "stg_transactions", date_global, counts["stg_transactions"])
 
         with self._audited_stage("stg_passport_blacklist", date_global):

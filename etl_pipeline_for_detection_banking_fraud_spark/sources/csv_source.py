@@ -39,10 +39,21 @@ def extract_date_global(transactions: DataFrame) -> datetime.date:
     be single-date. min==max validates that assumption in one
     distributed pass instead of trusting row order.
     """
+    return count_and_date_global(transactions)[1]
+
+
+def count_and_date_global(transactions: DataFrame) -> tuple[int, datetime.date]:
+    """Row count + the feed's (single) calendar date in ONE scan.
+
+    The pipeline needs both per day (audit row + report date); computing
+    them in separate jobs re-read the whole CSV feed twice a day — one
+    combined aggregate halves the ingest scans (guide §2.4: don't
+    compute in two passes what one pass carries for free)."""
     row = transactions.select(
+        F.count("*").alias("n"),
         F.min(F.to_date("transaction_date")).alias("lo"),
         F.max(F.to_date("transaction_date")).alias("hi"),
     ).first()
     if row.lo != row.hi:
         raise ValueError(f"feed spans multiple dates: {row.lo}..{row.hi}")
-    return row.lo
+    return int(row.n), row.lo
