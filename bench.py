@@ -411,6 +411,14 @@ def _master_fingerprint(root: str) -> dict:
     snap = {}
     for dirpath, _dirs, files in os.walk(root):
         for fn in files:
+            if fn.startswith(("_", ".")):
+                # job markers (_SUCCESS + its .crc) are the one file
+                # class Hadoop's committer rewrites IN PLACE into an
+                # existing directory; they carry no data (every engine
+                # reader skips '_'/'.' files) and the session no longer
+                # writes them (marksuccessfuljobs=false) — excluded so
+                # a foreign-session clone can't trip the guard either
+                continue
             p = os.path.join(dirpath, fn)
             st = os.stat(p)
             snap[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
@@ -945,6 +953,19 @@ def main() -> None:
         if name not in qmap:
             continue
         try:
+            # r13 measurement fix (declared in OPTIMIZATION_r13.md):
+            # extended queries now get the SAME one-shot small-SF warmup
+            # the headline set always had. Without it the first trial
+            # carries whole-stage-codegen compilation plus — for the
+            # mapInPandas operators — the Python-worker import storm
+            # (measured: multimodal_image trials [34.9, 4.4, 1.2] s;
+            # the 4.4 median was still warming). Guide §1: time the
+            # plans, not one-time compilation. Old numbers predate this.
+            if warm_dir is not None:
+                try:
+                    _noop(qmap[name](spark, warm_dir))
+                except Exception:  # noqa: BLE001 — warmup is best-effort
+                    pass
             extended[name] = _timed_trials(
                 lambda name=name: _noop(qmap[name](spark, sf_dir)), trials
             )

@@ -72,6 +72,18 @@ def get_spark(
         # predicates. Micros is the modern cross-engine representation
         # and lossless for Spark's internal microsecond timestamps.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # No _SUCCESS job markers: every reader in the engine ignores
+        # '_'/'.'-prefixed files (warehouse.exists, the commit walk,
+        # parquet scans), so the marker is a pure small-files tax — one
+        # extra file + CRC per write at 100 TB append cadence — and the
+        # ONLY file Spark rewrites IN PLACE in an existing directory,
+        # which broke the hard-link-clone invariant the bench's
+        # master-fingerprint guard enforces (legacy directory appends
+        # truncate the shared _SUCCESS inode through a clone).
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
