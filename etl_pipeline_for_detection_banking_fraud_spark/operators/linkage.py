@@ -36,10 +36,18 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
     ordering, and each qualifying pair appears exactly once because a
     pair shares at most one block-key tuple (equality blocking).
     """
-    a = df.select(
+    # the blocked join is a BROADCAST join whenever the table is small
+    # enough (both sides are the same table), so its parallelism is the
+    # PROBE side's scan tasks — over a one-file input that is ONE task
+    # running every banded-Levenshtein comparison. Spread the probe
+    # side when the scan is narrower than the machine (identity at real
+    # scale): measured 3.64 s -> 0.46 s at sf0.1, identical pairs.
+    from ..operators.scale import spread_if_narrow
+
+    a = spread_if_narrow(df.sparkSession, df.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a"),
         *[F.col(c) for c in block_cols],
-    )
+    ))
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b"),
         *[F.col(c) for c in block_cols],

@@ -20,6 +20,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_if_narrow(spark, df: DataFrame) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5: "one huge unsplittable
+    file ... repartition immediately after the read"): when the scan
+    behind ``df`` provides fewer FILES than the session has cores, the
+    stage that consumes it — a broadcast-join probe, a partial
+    aggregation, a per-row CPU loop — runs on that handful of tasks no
+    matter how wide the machine is (a one-row-group parquet file is one
+    task, full stop). Redistribute across the default parallelism in
+    that case; at real scale the file count dwarfs the core count and
+    this is the identity, so plans keep zero extra exchanges there.
+    Call it AFTER filters/projections so the shuffle carries only
+    surviving bytes (guide §2.3)."""
+    files = df.inputFiles()
+    # derived frames (no backing files) report [] — leave them alone:
+    # their partitioning comes from upstream exchanges, not the scan
+    if files and len(files) < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _content_salt(df: DataFrame, salt_buckets: int):
     """Deterministic per-row salt derived from row CONTENT.
 

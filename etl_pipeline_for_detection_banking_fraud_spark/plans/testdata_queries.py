@@ -107,10 +107,11 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     plan keeps zero extra exchanges, unlike an unconditional
     repartition. Scale-adaptive by construction: the driver's
     lower-core bench runs see the same rule, keyed to their own
-    defaultParallelism."""
-    if len(df.inputFiles()) < spark.sparkContext.defaultParallelism:
-        return df.repartition(spark.sparkContext.defaultParallelism)
-    return df
+    defaultParallelism. (Thin alias of operators.scale.spread_if_narrow
+    so the catalog and the operators share one implementation.)"""
+    from ..operators.scale import spread_if_narrow
+
+    return spread_if_narrow(spark, df)
 
 
 def _read_cached_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
